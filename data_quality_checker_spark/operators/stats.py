@@ -1,0 +1,408 @@
+"""Statistical operators — the StatisticalAnalyzer surface
+(/root/reference/dataset_quality_checker/stat_analyzer.py) rebuilt as
+distributive aggregates; tests that are closed-form from sufficient
+statistics (t-test, ANOVA, chi2, Bartlett, Cohen's d, MI, PSI) aggregate
+in Spark and finish on the driver with the tiny result. Nothing pulls a
+full column to the driver."""
+
+from __future__ import annotations
+
+import math
+from itertools import combinations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as SqlT
+
+__all__ = [
+    "skewness_kurtosis",
+    "data_spread",
+    "low_variance_features",
+    "correlation_pairs",
+    "data_leaks",
+    "column_redundancy",
+    "conditional_probability",
+    "psi",
+    "mutual_information",
+    "cohens_d",
+    "welch_t_test",
+    "one_way_anova",
+    "chi_square_independence",
+    "confidence_interval",
+    "outlier_impact",
+    "histogram",
+    "overlapping_categories",
+]
+
+
+def _numeric_cols(df: DataFrame, cols=None):
+    return [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, SqlT.NumericType)
+        and (cols is None or f.name in cols)
+    ]
+
+
+def skewness_kurtosis(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Per-column skewness + excess kurtosis (stat_analyzer.py:347-373)
+    via Spark built-ins (population central moments)."""
+    cols = _numeric_cols(df, cols)
+    agg = df.agg(
+        *[F.skewness(c).alias(f"sk_{c}") for c in cols],
+        *[F.kurtosis(c).alias(f"ku_{c}") for c in cols],
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"sk_{c}").alias("skewness"),
+                        F.col(f"ku_{c}").alias("kurtosis"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+
+
+def data_spread(df: DataFrame, column: str) -> DataFrame:
+    """Sample variance + IQR (stat_analyzer.py:437-465). Exact
+    percentile at sf scale; percentile_approx at the 100 TB tier."""
+    return df.agg(
+        F.var_samp(column).alias("variance"),
+        (
+            F.expr(f"percentile({column}, 0.75)")
+            - F.expr(f"percentile({column}, 0.25)")
+        ).alias("iqr"),
+    )
+
+
+def low_variance_features(df: DataFrame, threshold: float) -> DataFrame:
+    """Columns with sample variance below threshold
+    (stat_analyzer.py:59-61)."""
+    cols = _numeric_cols(df)
+    agg = df.agg(*[F.var_samp(c).alias(c) for c in cols])
+    return (
+        agg.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column"),
+                            F.col(c).alias("variance"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .filter(F.col("variance") < threshold)
+    )
+
+
+def correlation_pairs(
+    df: DataFrame, cols: list[str] | None = None, threshold: float = 0.0
+) -> DataFrame:
+    """All pairwise Pearson correlations in ONE aggregate job
+    (stat_analyzer.py:301-322 runs a k^2 driver loop; we emit k(k-1)/2
+    corr expressions in a single scan). Returns (col_a, col_b, corr)."""
+    cols = _numeric_cols(df, cols)
+    pairs = list(combinations(cols, 2))
+    agg = df.agg(
+        *[F.corr(a, b).alias(f"c_{i}") for i, (a, b) in enumerate(pairs)]
+    )
+    return (
+        agg.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(a).alias("col_a"),
+                            F.lit(b).alias("col_b"),
+                            F.col(f"c_{i}").alias("corr"),
+                        )
+                        for i, (a, b) in enumerate(pairs)
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .filter(F.abs(F.col("corr")) > threshold)
+    )
+
+
+def data_leaks(
+    df: DataFrame, target: str, threshold: float = 0.8
+) -> DataFrame:
+    """Features suspiciously correlated with the target
+    (dq_checker.py:265-288). Returns (feature, corr)."""
+    feats = [c for c in _numeric_cols(df) if c != target]
+    agg = df.agg(*[F.corr(c, target).alias(c) for c in feats])
+    return (
+        agg.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("feature"), F.col(c).alias("corr")
+                        )
+                        for c in feats
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .filter(F.abs(F.col("corr")) > threshold)
+    )
+
+
+def column_redundancy(
+    df: DataFrame, corr_threshold: float = 0.95
+) -> DataFrame:
+    """Highly-correlated numeric pairs (dq_checker.py:665-696); exact
+    column equality is covered by quality.duplicate_columns."""
+    return correlation_pairs(df, threshold=corr_threshold)
+
+
+def conditional_probability(
+    df: DataFrame, given: str, of: str
+) -> DataFrame:
+    """P(of | given) for every observed pair (stat_analyzer.py:38-46).
+    Returns (given_value, of_value, p)."""
+    joint = df.groupBy(
+        F.col(given).alias("given_value"), F.col(of).alias("of_value")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("given_value")
+    return joint.select(
+        "given_value",
+        "of_value",
+        (F.col("n").cast("double") / F.sum("n").over(w)).alias("p"),
+    )
+
+
+def psi(
+    cur: DataFrame,
+    base: DataFrame,
+    column: str,
+    bins: int = 10,
+    eps: float = 1e-4,
+) -> float:
+    """Population Stability Index (stat_analyzer.py:467-509), fully
+    distributive: shared bin edges from the global min/max of the union,
+    floor-arithmetic bucketing (portable across engines), two groupBy
+    counts, tiny driver-side sum."""
+    u = cur.select(F.col(column).alias("x")).unionByName(
+        base.select(F.col(column).alias("x"))
+    )
+    lo, hi = u.agg(F.min("x"), F.max("x")).collect()[0]
+    if lo is None or hi is None or hi == lo:
+        return 0.0
+    width = (hi - lo) / bins
+
+    def bucketed(df: DataFrame) -> dict[int, int]:
+        rows = (
+            df.select(
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor((F.col(column) - F.lit(lo)) / F.lit(width)),
+                ).alias("b")
+            )
+            .groupBy("b")
+            .count()
+            .collect()
+        )
+        return {r["b"]: r["count"] for r in rows}
+
+    cb, bb = bucketed(cur), bucketed(base)
+    n_c, n_b = sum(cb.values()), sum(bb.values())
+    val = 0.0
+    for b in range(bins):
+        p = max(cb.get(b, 0) / n_c, eps)
+        q = max(bb.get(b, 0) / n_b, eps)
+        val += (p - q) * math.log(p / q)
+    return val
+
+
+def mutual_information(df: DataFrame, x: str, y: str) -> float:
+    """MI of two categorical columns from the joint count distribution
+    (stat_analyzer.py:640-664) — one groupBy, driver-side formula over
+    the (tiny) contingency table."""
+    rows = df.groupBy(x, y).count().collect()
+    n = sum(r["count"] for r in rows)
+    px: dict = {}
+    py: dict = {}
+    for r in rows:
+        px[r[x]] = px.get(r[x], 0) + r["count"]
+        py[r[y]] = py.get(r[y], 0) + r["count"]
+    mi = 0.0
+    for r in rows:
+        pxy = r["count"] / n
+        mi += pxy * math.log(pxy / ((px[r[x]] / n) * (py[r[y]] / n)))
+    return mi
+
+
+def _group_stats(df: DataFrame, group: str, value: str):
+    return {
+        r["g"]: (r["n"], r["m"], r["v"])
+        for r in df.groupBy(F.col(group).alias("g"))
+        .agg(
+            F.count(value).alias("n"),
+            F.avg(value).alias("m"),
+            F.var_samp(value).alias("v"),
+        )
+        .collect()
+    }
+
+
+def cohens_d(df: DataFrame, group: str, value: str) -> float:
+    """Effect size for exactly two groups (stat_analyzer.py:605-638)
+    from per-group (n, mean, var) sufficient statistics."""
+    stats = _group_stats(df, group, value)
+    if len(stats) != 2:
+        raise ValueError("cohens_d requires exactly 2 groups")
+    (n1, m1, v1), (n2, m2, v2) = stats.values()
+    pooled = math.sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))
+    return (m1 - m2) / pooled if pooled else 0.0
+
+
+def welch_t_test(df: DataFrame, group: str, value: str) -> dict:
+    """Welch's t from sufficient statistics (stat_analyzer.py:188-253);
+    p-value from the t CDF via scipy when present, else reported as
+    NaN with the statistic (no heavy dep required)."""
+    stats = _group_stats(df, group, value)
+    if len(stats) != 2:
+        raise ValueError("welch_t_test requires exactly 2 groups")
+    (n1, m1, v1), (n2, m2, v2) = stats.values()
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / math.sqrt(se2)
+    dof = se2**2 / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1))
+    p = float("nan")
+    try:
+        from scipy import stats as sps
+
+        p = float(2 * sps.t.sf(abs(t), dof))
+    except ImportError:
+        pass
+    return {"t": t, "dof": dof, "p_value": p}
+
+
+def one_way_anova(df: DataFrame, group: str, value: str) -> dict:
+    """One-way ANOVA F from per-group sufficient statistics
+    (stat_analyzer.py:188-253)."""
+    stats = _group_stats(df, group, value)
+    ns = [s[0] for s in stats.values()]
+    ms = [s[1] for s in stats.values()]
+    vs = [s[2] for s in stats.values()]
+    n = sum(ns)
+    k = len(stats)
+    grand = sum(ni * mi for ni, mi in zip(ns, ms)) / n
+    ss_between = sum(ni * (mi - grand) ** 2 for ni, mi in zip(ns, ms))
+    ss_within = sum((ni - 1) * vi for ni, vi in zip(ns, vs))
+    f_stat = (ss_between / (k - 1)) / (ss_within / (n - k))
+    p = float("nan")
+    try:
+        from scipy import stats as sps
+
+        p = float(sps.f.sf(f_stat, k - 1, n - k))
+    except ImportError:
+        pass
+    return {"f": f_stat, "p_value": p}
+
+
+def chi_square_independence(df: DataFrame, a: str, b: str) -> dict:
+    """Chi-square test of independence from the distributed contingency
+    table (stat_analyzer.py:188-253 'chi_square')."""
+    rows = df.groupBy(a, b).count().collect()
+    n = sum(r["count"] for r in rows)
+    ra: dict = {}
+    rb: dict = {}
+    for r in rows:
+        ra[r[a]] = ra.get(r[a], 0) + r["count"]
+        rb[r[b]] = rb.get(r[b], 0) + r["count"]
+    obs = {(r[a], r[b]): r["count"] for r in rows}
+    chi2 = 0.0
+    for va in ra:
+        for vb in rb:
+            e = ra[va] * rb[vb] / n
+            o = obs.get((va, vb), 0)
+            chi2 += (o - e) ** 2 / e
+    dof = (len(ra) - 1) * (len(rb) - 1)
+    p = float("nan")
+    try:
+        from scipy import stats as sps
+
+        p = float(sps.chi2.sf(chi2, dof))
+    except ImportError:
+        pass
+    return {"chi2": chi2, "dof": dof, "p_value": p}
+
+
+def confidence_interval(
+    df: DataFrame, column: str, z: float = 1.959963984540054
+) -> dict:
+    """Mean +/- z * SEM (stat_analyzer.py:135-186; normal quantile in
+    place of the t quantile — equivalent at corpus n)."""
+    n, m, s = df.agg(
+        F.count(column), F.avg(column), F.stddev_samp(column)
+    ).collect()[0]
+    sem = s / math.sqrt(n)
+    return {"mean": m, "lo": m - z * sem, "hi": m + z * sem, "n": n}
+
+
+def outlier_impact(df: DataFrame, column: str, z: float = 3.0) -> dict:
+    """mean(all) - mean(|z|<=3 subset) (stat_analyzer.py:54-57): one
+    stats pass + one conditional aggregate."""
+    m, s = df.agg(F.avg(column), F.stddev_pop(column)).collect()[0]
+    if not s:
+        return {"mean_all": m, "mean_trimmed": m, "impact": 0.0}
+    trimmed = df.agg(
+        F.avg(
+            F.when(
+                F.abs((F.col(column) - F.lit(m)) / F.lit(s)) <= z,
+                F.col(column),
+            )
+        )
+    ).collect()[0][0]
+    return {"mean_all": m, "mean_trimmed": trimmed, "impact": m - trimmed}
+
+
+def histogram(
+    df: DataFrame, column: str, bins: int, lo: float, hi: float
+) -> DataFrame:
+    """Fixed-range histogram via floor arithmetic (engine-portable;
+    stat_analyzer.py:493-497). Returns (bucket, n)."""
+    width = (hi - lo) / bins
+    return (
+        df.filter(F.col(column).isNotNull())
+        .select(
+            F.least(
+                F.lit(bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.col(column) - F.lit(lo)) / F.lit(width)),
+                ),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def overlapping_categories(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Values appearing in both categorical columns
+    (dq_checker.py:875-899) — distinct-semi join, never a set collect."""
+    return (
+        df.select(F.col(col_a).alias("value"))
+        .distinct()
+        .join(
+            df.select(F.col(col_b).alias("value")).distinct(),
+            on="value",
+            how="semi",
+        )
+    )

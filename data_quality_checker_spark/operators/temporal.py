@@ -1,0 +1,396 @@
+"""Temporal / time-series operators — the TimeSeriesAnalyzer surface
+(/root/reference/dataset_quality_checker/ts_analyzer.py) rebuilt on
+window functions.
+
+Scale note: an unpartitioned Window.orderBy(ts) serializes onto one
+task, so every operator takes ``series_col`` — at corpus scale there is
+always a series key (user, host, sensor). Passing None is allowed for
+small diagnostics and documented as single-partition. Sequentially
+recursive algorithms (EWMA, change points, ARIMA-ish forecasts) use
+applyInPandas per series key — the per-key data is a bounded time
+series, the parallelism is across keys."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "out_of_order_and_null_timestamps",
+    "overlapping_intervals",
+    "missing_timestamps",
+    "monotonicity",
+    "rolling_forecast",
+    "spikes",
+    "anomalies_zscore",
+    "serial_correlation",
+    "cross_correlation",
+    "weekend_effects",
+    "forecast_accuracy",
+    "seasonal_strength",
+    "ewma",
+    "change_points",
+]
+
+
+def _w(series_col: str | None, ts_col: str) -> Window:
+    base = (
+        Window.partitionBy(series_col) if series_col else Window.partitionBy()
+    )
+    return base.orderBy(ts_col)
+
+
+def out_of_order_and_null_timestamps(
+    df: DataFrame,
+    ts_col: str,
+    order_col: str,
+    series_col: str | None = None,
+) -> DataFrame:
+    """Null-ts count + count of backwards steps (ts_analyzer.py:440-456,
+    dq_checker.py:81-104). pandas implicitly uses row order; Spark rows
+    are unordered, so arrival order must be an explicit column
+    (sequence id, ingest offset). Returns one row
+    (n_null_ts, n_out_of_order)."""
+    w = _w(series_col, order_col)
+    with_prev = df.withColumn("_prev", F.lag(ts_col).over(w))
+    return with_prev.agg(
+        F.sum(F.col(ts_col).isNull().cast("long")).alias("n_null_ts"),
+        F.sum(
+            (F.col(ts_col) < F.col("_prev")).cast("long")
+        ).alias("n_out_of_order"),
+    ).fillna(0)
+
+
+def overlapping_intervals(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    series_col: str | None = None,
+) -> DataFrame:
+    """Rows whose interval overlaps the next interval in time order
+    (dq_checker.py:106-118) — lead() over a sort, no self-join."""
+    w = _w(series_col, start_col)
+    return (
+        df.withColumn("_next_start", F.lead(start_col).over(w))
+        .filter(F.col("_next_start") < F.col(end_col))
+        .drop("_next_start")
+    )
+
+
+def missing_timestamps(
+    df: DataFrame, ts_col: str, interval: str = "1 hour"
+) -> DataFrame:
+    """Expected grid minus observed (ts_analyzer.py:213-235):
+    sequence(min,max,interval) -> explode -> left_anti. Returns
+    `missing_ts` rows."""
+    bounds = df.agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("lo"),
+        F.date_trunc("hour", F.max(ts_col)).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr(f"interval {interval}"))
+        ).alias("missing_ts")
+    )
+    observed = df.select(
+        F.date_trunc("hour", F.col(ts_col)).alias("missing_ts")
+    ).distinct()
+    return grid.join(observed, on="missing_ts", how="left_anti")
+
+
+def monotonicity(
+    df: DataFrame,
+    col: str,
+    ts_col: str,
+    series_col: str | None = None,
+) -> DataFrame:
+    """Per series: is the column non-decreasing / non-increasing / strict
+    (stat_analyzer.py:551-577). Returns (series?, non_decreasing,
+    non_increasing, strictly_increasing)."""
+    w = _w(series_col, ts_col)
+    d = df.withColumn("_diff", F.col(col) - F.lag(col).over(w))
+    keys = [series_col] if series_col else []
+    grouped = d.groupBy(*keys) if keys else d.groupBy()
+    return grouped.agg(
+        (F.min(F.col("_diff") >= 0) & F.lit(True)).alias("non_decreasing"),
+        (F.min(F.col("_diff") <= 0) & F.lit(True)).alias("non_increasing"),
+        (F.min(F.col("_diff") > 0) & F.lit(True)).alias(
+            "strictly_increasing"
+        ),
+    )
+
+
+def rolling_forecast(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    window: int,
+    series_col: str | None = None,
+) -> DataFrame:
+    """Trailing-mean one-step forecast (ts_analyzer.py:157-178):
+    avg over rowsBetween(-window, -1)."""
+    w = _w(series_col, ts_col).rowsBetween(-window, -1)
+    return df.withColumn("forecast", F.avg(value_col).over(w))
+
+
+def spikes(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    k: float = 3.0,
+    series_col: str | None = None,
+) -> DataFrame:
+    """|delta| > k*std(delta) rows (ts_analyzer.py:604-628): lag diff,
+    then a global (or per-series) std via a second window aggregate —
+    two passes over a single shuffle."""
+    w = _w(series_col, ts_col)
+    d = df.withColumn(
+        "_d", F.col(value_col) - F.lag(value_col).over(w)
+    )
+    wall = (
+        Window.partitionBy(series_col) if series_col else Window.partitionBy()
+    )
+    d = d.withColumn("_sd", F.stddev_samp("_d").over(wall))
+    return d.filter(F.abs(F.col("_d")) > k * F.col("_sd")).drop("_sd")
+
+
+def anomalies_zscore(
+    df: DataFrame,
+    value_col: str,
+    threshold: float = 3.0,
+    series_col: str | None = None,
+) -> DataFrame:
+    """Rows with |z| > threshold (ts_analyzer.py:476-500); per-series
+    stats via window aggregate when a key is given."""
+    wall = (
+        Window.partitionBy(series_col) if series_col else Window.partitionBy()
+    )
+    d = (
+        df.withColumn("_m", F.avg(value_col).over(wall))
+        .withColumn("_s", F.stddev_samp(value_col).over(wall))
+    )
+    return d.filter(
+        (F.col("_s") > 0)
+        & (F.abs((F.col(value_col) - F.col("_m")) / F.col("_s")) > threshold)
+    ).drop("_m", "_s")
+
+
+def serial_correlation(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    max_lag: int = 5,
+    series_col: str | None = None,
+) -> DataFrame:
+    """ACF up to max_lag (ts_analyzer.py:502-526): k lag columns + one
+    multi-corr aggregate. Returns (lag, acf)."""
+    w = _w(series_col, ts_col)
+    d = df
+    for k in range(1, max_lag + 1):
+        d = d.withColumn(f"_l{k}", F.lag(value_col, k).over(w))
+    agg = d.agg(
+        *[
+            F.corr(value_col, f"_l{k}").alias(f"c{k}")
+            for k in range(1, max_lag + 1)
+        ]
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"), F.col(f"c{k}").alias("acf")
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+
+
+def cross_correlation(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    ts_col: str,
+    max_lag: int = 3,
+    series_col: str | None = None,
+) -> DataFrame:
+    """corr(a, b shifted by lag) for lag in [-max_lag, max_lag]
+    (ts_analyzer.py:630-667). Returns (lag, xcorr)."""
+    w = _w(series_col, ts_col)
+    d = df
+    lags = list(range(-max_lag, max_lag + 1))
+    for k in lags:
+        shifted = (
+            F.lag(col_b, k).over(w) if k >= 0 else F.lead(col_b, -k).over(w)
+        )
+        d = d.withColumn(f"_s{k + max_lag}", shifted)
+    agg = d.agg(
+        *[
+            F.corr(col_a, f"_s{k + max_lag}").alias(f"c{k + max_lag}")
+            for k in lags
+        ]
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        F.col(f"c{k + max_lag}").alias("xcorr"),
+                    )
+                    for k in lags
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+
+
+def weekend_effects(df: DataFrame, ts_col: str, value_col: str) -> DataFrame:
+    """Mean value weekday vs weekend (ts_analyzer.py:669-700; holiday
+    calendars join the same way as a broadcast dim). Returns
+    (is_weekend, mean_value, n)."""
+    return (
+        df.withColumn(
+            "is_weekend", F.dayofweek(ts_col).isin(1, 7)
+        )
+        .groupBy("is_weekend")
+        .agg(
+            F.avg(value_col).alias("mean_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def forecast_accuracy(
+    df: DataFrame, actual: str, predicted: str
+) -> DataFrame:
+    """RMSE / MAE / MAPE / SMAPE / R2 / bias in one aggregate
+    (ts_analyzer.py:264-327) — all distributive."""
+    a, p = F.col(actual), F.col(predicted)
+    err = a - p
+    mean_a = F.avg(a)
+    return df.agg(
+        F.sqrt(F.avg(err * err)).alias("rmse"),
+        F.avg(F.abs(err)).alias("mae"),
+        F.avg(
+            F.when(a != 0, F.abs(err / a) * 100)
+        ).alias("mape"),
+        F.avg(
+            F.when(
+                (F.abs(a) + F.abs(p)) != 0,
+                200 * F.abs(err) / (F.abs(a) + F.abs(p)),
+            )
+        ).alias("smape"),
+        # SS_tot = n * var_pop(a), avoiding a second pass for mean(a)
+        (
+            F.lit(1.0)
+            - F.sum(err * err) / (F.count(a) * F.var_pop(a))
+        ).alias("r2"),
+        F.avg(err).alias("bias"),
+    )
+
+
+def seasonal_strength(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    period: int,
+    series_col: str | None = None,
+) -> DataFrame:
+    """1 - var(residual of centered rolling mean) / var(value)
+    (ts_analyzer.py:130-155) via a centered frame window."""
+    half = period // 2
+    w = _w(series_col, ts_col).rowsBetween(-half, half)
+    d = df.withColumn("_trend", F.avg(value_col).over(w)).withColumn(
+        "_resid", F.col(value_col) - F.col("_trend")
+    )
+    return d.agg(
+        F.greatest(
+            F.lit(0.0),
+            F.lit(1.0) - F.var_samp("_resid") / F.var_samp(value_col),
+        ).alias("seasonal_strength")
+    )
+
+
+def ewma(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    span: int,
+    series_col: str,
+) -> DataFrame:
+    """Exponential moving average (ts_analyzer.py:107-128). Recursive
+    state ⇒ not expressible as a frame window; runs as applyInPandas
+    per series key (pandas ewm inside, parallelism across keys)."""
+    alpha = 2.0 / (span + 1.0)
+
+    def _ewm(pdf):
+        pdf = pdf.sort_values(ts_col)
+        pdf["ewma"] = pdf[value_col].ewm(alpha=alpha, adjust=True).mean()
+        return pdf
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # copy the fields: StructType.add would mutate df's cached schema
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("ewma", DoubleType())]
+    )
+    return df.groupBy(series_col).applyInPandas(_ewm, schema=out_schema)
+
+
+def change_points(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    series_col: str,
+    min_segment: int = 5,
+) -> DataFrame:
+    """Mean-shift change points per series (ts_analyzer.py:39-105 uses
+    ruptures PELT; this is a dependency-free binary-segmentation
+    equivalent run per key inside applyInPandas). Returns
+    (series, change_ts)."""
+    import numpy as np
+    import pandas as pd
+
+    def _cost(x: "np.ndarray") -> float:
+        return float(((x - x.mean()) ** 2).sum()) if len(x) else 0.0
+
+    def _binseg(x, lo, hi, out, depth=0):
+        if hi - lo < 2 * min_segment or depth > 6:
+            return
+        seg = x[lo:hi]
+        base = _cost(seg)
+        best_gain, best_i = 0.0, None
+        for i in range(min_segment, len(seg) - min_segment):
+            gain = base - _cost(seg[:i]) - _cost(seg[i:])
+            if gain > best_gain:
+                best_gain, best_i = gain, i
+        # require a material variance reduction to split
+        if best_i is not None and best_gain > 2.0 * seg.var() + 1e-12:
+            out.append(lo + best_i)
+            _binseg(x, lo, lo + best_i, out, depth + 1)
+            _binseg(x, lo + best_i, hi, out, depth + 1)
+
+    def _per_series(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        x = pdf[value_col].to_numpy(dtype=float)
+        idx: list[int] = []
+        _binseg(x, 0, len(x), idx)
+        return pd.DataFrame(
+            {
+                "series": pdf[series_col].iloc[:1].repeat(len(idx)).tolist()
+                if idx
+                else [],
+                "change_ts": [pdf[ts_col].iloc[i] for i in sorted(idx)],
+            }
+        )
+
+    ts_type = dict(zip(df.columns, [f.dataType.simpleString() for f in df.schema.fields]))[ts_col]
+    series_type = dict(
+        zip(df.columns, [f.dataType.simpleString() for f in df.schema.fields])
+    )[series_col]
+    return df.groupBy(series_col).applyInPandas(
+        _per_series, schema=f"series {series_type}, change_ts {ts_type}"
+    )
