@@ -1,0 +1,98 @@
+"""Pure-Python per-document oracle for the rule battery + scrub.
+
+This is the "reference labels" generator (BASELINE.md: keep/drop F1 >=
+0.99 vs reference labels; golden scrubbed text byte-identical per url).
+Every rule here is a ~5-line plain-Python twin of the Catalyst
+expression in plans/rules.py; tests assert row-for-row agreement
+(SURVEY.md §5.2 item 3) so the Spark plan's semantics are pinned
+independently of Spark itself.
+"""
+
+from __future__ import annotations
+
+import re
+
+from data_quality_checker_spark.functions.wordlists import LANGS, STOPWORDS
+from data_quality_checker_spark.plans.rules import RuleConfig
+from data_quality_checker_spark.plans.scrub import scrub_python
+
+_WS = re.compile(r"\s+")
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in _WS.split(text.lower()) if t]
+
+
+def _lines(text: str) -> list[str]:
+    return [ln.rstrip() for ln in text.split("\n") if ln.rstrip() != ""]
+
+
+def _symbol_ratio(text: str) -> float | None:
+    if not text:
+        return None
+    syms = sum(
+        1
+        for ch in text
+        if not (ch.isalpha() or ch.isdigit() or ch.isspace())
+    )
+    return syms / len(text)
+
+
+def detect_lang(text: str) -> str:
+    toks = _tokens(text)
+    best_lang, best = "und", 0
+    for lang in LANGS:
+        s = sum(1 for t in toks if t in set(STOPWORDS[lang]))
+        if s > best:
+            best_lang, best = lang, s
+    return best_lang
+
+
+def fired_rules(text: str | None, cfg: RuleConfig) -> list[str]:
+    """Rule names violated by this document, in plans/rules.py order."""
+    fired: list[str] = []
+    if text is None or text.strip() == "":
+        fired.append("empty")
+    if text is None:
+        return fired
+    toks = _tokens(text)
+    wc = len(toks)
+    if len(text) < cfg.min_chars:
+        fired.append("too_short")
+    if len(text) > cfg.max_chars:
+        fired.append("too_long")
+    if 0 < wc < cfg.min_words:
+        fired.append("too_few_words")
+    if wc > cfg.max_words:
+        fired.append("too_many_words")
+    if wc:
+        mwl = sum(len(t) for t in toks) / wc
+        if mwl < cfg.min_mean_word_len or mwl > cfg.max_mean_word_len:
+            fired.append("mean_word_len")
+        sw = set(cfg.stopwords)
+        if sum(1 for t in toks if t in sw) / wc < cfg.min_stopword_ratio:
+            fired.append("low_stopword")
+    sr = _symbol_ratio(text)
+    if sr is not None and sr > cfg.max_symbol_ratio:
+        fired.append("high_symbol")
+    if wc and 1 - len(set(toks)) / wc > cfg.max_repetition:
+        fired.append("high_repetition")
+    lines = _lines(text)
+    if lines and 1 - len(set(lines)) / len(lines) > cfg.max_dup_line_fraction:
+        fired.append("dup_lines")
+    if detect_lang(text) not in cfg.allowed_langs:
+        fired.append("lang")
+    if set(toks) & set(cfg.toxic_words):
+        fired.append("toxicity")
+    return fired
+
+
+def label_page(text: str | None, cfg: RuleConfig | None = None) -> dict:
+    """Golden label for one page: keep verdict + fired rules + scrub."""
+    cfg = cfg or RuleConfig()
+    fired = fired_rules(text, cfg)
+    return {
+        "keep": not fired,
+        "fired_rules": fired,
+        "scrubbed": scrub_python(text),
+    }

@@ -1,0 +1,172 @@
+"""End-to-end pipeline: scan -> dedup -> score -> scrub -> verdict ->
+write scored output + metrics + lineage, resumable per partition.
+
+Lifecycle (vs SURVEY.md §3.2): ONE lazy DAG per run — Catalyst fuses
+the whole rule battery + scrub into a single projection over the scan;
+the only shuffles are the url-dedup window and the final metrics
+aggregation (both keyed by partition-friendly columns). The reference
+executes one full pandas pass per check.
+
+Resume protocol (north rule): a lineage table keyed by
+(partition_id, run domain) records completed partitions; a re-run
+anti-joins lineage and processes only the remainder, writing output via
+dynamic partition overwrite so replays are idempotent byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_quality_checker_spark.plans.rules import RULE_NAMES, RuleConfig
+from data_quality_checker_spark.plans.scrub import scrub_count_exprs, scrub_expr
+from data_quality_checker_spark.plans.udfs import langid_udf, perplexity_udf
+from data_quality_checker_spark.plans.verdict import (
+    RULE_PREFIX,
+    with_rule_flags,
+    with_verdict,
+)
+from data_quality_checker_spark.sources.io import bucket_id, write_partitioned
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    rules: RuleConfig = field(default_factory=RuleConfig)
+    num_buckets: int = 64
+    dedup_latest_capture: bool = True
+    # "sql" = pure-Catalyst heuristic langid; "udf" = pandas-UDF path
+    # (fastText-ready). Both produce the same labels in this sandbox.
+    langid_impl: str = "sql"
+    with_perplexity: bool = False
+
+
+def score_pages(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    """The pure transformation: pages -> scored/scrubbed/verdict frame.
+
+    Column pruning note: nothing here touches `html`, so the parquet
+    scan never reads the binary payload (verified in tests via the
+    physical plan's ReadSchema)."""
+    cfg = cfg or PipelineConfig()
+    out = df.withColumn("partition_id", bucket_id("url", cfg.num_buckets))
+    if cfg.dedup_latest_capture:
+        # latest capture per url (SURVEY.md §2.5 note): window over the
+        # url hash-partitioning we already shuffle by.
+        w = Window.partitionBy("url").orderBy(
+            F.col("warc_ts").desc(), F.col("partition_id")
+        )
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    out = with_rule_flags(out, cfg.rules)
+    if cfg.langid_impl == "udf":
+        out = out.withColumn("lang_detected", langid_udf("text"))
+        # keep verdict consistent with the UDF label
+        out = out.withColumn(
+            f"{RULE_PREFIX}lang",
+            F.col("text").isNotNull()
+            & ~F.col("lang_detected").isin(*cfg.rules.allowed_langs),
+        )
+    if cfg.with_perplexity:
+        out = out.withColumn("perplexity", perplexity_udf("text"))
+    out = with_verdict(out, cfg.rules)
+    scrub_counts = scrub_count_exprs("text")
+    out = out.withColumns(
+        {f"scrub_{k}": v for k, v in scrub_counts.items()}
+    )
+    return out.withColumn("scrubbed_text", scrub_expr("text"))
+
+
+def partition_metrics(scored: DataFrame, run_id: str) -> DataFrame:
+    """Per-partition metrics rows (FIXTURES.md F6): rows scanned/kept,
+    rule-level drop counts, scrub counts — one groupBy job."""
+    rule_names = list(RULE_NAMES)
+    aggs = [
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum(F.col("keep").cast("long")).alias("rows_kept"),
+        *[
+            F.sum(F.col(f"{RULE_PREFIX}{n}").cast("long")).alias(f"drop_{n}")
+            for n in rule_names
+        ],
+        F.sum("scrub_email").alias("scrub_email"),
+        F.sum("scrub_phone").alias("scrub_phone"),
+        F.sum("scrub_ip").alias("scrub_ip"),
+    ]
+    return scored.groupBy("partition_id").agg(*aggs).withColumn(
+        "run_id", F.lit(run_id)
+    )
+
+
+def _completed_partitions(spark: SparkSession, lineage_path: str) -> set[int]:
+    try:
+        rows = (
+            spark.read.parquet(lineage_path)
+            .filter(F.col("status") == "done")
+            .select("partition_id")
+            .distinct()
+            .collect()
+        )
+        return {r["partition_id"] for r in rows}
+    except Exception:
+        return set()  # no lineage yet -> nothing completed
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    cfg: PipelineConfig | None = None,
+    run_id: str = "run-0",
+    limit_partitions: int | None = None,
+) -> dict:
+    """Execute (or resume) the pipeline. ``limit_partitions`` processes
+    only the first k incomplete partitions — the test harness uses it
+    to simulate a killed run; production never sets it.
+
+    Returns {"processed_partitions": [...], "skipped": n}."""
+    cfg = cfg or PipelineConfig()
+    scored_path = f"{out_dir}/scored"
+    metrics_path = f"{out_dir}/metrics"
+    lineage_path = f"{out_dir}/lineage"
+
+    done = _completed_partitions(spark, lineage_path)
+    with_bucket = pages.withColumn(
+        "partition_id", bucket_id("url", cfg.num_buckets)
+    )
+    todo_rows = (
+        with_bucket.select("partition_id")
+        .distinct()
+        .filter(~F.col("partition_id").isin(list(done)) if done else F.lit(True))
+        .orderBy("partition_id")
+        .collect()
+    )
+    todo = [r["partition_id"] for r in todo_rows]
+    if limit_partitions is not None:
+        todo = todo[:limit_partitions]
+    if not todo:
+        return {"processed_partitions": [], "skipped": len(done)}
+
+    subset = pages.filter(
+        bucket_id("url", cfg.num_buckets).isin(todo)
+    )
+    scored = score_pages(subset, cfg)
+    write_partitioned(scored, scored_path, "partition_id")
+
+    metrics = partition_metrics(
+        spark.read.parquet(scored_path).filter(
+            F.col("partition_id").isin(todo)
+        ),
+        run_id,
+    )
+    metrics.write.mode("append").parquet(metrics_path)
+
+    lineage = spark.createDataFrame(
+        [(int(p), "done", run_id) for p in todo],
+        "partition_id int, status string, run_id string",
+    ).withColumn("completed_ts", F.current_timestamp())
+    lineage.write.mode("append").parquet(lineage_path)
+    return {"processed_partitions": todo, "skipped": len(done)}

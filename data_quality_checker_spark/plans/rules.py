@@ -1,0 +1,112 @@
+"""Heuristic quality rules as named Catalyst Column expressions.
+
+Each rule maps to a reference check it generalizes (docstrings cite
+file:line into /root/reference). A rule expression is TRUE when the
+document VIOLATES the rule (i.e. should be dropped for it) — the same
+polarity as the reference's "return violating rows" style.
+
+All rules are pure SQL expressions evaluated in one projection; the
+whole rule battery adds zero shuffles and zero Python.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from data_quality_checker_spark.functions import text as X
+from data_quality_checker_spark.functions.wordlists import (
+    QUALITY_STOPWORDS,
+    TOXIC_WORDS,
+)
+
+
+@dataclass(frozen=True)
+class RuleConfig:
+    """Thresholds for the rule battery (Gopher/C4-flavored defaults).
+
+    Boundary semantics are explicit closed/open sides (SURVEY.md §7
+    hard part (c)): violations use strict < / > against the bounds, so
+    a doc exactly at a bound is kept."""
+
+    min_chars: int = 80          # nlp_analyzer.py:87-88 (length gate)
+    max_chars: int = 20000
+    min_words: int = 15
+    max_words: int = 5000
+    min_mean_word_len: float = 2.0   # nlp_analyzer.py:99-122
+    max_mean_word_len: float = 12.0
+    min_stopword_ratio: float = 0.02  # nlp_analyzer.py:927-929
+    max_symbol_ratio: float = 0.12    # dq_checker.py:543-557 reframed
+    max_repetition: float = 0.80      # nlp_analyzer.py:852-885
+    max_dup_line_fraction: float = 0.30  # dq_checker.py:985-998 per-doc
+    allowed_langs: tuple[str, ...] = ("en",)
+    toxic_words: tuple[str, ...] = TOXIC_WORDS
+    stopwords: tuple[str, ...] = QUALITY_STOPWORDS
+
+
+def rule_exprs(cfg: RuleConfig, text_col: str = "text") -> dict[str, Column]:
+    """name -> violation Column. Ordered dict; order defines the
+    fired_rules array ordering everywhere (Spark, oracle, SQL)."""
+    t = F.col(text_col)
+    wc = X.word_count(t)
+    return {
+        # dq_checker.py:291-304 (null %) + empty-string gate
+        "empty": t.isNull() | (F.length(F.trim(t)) == 0),
+        # nlp_analyzer.py:87-88; dq_checker.py:619-634
+        "too_short": t.isNotNull() & (F.length(t) < cfg.min_chars),
+        "too_long": t.isNotNull() & (F.length(t) > cfg.max_chars),
+        "too_few_words": t.isNotNull() & (wc > 0) & (wc < cfg.min_words),
+        "too_many_words": t.isNotNull() & (wc > cfg.max_words),
+        # nlp_analyzer.py:99-122
+        "mean_word_len": t.isNotNull()
+        & (
+            (X.mean_word_length(t) < cfg.min_mean_word_len)
+            | (X.mean_word_length(t) > cfg.max_mean_word_len)
+        ),
+        # nlp_analyzer.py:927-929
+        "low_stopword": t.isNotNull()
+        & (X.stopword_ratio(t, cfg.stopwords) < cfg.min_stopword_ratio),
+        # dq_checker.py:543-557 reframed as symbol density
+        "high_symbol": t.isNotNull()
+        & (X.symbol_ratio(t) > cfg.max_symbol_ratio),
+        # nlp_analyzer.py:852-885
+        "high_repetition": t.isNotNull()
+        & (X.repetition_ratio(t) > cfg.max_repetition),
+        # dq_checker.py:985-998 applied within document
+        "dup_lines": t.isNotNull()
+        & (X.dup_line_fraction(t) > cfg.max_dup_line_fraction),
+        # nlp_analyzer.py:887-900 langid; heuristic stand-in for fastText
+        "lang": t.isNotNull()
+        & ~X.langid_best(t).isin(*cfg.allowed_langs),
+        # dq_checker.py:222-241 membership check as a deny-list
+        "toxicity": t.isNotNull()
+        & (
+            F.size(
+                F.array_intersect(
+                    X.tokens(t),
+                    F.array(*[F.lit(w) for w in cfg.toxic_words]),
+                )
+            )
+            > 0
+        ),
+    }
+
+
+# static (Column construction needs a live SparkSession; keep importable
+# without one). Must stay in sync with rule_exprs — pinned by a test.
+RULE_NAMES: tuple[str, ...] = (
+    "empty",
+    "too_short",
+    "too_long",
+    "too_few_words",
+    "too_many_words",
+    "mean_word_len",
+    "low_stopword",
+    "high_symbol",
+    "high_repetition",
+    "dup_lines",
+    "lang",
+    "toxicity",
+)

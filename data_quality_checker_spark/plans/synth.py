@@ -1,0 +1,129 @@
+"""Deterministic synthetic Common-Crawl-style page corpus (FIXTURES.md
+F1): seeded numpy, no wall-clock, no network. Each violation class is
+injected at a fixed rate so expected per-rule drop counts are
+computable in closed form; hosts are Zipf-skewed to exercise salting;
+a controlled fraction of duplicate urls (differing warc_ts) exercises
+latest-capture dedup."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+
+from data_quality_checker_spark.functions.wordlists import STOPWORDS, TOXIC_WORDS
+
+# word pools: clean English text mixes stopwords + content words so it
+# passes every rule; content-only docs trip `low_stopword`.
+_CONTENT = (
+    "data table query engine spark batch stream filter join scan sort "
+    "merge hash window partition column row value key group order index "
+    "cache memory disk network cluster node task stage shuffle broadcast "
+    "vector metric model train test deploy monitor alert report chart "
+    "user page site link text word line token corpus crawl fetch parse"
+).split()
+_STOP = list(STOPWORDS["en"])
+
+PAGE_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+_BASE_TS = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+
+def _clean_text(rng: np.random.RandomState, n_words: int) -> str:
+    words = []
+    for i in range(n_words):
+        if i % 4 == 0:
+            words.append(_STOP[rng.randint(len(_STOP))])
+        else:
+            words.append(_CONTENT[rng.randint(len(_CONTENT))])
+    # break into lines of ~12 words
+    out_lines = [
+        " ".join(words[i : i + 12]) for i in range(0, len(words), 12)
+    ]
+    return "\n".join(out_lines)
+
+
+def _foreign_text(rng: np.random.RandomState, lang: str, n_words: int) -> str:
+    pool = list(STOPWORDS[lang]) + [w + "o" for w in _CONTENT[:20]]
+    return " ".join(pool[rng.randint(len(pool))] for _ in range(n_words))
+
+
+def make_pages(n: int, seed: int = 42) -> list[dict]:
+    """n pages as plain dicts (usable without Spark for the oracle)."""
+    rng = np.random.RandomState(seed)
+    pages: list[dict] = []
+    for i in range(n):
+        r = rng.rand()
+        lang = "en"
+        if r < 0.55:
+            text = _clean_text(rng, 30 + rng.randint(60))
+        elif r < 0.63:
+            lang = ["es", "fr", "de"][rng.randint(3)]
+            text = _foreign_text(rng, lang, 40 + rng.randint(30))
+        elif r < 0.68:
+            text = " ".join(
+                _CONTENT[rng.randint(len(_CONTENT))] for _ in range(3)
+            )  # too_short + too_few_words
+        elif r < 0.70:
+            text = _clean_text(rng, 5200)  # too_many_words (+ repetition)
+        elif r < 0.75:
+            base = _clean_text(rng, 40)
+            text = base + " @#$% *&^! ~~~ |||" * max(3, len(base) // 60)
+        elif r < 0.80:
+            text = " ".join(
+                _CONTENT[rng.randint(len(_CONTENT))] for _ in range(50)
+            )  # low_stopword
+        elif r < 0.85:
+            w = _CONTENT[rng.randint(len(_CONTENT))]
+            text = " ".join([w] * 60 + ["the", "and"])  # high_repetition
+        elif r < 0.88:
+            line = " ".join(_CONTENT[k % len(_CONTENT)] for k in range(i, i + 8))
+            text = "\n".join([line] * 7 + [_clean_text(rng, 12)])  # dup_lines
+        elif r < 0.93:
+            base = _clean_text(rng, 45)
+            pii = (
+                " contact john.doe@example.com or +1 (555) 123-4567"
+                " from 192.168.1.77 today"
+            )
+            text = base + pii  # kept, but scrubbed
+        elif r < 0.96:
+            base = _clean_text(rng, 45)
+            tox = TOXIC_WORDS[rng.randint(len(TOXIC_WORDS))]
+            text = base + " " + tox
+        elif r < 0.98:
+            text = ""
+        else:
+            text = None
+        host = f"host{int(rng.zipf(1.5)) % 50}.example"
+        url = f"https://{host}/p{i}"
+        ts = _BASE_TS + dt.timedelta(seconds=int(i))
+        if i % 37 == 1 and pages:
+            # duplicate capture of the previous url, later timestamp
+            url = pages[-1]["url"]
+            ts = pages[-1]["warc_ts"] + dt.timedelta(hours=1)
+        html = (
+            b"<html><body>" + (text or "").encode("utf-8") + b"</body></html>"
+        )
+        # claimed lang is wrong ~10% of the time (langid must disagree)
+        claimed = lang if rng.rand() > 0.1 else ["en", "es", "zz"][rng.randint(3)]
+        pages.append(
+            {
+                "url": url,
+                "warc_ts": ts,
+                "html": html,
+                "text": text,
+                "lang": claimed,
+            }
+        )
+    return pages
+
+
+def pages_df(spark, n: int, seed: int = 42):
+    """The corpus as a Spark DataFrame with the north-rule schema."""
+    rows = [
+        (p["url"], p["warc_ts"], p["html"], p["text"], p["lang"])
+        for p in make_pages(n, seed)
+    ]
+    return spark.createDataFrame(rows, PAGE_SCHEMA)

@@ -1,0 +1,62 @@
+"""IO + partitioning discipline.
+
+Production layout (north rule): Iceberg tables partitioned by
+``bucket(N, url)``; this sandbox has no Iceberg runtime jar, so the
+same physical discipline is expressed as parquet partitioned by an
+explicit ``partition_id = pmod(xxhash64(url), N)`` column — identical
+task-to-data mapping, stable across runs/resumes, and the
+`partitionOverwriteMode=dynamic` writer gives Iceberg-like idempotent
+per-partition overwrite. Swap `format("parquet")` for
+`writeTo(...iceberg...)` when session.ICEBERG_ENABLED.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def bucket_id(url_col: str | Column, num_buckets: int) -> Column:
+    """Deterministic url-hash bucket — aligned with Iceberg's
+    bucket(N, url) partition transform intent."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    return F.pmod(F.xxhash64(c), F.lit(num_buckets)).cast("int")
+
+
+def salted_key(
+    key_col: str | Column, salt_source_col: str | Column, salt_buckets: int
+) -> Column:
+    """Skew salt: key#salt for two-stage aggregation over pathological
+    hosts (north rule: salted repartitioning for skewed hosts).
+
+    The salt derives from a per-row column (e.g. the full url when the
+    key is the host) — deterministic under task retry, unlike rand()."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    s = (
+        F.col(salt_source_col)
+        if isinstance(salt_source_col, str)
+        else salt_source_col
+    )
+    return F.concat_ws("#", c, F.pmod(F.xxhash64(s), F.lit(salt_buckets)))
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_col: str = "partition_id"
+) -> None:
+    """Idempotent per-partition overwrite (dynamic mode): re-writing a
+    subset of partitions replaces exactly those partitions."""
+    (
+        df.write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .mode("overwrite")
+        .parquet(path)
+    )

@@ -1,0 +1,60 @@
+"""Streaming ingest: readStream -> score (same Catalyst rule exprs as
+batch) -> writeStream, with checkpointed exactly-once file sink.
+
+The reference is batch-only (SURVEY.md §2.12); the pipeline stays
+batch-first (Iceberg snapshots + lineage resume), and this module is
+the incremental path: identical `score_pages` transformation, so batch
+and stream can never drift semantically. Latest-capture dedup is a
+global window — not streamable — so streaming scores every capture and
+the compaction job (batch) picks latest per url downstream.
+
+Watermark note: event-time aggregations downstream should watermark on
+warc_ts; the score step itself is stateless per row."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_quality_checker_spark.plans.pipeline import (
+    PipelineConfig,
+    score_pages,
+)
+from data_quality_checker_spark.plans.synth import PAGE_SCHEMA
+
+
+def read_pages_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGE_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+
+def score_stream(pages_stream: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    cfg = cfg or PipelineConfig(dedup_latest_capture=False)
+    if cfg.dedup_latest_capture:
+        raise ValueError(
+            "latest-capture dedup needs a global window; disable it for "
+            "streaming and compact in batch"
+        )
+    return score_pages(pages_stream, cfg)
+
+
+def run_stream_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    cfg: PipelineConfig | None = None,
+) -> None:
+    """Process everything currently in input_dir exactly once and stop
+    (the batch-like trigger used by tests and backfills)."""
+    scored = score_stream(read_pages_stream(spark, input_dir), cfg)
+    q = (
+        scored.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,183 @@
+"""End-to-end pipeline tests: golden-label agreement (F1), byte-identical
+scrub, latest-capture dedup, idempotent resume, UDF/SQL langid parity,
+and html column pruning (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_checker_spark.plans import oracle as O
+from data_quality_checker_spark.plans import synth
+from data_quality_checker_spark.plans.pipeline import (
+    PipelineConfig,
+    run_pipeline,
+    score_pages,
+)
+from data_quality_checker_spark.plans.rules import RuleConfig
+from data_quality_checker_spark.plans.udfs import langid_udf
+
+N_PAGES = 1500
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return synth.pages_df(spark, N_PAGES, seed=42).cache()
+
+
+@pytest.fixture(scope="module")
+def golden():
+    """Oracle labels for the latest capture of each url."""
+    raw = synth.make_pages(N_PAGES, seed=42)
+    latest: dict[str, dict] = {}
+    for p in raw:
+        if p["url"] not in latest or p["warc_ts"] > latest[p["url"]]["warc_ts"]:
+            latest[p["url"]] = p
+    return {
+        url: O.label_page(p["text"], RuleConfig())
+        for url, p in latest.items()
+    }
+
+
+@pytest.fixture(scope="module")
+def scored(spark, pages):
+    return score_pages(pages, PipelineConfig()).cache()
+
+
+def test_keep_f1_and_fired_rules_match_oracle(scored, golden):
+    rows = scored.select("url", "keep", "fired_rules").collect()
+    assert len(rows) == len(golden)  # dedup produced one row per url
+    tp = fp = fn = mismatched = 0
+    for r in rows:
+        g = golden[r["url"]]
+        if r["keep"] and g["keep"]:
+            tp += 1
+        elif r["keep"] and not g["keep"]:
+            fp += 1
+        elif not r["keep"] and g["keep"]:
+            fn += 1
+        if list(r["fired_rules"]) != g["fired_rules"]:
+            mismatched += 1
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99, f"F1={f1} fp={fp} fn={fn}"
+    assert mismatched == 0, f"{mismatched} fired_rules mismatches"
+    # sanity: the corpus actually exercises both verdicts
+    keeps = sum(1 for g in golden.values() if g["keep"])
+    assert 0 < keeps < len(golden)
+
+
+def test_scrubbed_text_byte_identical(scored, golden):
+    rows = scored.select("url", "scrubbed_text").collect()
+    for r in rows:
+        g = golden[r["url"]]["scrubbed"]
+        got = r["scrubbed_text"]
+        if g is None:
+            assert got is None
+        else:
+            assert (
+                hashlib.sha256(got.encode()).hexdigest()
+                == hashlib.sha256(g.encode()).hexdigest()
+            ), f"scrub mismatch for {r['url']}"
+    # sanity: PII actually present and scrubbed somewhere
+    n_scrubbed = sum(
+        1
+        for g in golden.values()
+        if g["scrubbed"] and "<EMAIL>" in g["scrubbed"]
+    )
+    assert n_scrubbed > 0
+
+
+def test_latest_capture_dedup(spark, pages, scored):
+    dup_urls = (
+        pages.groupBy("url").count().filter("count > 1").select("url")
+    )
+    n_dups = dup_urls.count()
+    assert n_dups > 0  # synth injects duplicate captures
+    joined = scored.join(dup_urls, "url", "semi").join(
+        pages.groupBy("url").agg(F.max("warc_ts").alias("max_ts")), "url"
+    )
+    assert joined.filter(F.col("warc_ts") != F.col("max_ts")).count() == 0
+
+
+def test_langid_udf_matches_sql_impl(spark, pages):
+    from data_quality_checker_spark.functions import text as X
+
+    df = pages.select(
+        langid_udf("text").alias("udf_lang"),
+        X.langid_best("text").alias("sql_lang"),
+    )
+    assert df.filter(F.col("udf_lang") != F.col("sql_lang")).count() == 0
+
+
+def test_resume_is_idempotent(spark, pages, tmp_path_factory):
+    full_dir = str(tmp_path_factory.mktemp("full"))
+    resumed_dir = str(tmp_path_factory.mktemp("resumed"))
+    cfg = PipelineConfig(num_buckets=8)
+
+    run_pipeline(spark, pages, full_dir, cfg, run_id="uninterrupted")
+
+    # killed after 3 partitions, then resumed
+    r1 = run_pipeline(
+        spark, pages, resumed_dir, cfg, run_id="part1", limit_partitions=3
+    )
+    assert len(r1["processed_partitions"]) == 3
+    r2 = run_pipeline(spark, pages, resumed_dir, cfg, run_id="part2")
+    assert set(r1["processed_partitions"]).isdisjoint(
+        r2["processed_partitions"]
+    )
+    # third run: nothing left
+    r3 = run_pipeline(spark, pages, resumed_dir, cfg, run_id="part3")
+    assert r3["processed_partitions"] == []
+
+    a = spark.read.parquet(f"{full_dir}/scored")
+    b = spark.read.parquet(f"{resumed_dir}/scored")
+    assert a.count() == b.count()
+    # content equality via order-insensitive checksum
+    def checksum(df):
+        return df.select(
+            F.sum(
+                F.xxhash64(
+                    "url", "keep", "scrubbed_text", "partition_id"
+                ).cast("decimal(38,0)")
+            ).alias("c")
+        ).collect()[0]["c"]
+
+    assert checksum(a) == checksum(b)
+    # metrics: same totals across the two protocols
+    ma = spark.read.parquet(f"{full_dir}/metrics")
+    mb = spark.read.parquet(f"{resumed_dir}/metrics")
+    assert (
+        ma.agg(F.sum("rows_scanned"), F.sum("rows_kept")).collect()
+        == mb.agg(F.sum("rows_scanned"), F.sum("rows_kept")).collect()
+    )
+
+
+def test_html_never_read_by_scoring(spark, pages, tmp_path_factory):
+    """Column pruning: the scoring plan over a parquet source must not
+    scan the html binary payload (SURVEY.md §4.2)."""
+    d = str(tmp_path_factory.mktemp("pages_pq"))
+    pages.write.mode("overwrite").parquet(d)
+    src = spark.read.parquet(d)
+    plan = (
+        score_pages(src, PipelineConfig())
+        .drop("html")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ReadSchema" in plan
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "html" not in line, line
+
+
+def test_rule_names_static_tuple_in_sync(spark):
+    from data_quality_checker_spark.plans.rules import (
+        RULE_NAMES,
+        RuleConfig,
+        rule_exprs,
+    )
+
+    assert tuple(rule_exprs(RuleConfig()).keys()) == RULE_NAMES
