@@ -9,7 +9,14 @@ that scales to 10^12 documents. Two families:
    reproduce — used by the oracle-checked correctness queries)
 
 All pure Catalyst expressions; no Python in the hot path.
-"""
+
+Performance note: composing minhash_signature/band_keys over an
+*expression* (rather than a materialized column) triggers Catalyst's
+CollapseProject to re-inline the shingle subtree into every lambda
+site — O(hashes x tokens^2) per doc. For corpus-scale dedup use
+operators/dedup.near_duplicates_minhash, which computes signatures via
+explode + map-side-combined min aggregation instead (linear, one tiny
+shuffle)."""
 
 from __future__ import annotations
 

@@ -1,0 +1,308 @@
+"""Deduplication operators for web-scale corpora.
+
+Replaces the reference's O(n^2) SequenceMatcher all-pairs loop
+(nlp_analyzer.py:720-743) with scale-appropriate strategies:
+
+ - exact: hash-groupBy (md5 of text) — one shuffle on a 16-byte key
+ - MinHash + banded LSH: shingle -> signature -> band bucket equi-join,
+   exact-Jaccard verification on candidates only
+ - SimHash: 64-bit fingerprint, 16-bit chunk blocking, hamming verify
+   via xor + bit_count
+ - n-gram Jaccard: exact verification primitive (used post-LSH)
+ - embedding cosine: sign-LSH (random hyperplanes) bucket join + cosine
+   verify
+
+All joins are equi-joins on small keys, so AQE handles skew; nothing
+ever materializes the n^2 pair space."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_quality_checker_spark.functions.hashing import (
+    band_keys,
+    jaccard,
+    minhash_signature,
+    shingles,
+    simhash64,
+)
+
+__all__ = [
+    "exact_duplicates",
+    "exact_duplicate_groups",
+    "near_duplicates_minhash",
+    "near_duplicates_simhash",
+    "ngram_jaccard_pairs",
+    "cosine_expr",
+    "embedding_near_duplicates",
+]
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical documents: (text_md5, n_docs, doc_ids).
+    md5 is portable across engines; xxhash64 is the faster JVM-only
+    alternative for production."""
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Every row that participates in an exact-dup group (keep=False
+    style, dq_checker.py:559-577 over text)."""
+    counts = (
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(F.md5(F.col(text_col)).alias("_h"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+    )
+    return (
+        df.withColumn("_h", F.md5(F.col(text_col)))
+        .join(counts, "_h", "semi")
+        .drop("_h")
+    )
+
+
+def near_duplicates_minhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a, id_b, jaccard >= threshold).
+
+    Plan shape: one projection (shingles+signature+band keys) -> explode
+    bands -> self equi-join on band key -> distinct candidate pairs ->
+    join shingle arrays back -> exact Jaccard filter. Candidates scale
+    with collisions, never with n^2."""
+    rows_per_band = num_hashes // num_bands
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), shingles(text_col, k_shingle).alias("sh")
+    ).filter(F.size("sh") > 0)
+    # Signature via explode + min-aggregation rather than nested
+    # array_min(transform(...)) expressions: Catalyst's CollapseProject
+    # re-inlines the (expensive) shingle subtree into every lambda site,
+    # turning the pure-projection form O(n_hashes * n_tokens^2) per doc
+    # (measured 68s for 500 docs). The agg form is linear; map-side
+    # combine means the shuffle carries one row per doc.
+    hashed = base.select(
+        "id", F.explode("sh").alias("s")
+    ).select(
+        "id",
+        *[
+            F.xxhash64("s", F.lit(j)).alias(f"h{j}")
+            for j in range(num_hashes)
+        ],
+    )
+    sig = hashed.groupBy("id").agg(
+        *[F.min(f"h{j}").alias(f"h{j}") for j in range(num_hashes)]
+    )
+    band_cols = [
+        F.concat(
+            F.lit(f"b{b}:"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"h{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ),
+        )
+        for b in range(num_bands)
+    ]
+    exploded = sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("bk")
+    )
+    cands = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), "bk")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .distinct()
+    )
+    sh_only = base.select("id", "sh")
+    verified = (
+        cands.join(sh_only.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh_only.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def near_duplicates_simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Blocking: any pair within hamming 3 of 64 bits shares at least one
+    of the four 16-bit chunks (pigeonhole), so candidates come from
+    four equi-joins on (chunk_idx, chunk_value)."""
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), simhash64(text_col).alias("sh")
+    ).filter(F.col("sh").isNotNull())
+    chunks = base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftrightunsigned(F.col("sh"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF).cast("long"))
+                        .alias("cv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "sh", "c.ci", "c.cv")
+    cands = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), ["ci", "cv"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cands.select(
+        "id_a",
+        "id_b",
+        F.bit_count(
+            F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+        ).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: Column | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs within blocking groups. Without a
+    block column it blocks on identical minhash band (delegating to
+    near_duplicates_minhash is usually better); with one (e.g. lang) it
+    computes exact Jaccard within blocks — quadratic per block, so
+    blocks must be bounded."""
+    if block_col is None:
+        return near_duplicates_minhash(
+            df, id_col, text_col, k_shingle=n, threshold=threshold
+        )
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        block_col.alias("blk"),
+        shingles(text_col, n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    return (
+        base.alias("a")
+        .join(base.alias("b"), "blk")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            jaccard(F.col("a.sh"), F.col("b.sh")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns, pure Catalyst."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return F.when((na > 0) & (nb > 0), dot / (na * nb))
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.normal(0, 1, (num_planes, dim)).tolist()
+
+
+def sign_lsh_key(
+    vec: Column, dim: int, num_planes: int = 12, seed: int = 42
+) -> Column:
+    """Random-hyperplane LSH bucket key (string of sign bits). Planes
+    are literal arrays baked into the plan — deterministic, no state."""
+    planes = _hyperplanes(dim, num_planes, seed)
+    bits = []
+    for p in planes:
+        plane = F.array(*[F.lit(float(v)) for v in p])
+        dot = F.aggregate(
+            F.zip_with(vec, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate vectors: sign-LSH bucket equi-join (vectors within
+    a tiny angle almost surely share all sign bits) + cosine verify."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        sign_lsh_key(F.col(vec_col), dim, num_planes, seed).alias("bk"),
+    )
+    return (
+        base.alias("a")
+        .join(base.alias("b"), "bk")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_expr(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

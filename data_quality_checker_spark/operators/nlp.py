@@ -1,0 +1,225 @@
+"""Corpus-level NLP analysis — the NLPAnalyzer surface
+(/root/reference/dataset_quality_checker/nlp_analyzer.py) rebuilt on
+explode + groupBy; TF-IDF in pure SQL (no n^2 similarity matrix is
+ever materialized, unlike nlp_analyzer.py:745-777)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_quality_checker_spark.functions.text import (
+    lines,
+    tokens,
+    word_ngrams,
+)
+
+__all__ = [
+    "top_ngrams",
+    "word_frequencies",
+    "redundant_tokens",
+    "word_length_distribution",
+    "sentence_length_distribution",
+    "char_count_distribution",
+    "corpus_lexical_diversity",
+    "language_distribution",
+    "category_feature_interaction",
+    "tfidf_top_terms",
+    "lda_topics",
+]
+
+
+def _tok(df: DataFrame, text_col: str) -> DataFrame:
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.explode(tokens(text_col)).alias("token")
+    )
+
+
+def top_ngrams(
+    df: DataFrame, text_col: str = "text", n: int = 2, top_k: int = 20
+) -> DataFrame:
+    """Top-k n-grams corpus-wide (nlp_analyzer.py:175-196). limit after
+    orderBy compiles to TakeOrderedAndProject — no global sort."""
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(word_ngrams(tokens(text_col), n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "ngram")
+        .limit(top_k)
+    )
+
+
+def word_frequencies(
+    df: DataFrame, text_col: str = "text", top_k: int = 20
+) -> DataFrame:
+    """Top-k token frequencies (nlp_analyzer.py:374-379)."""
+    return (
+        _tok(df, text_col)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(top_k)
+    )
+
+
+def redundant_tokens(
+    df: DataFrame, text_col: str = "text", min_count: int = 100
+) -> DataFrame:
+    """Tokens appearing >= min_count times (nlp_analyzer.py:198-215)."""
+    return (
+        _tok(df, text_col)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+
+
+def word_length_distribution(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word_length, n) histogram (nlp_analyzer.py:99-122)."""
+    return (
+        _tok(df, text_col)
+        .groupBy(F.length("token").alias("word_length"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def sentence_length_distribution(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Histogram of words-per-sentence (nlp_analyzer.py:124-149);
+    sentences split on [.!?]+ runs."""
+    sent = F.filter(
+        F.split(F.col(text_col), r"[.!?]+"),
+        lambda s: F.trim(s) != F.lit(""),
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(sent).alias("s"))
+        .select(
+            F.size(
+                F.filter(F.split(F.trim("s"), r"\s+"), lambda t: t != F.lit(""))
+            ).alias("sentence_words")
+        )
+        .groupBy("sentence_words")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def char_count_distribution(
+    df: DataFrame, text_col: str = "text", bucket: int = 100
+) -> DataFrame:
+    """(char_bucket, n): document length histogram in `bucket`-char bins
+    (nlp_analyzer.py:151-173)."""
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(
+            (F.floor(F.length(text_col) / bucket) * bucket).alias(
+                "char_bucket"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def corpus_lexical_diversity(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level unique/total token ratio (nlp_analyzer.py:852-885
+    'overall' mode) — one aggregate, approx_count_distinct at the
+    100 TB tier."""
+    t = _tok(df, text_col)
+    return t.agg(
+        F.countDistinct("token").alias("unique_tokens"),
+        F.count(F.lit(1)).alias("total_tokens"),
+        (F.countDistinct("token") / F.count(F.lit(1))).alias(
+            "lexical_diversity"
+        ),
+    )
+
+
+def language_distribution(df: DataFrame, lang_col: str = "lang") -> DataFrame:
+    """groupBy(lang).count() (nlp_analyzer.py:497)."""
+    return (
+        df.groupBy(F.col(lang_col).alias("lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "lang")
+    )
+
+
+def category_feature_interaction(
+    df: DataFrame, cat_col: str, num_col: str
+) -> DataFrame:
+    """Per-category describe() (nlp_analyzer.py:90-97)."""
+    return df.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count(num_col).alias("n"),
+        F.avg(num_col).alias("mean"),
+        F.stddev_samp(num_col).alias("stddev"),
+        F.min(num_col).alias("min"),
+        F.expr(f"percentile({num_col}, 0.5)").alias("median"),
+        F.max(num_col).alias("max"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document, pure SQL (replaces the sklearn
+    TfidfVectorizer path, nlp_analyzer.py:745-777): tf from
+    explode+groupBy, df from distinct explode, idf = ln((N+1)/(df+1))+1
+    (smoothed, sklearn-style). Returns (doc, term, tfidf, rank)."""
+    n_docs = df.filter(F.col(text_col).isNotNull()).select(
+        id_col
+    ).distinct().count()
+    tok = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = tok.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tok.distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = tf.join(docfreq, "term").select(
+        "doc",
+        "term",
+        (
+            F.col("tf")
+            * (
+                F.log(
+                    (F.lit(float(n_docs + 1))) / (F.col("df") + 1)
+                )
+                + 1
+            )
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc").orderBy(F.desc("tfidf"), "term")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_k
+    )
+
+
+def lda_topics(
+    df: DataFrame,
+    text_col: str = "text",
+    num_topics: int = 5,
+    max_vocab: int = 1000,
+    seed: int = 42,
+    max_iter: int = 10,
+):
+    """Corpus-level LDA topics via Spark ML (nlp_analyzer.py:56-85
+    used sklearn). Returns (topic, termIndices, termWeights) DataFrame
+    plus the vocabulary list."""
+    from pyspark.ml.clustering import LDA
+    from pyspark.ml.feature import CountVectorizer
+
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        tokens(text_col).alias("toks")
+    )
+    cv = CountVectorizer(
+        inputCol="toks", outputCol="features", vocabSize=max_vocab
+    ).fit(toks)
+    vec = cv.transform(toks)
+    lda = LDA(k=num_topics, seed=seed, maxIter=max_iter).fit(vec)
+    return lda.describeTopics(), list(cv.vocabulary)

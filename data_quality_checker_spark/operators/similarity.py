@@ -1,0 +1,113 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers (both return (query_id, id, cosine, rank)):
+
+ - brute-force top-k: broadcast the (small) query set, one streaming
+   pass over the corpus, per-query top-k via window. Exact; the
+   baseline for recall measurement. O(corpus x queries) but a single
+   scan with no corpus shuffle beyond the final tiny top-k.
+ - LSH-bucketed ANN: sign-LSH with multiple probe tables; corpus
+   bucketed once (reusable), query joins its buckets only. The 100 TB
+   path — touches only colliding buckets.
+
+The reference's nearest ancestor is the TF-IDF cosine similarity
+matrix (nlp_analyzer.py:745-777), which materializes n^2 — never done
+here."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_quality_checker_spark.operators.dedup import cosine_expr, sign_lsh_key
+
+__all__ = ["topk_bruteforce", "topk_lsh"]
+
+
+def topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query. `queries` must be small enough to
+    broadcast (the planner is told so explicitly)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "id",
+            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_tables: int = 4,
+    num_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: `num_tables` independent sign-LSH tables;
+    a candidate is any corpus vector sharing a bucket with the query in
+    any table. Exact cosine + top-k on candidates only. Recall rises
+    with num_tables; cost stays ~bucket-sized."""
+    def keyed(df: DataFrame, ident: str, vec: str) -> DataFrame:
+        keys = F.array(
+            *[
+                F.concat(
+                    F.lit(f"t{t}:"),
+                    sign_lsh_key(F.col(vec), dim, num_planes, seed + t),
+                )
+                for t in range(num_tables)
+            ]
+        )
+        return df.select(
+            F.col(ident).alias("_id"), F.col(vec).alias("_v"),
+            F.explode(keys).alias("bk"),
+        )
+
+    c = keyed(corpus, id_col, vec_col).withColumnsRenamed(
+        {"_id": "id", "_v": "cv"}
+    )
+    q = keyed(queries, id_col, vec_col).withColumnsRenamed(
+        {"_id": "query_id", "_v": "qv"}
+    )
+    cands = (
+        c.join(F.broadcast(q), "bk")
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", "id", "qv", "cv")
+        .distinct()
+    )
+    scored = cands.select(
+        "query_id",
+        "id",
+        cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,191 @@
+"""Dedup + similarity + NLP + multimodal operator tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_checker_spark.operators import dedup as D
+from data_quality_checker_spark.operators import multimodal as M
+from data_quality_checker_spark.operators import nlp as N
+from data_quality_checker_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    a = "the quick brown fox jumps over the lazy dog near the old river bank"
+    b = a.replace("old", "new")  # near-dup of a
+    c = "completely different content about spark query engines and shuffles here"
+    rows = [
+        (0, a),
+        (1, a),          # exact dup of 0
+        (2, b),          # near dup of 0/1
+        (3, c),
+        (4, "tiny"),
+        (5, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    groups = D.exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1 and groups[0]["doc_ids"] == [0, 1]
+    assert D.exact_duplicates(docs).count() == 2
+
+
+def test_minhash_near_duplicates(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.near_duplicates_minhash(
+            docs, threshold=0.5, k_shingle=2
+        ).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_simhash_near_duplicates(spark):
+    # simhash is a LONG-document sketch: with few tokens the per-bit
+    # majority votes are unstable; use ~200-token docs.
+    words = [f"w{i % 37}x{i % 11}" for i in range(200)]
+    a = " ".join(words)
+    b = a.replace("w0x0", "changed", 1)  # one token of 200
+    c = " ".join(f"z{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(0, a), (1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.near_duplicates_simhash(df, max_hamming=6).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0
+    assert not any(3 in p for p in pairs)
+
+
+def test_ngram_jaccard_with_blocking(spark, docs):
+    pairs = D.ngram_jaccard_pairs(
+        docs.withColumn("blk", F.lit(1)),
+        n=2,
+        threshold=0.4,
+        block_col=F.col("blk"),
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in got and (0, 2) in got
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(5)
+    base = rng.normal(0, 1, (30, 8))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # 100-102: near-dups of vector 0 (tiny perturbation)
+    for j in range(3):
+        rows.append(
+            (100 + j, [float(x + 0.001 * j) for x in base[0]])
+        )
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_near_duplicates(vectors):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_near_duplicates(
+            vectors, dim=8, threshold=0.999
+        ).collect()
+    }
+    assert (0, 100) in pairs and (100, 101) in pairs
+
+
+def test_topk_bruteforce_exact(vectors):
+    queries = vectors.filter("vec_id = 0")
+    got = SIM.topk_bruteforce(vectors, queries, k=3).orderBy("rank").collect()
+    assert [r["id"] for r in got] == [100, 101, 102]
+    assert got[0]["cosine"] > 0.9999
+
+    # numpy cross-check of the full ranking
+    rows = {r["vec_id"]: np.array(r["embedding"]) for r in vectors.collect()}
+    q = rows[0]
+    sims = {
+        i: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for i, v in rows.items()
+        if i != 0
+    }
+    expect = sorted(sims, key=lambda i: (-sims[i], i))[:3]
+    assert [r["id"] for r in got] == expect
+
+
+def test_topk_lsh_recall(vectors):
+    queries = vectors.filter("vec_id = 0")
+    exact = {
+        r["id"]
+        for r in SIM.topk_bruteforce(vectors, queries, k=3).collect()
+    }
+    approx = {
+        r["id"]
+        for r in SIM.topk_lsh(
+            vectors, queries, k=3, dim=8, num_tables=6, num_planes=4
+        ).collect()
+    }
+    # near-identical vectors collide in every table -> recall 1 here
+    assert exact <= approx | exact
+    assert len(exact & approx) >= 2
+
+
+def test_nlp_corpus_ops(spark, docs):
+    top = N.word_frequencies(docs, top_k=1).collect()
+    assert top[0]["token"] == "the"
+    bigrams = {r["ngram"] for r in N.top_ngrams(docs, n=2, top_k=20).collect()}
+    assert "the quick" in bigrams and "lazy dog" in bigrams
+    wl = {r["word_length"]: r["n"] for r in N.word_length_distribution(docs).collect()}
+    assert wl[3] > 0
+    div = N.corpus_lexical_diversity(docs).collect()[0]
+    assert 0 < div["lexical_diversity"] < 1
+    sent = spark.createDataFrame(
+        [(0, "One two three. Four five! Six?")], "doc_id long, text string"
+    )
+    dist = {
+        r["sentence_words"]: r["n"]
+        for r in N.sentence_length_distribution(sent).collect()
+    }
+    assert dist == {3: 1, 2: 1, 1: 1}
+
+
+def test_tfidf_top_terms(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "spark spark spark common"),
+            (1, "duck duck common"),
+            (2, "goose goose common"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = N.tfidf_top_terms(df, top_k=1).collect()
+    best = {r["doc"]: r["term"] for r in rows}
+    assert best == {0: "spark", 1: "duck", 2: "goose"}
+
+
+def test_lda_topics_runs(spark, docs):
+    topics, vocab = N.lda_topics(docs, num_topics=2, max_iter=3)
+    assert topics.count() == 2 and len(vocab) > 0
+
+
+def test_multimodal_features_and_frames(spark, docs):
+    media = M.attach_fake_media(docs.filter("text is not null"), "doc_id", "text")
+    feats = M.extract_media_features(media).collect()
+    assert len(feats) == 5
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[0]["byte_length"] > 0
+    assert by_id[0]["sha256"] == by_id[1]["sha256"]  # same text -> same digest
+    img = [r for r in feats if r["kind"] == "image"]
+    assert all(r["width"] is not None for r in img)
+    frames = M.sample_video_frames(media).collect()
+    vids = {r["media_id"] for r in media.filter("kind='video'").collect()}
+    assert {f["media_id"] for f in frames} == vids
+    # deterministic: same payload -> same frame digests
+    again = M.sample_video_frames(media).collect()
+    assert sorted(map(tuple, frames)) == sorted(map(tuple, again))
