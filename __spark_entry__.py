@@ -1,38 +1,1208 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   : flagship web-text quality-filter verdict over the
+                 sf0.001 documents corpus.
+queries()      : one callable per implemented operator (SURVEY.md §2 +
+                 the training-data extensions); each (spark, sf_dir) ->
+                 DataFrame with every computed column aliased.
+oracle_sql()   : the DuckDB twin of each query, generated where
+                 possible from the same wordlists/thresholds
+                 (data_quality_checker_spark.plans.duck).
+
+Conventions keeping the value-hash comparison stable across engines:
+floats rounded to 6dp on BOTH sides; timestamps emitted as epoch
+microseconds; deterministic ORDER-independent result sets (the driver
+sorts); explicit tie-breaks inside any window ranking.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_quality_checker_spark.functions import text as X
+from data_quality_checker_spark.functions.wordlists import LANGS, STOPWORDS
+from data_quality_checker_spark.operators import dedup as DD
+from data_quality_checker_spark.operators import joins as J
+from data_quality_checker_spark.operators import nlp as N
+from data_quality_checker_spark.operators import quality as Q
+from data_quality_checker_spark.operators import similarity as SIM
+from data_quality_checker_spark.operators import stats as S
+from data_quality_checker_spark.operators import temporal as T
+from data_quality_checker_spark.plans import duck
+from data_quality_checker_spark.plans.rules import RULE_NAMES, RuleConfig
+from data_quality_checker_spark.plans.scrub import scrub_expr
+from data_quality_checker_spark.plans.udfs import perplexity_udf
+from data_quality_checker_spark.plans.verdict import with_rule_flags, with_verdict
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _r6(c):
+    return F.round(c, 6)
+
+
+# --------------------------------------------------------------------
+# relational / TPC-H-ish (exercise joins, aggregates, top-k)
+# --------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf):
+    """TPC-H Q1 shape over lineitem (scan -> single hash aggregate)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r6(F.sum("l_quantity")).alias("sum_qty"),
+            _r6(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r6(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("sum_disc_price"),
+            _r6(F.avg("l_quantity")).alias("avg_qty"),
+            _r6(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING = """
+select l_returnflag, l_linestatus,
+  round(sum(l_quantity), 6) as sum_qty,
+  round(sum(l_extendedprice), 6) as sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 6) as sum_disc_price,
+  round(avg(l_quantity), 6) as avg_qty,
+  round(avg(l_discount), 6) as avg_disc,
+  count(*) as count_order
+from lineitem
+where l_shipdate <= date '1998-09-01'
+group by l_returnflag, l_linestatus
+"""
+
+
+def q_top_parts(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(_r6(F.sum("l_quantity")).alias("total_qty"))
+        .orderBy(F.desc("total_qty"), "l_partkey")
+        .limit(10)
+    )
+
+
+SQL_TOP_PARTS = """
+select l_partkey, round(sum(l_quantity), 6) as total_qty
+from lineitem group by l_partkey
+order by total_qty desc, l_partkey limit 10
+"""
+
+
+def q_fk_orphans(spark, sf):
+    li, orders, cust = (
+        _t(spark, sf, "lineitem"),
+        _t(spark, sf, "orders"),
+        _t(spark, sf, "customer"),
+    )
+    a = J.foreign_key_violations(li, orders, "l_orderkey", "o_orderkey").count()
+    b = J.foreign_key_violations(orders, cust, "o_custkey", "c_custkey").count()
+    return spark.createDataFrame(
+        [(a, b)], "lineitem_orphans long, order_orphans long"
+    )
+
+
+SQL_FK_ORPHANS = """
+select
+ (select count(*) from lineitem l where not exists
+   (select 1 from orders o where o.o_orderkey = l.l_orderkey))
+   as lineitem_orphans,
+ (select count(*) from orders o where not exists
+   (select 1 from customer c where c.c_custkey = o.o_custkey))
+   as order_orphans
+"""
+
+
+def q_order_line_histogram(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .groupBy("n_lines")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+SQL_ORDER_LINE_HIST = """
+select n_lines, count(*) as n_orders from (
+  select l_orderkey, count(*) as n_lines from lineitem group by l_orderkey
+) group by n_lines
+"""
+
+
+def q_join_integrity(spark, sf):
+    orders, cust = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    audit = J.join_integrity(
+        orders.select(F.col("o_custkey").alias("custkey")),
+        cust.select(F.col("c_custkey").alias("custkey")),
+        ["custkey"],
+    )
+    return audit.groupBy("side_missing").agg(
+        F.count(F.lit(1)).alias("n_keys")
+    )
+
+
+SQL_JOIN_INTEGRITY = """
+with lc as (select o_custkey custkey, count(*) ln from orders group by 1),
+rc as (select c_custkey custkey, count(*) rn from customer group by 1),
+j as (select coalesce(lc.custkey, rc.custkey) custkey,
+        case when lc.custkey is null then 'left_only_missing'
+             when rc.custkey is null then 'right_only_missing'
+             else 'both' end side_missing,
+        coalesce(ln, 0) ln, coalesce(rn, 0) rn
+      from lc full outer join rc on lc.custkey = rc.custkey)
+select side_missing, count(*) as n_keys from j
+where side_missing <> 'both' or ln > 1 or rn > 1
+group by side_missing
+"""
+
+
+# --------------------------------------------------------------------
+# data-quality checks
+# --------------------------------------------------------------------
+
+
+def q_missing_values(spark, sf):
+    ev = _t(spark, sf, "events")
+    return Q.missing_values(ev).select(
+        "column", _r6(F.col("missing_pct")).alias("missing_pct")
+    )
+
+
+def _sql_missing_values():
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    parts = [
+        f"select '{c}' as \"column\", round(avg(case when {c} is null "
+        "then 1.0 else 0.0 end) * 100, 6) as missing_pct from events"
+        for c in cols
+    ]
+    return " union all ".join(parts)
+
+
+def q_imbalance(spark, sf):
+    ev = _t(spark, sf, "events")
+    return Q.class_imbalance(ev, "event_type").select(
+        "value", _r6(F.col("share_pct")).alias("share_pct")
+    )
+
+
+SQL_IMBALANCE = """
+select event_type as value,
+ round(count(*) * 100.0 / (select count(*) from events), 6) as share_pct
+from events group by event_type
+"""
+
+
+def q_rare_categories(spark, sf):
+    part = _t(spark, sf, "part")
+    return Q.rare_categories(part, "p_brand", 10)
+
+
+SQL_RARE = """
+select p_brand as value, count(*) as n from part
+group by p_brand having count(*) < 10
+"""
+
+
+def q_outliers_zscore(spark, sf):
+    ev = _t(spark, sf, "events")
+    return Q.outliers_zscore(ev, ["value"], 3.0).select(
+        "event_id", _r6(F.col("value")).alias("value")
+    )
+
+
+SQL_OUT_Z = """
+with s as (select avg(value) m, stddev_pop(value) sd from events)
+select event_id, round(value, 6) as value from events, s
+where sd > 0 and abs((value - m) / sd) > 3.0
+"""
+
+
+def q_outliers_iqr(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return Q.outliers_iqr(li, ["l_extendedprice"], 1.5).select(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+SQL_OUT_IQR = """
+with q as (select quantile_cont(l_extendedprice, 0.25) q1,
+                  quantile_cont(l_extendedprice, 0.75) q3 from lineitem)
+select l_orderkey, l_linenumber from lineitem, q
+where l_extendedprice < q1 - 1.5 * (q3 - q1)
+   or l_extendedprice > q3 + 1.5 * (q3 - q1)
+"""
+
+
+def q_unique_value_columns(spark, sf):
+    na = _t(spark, sf, "nation")
+    agg = na.agg(
+        *[F.countDistinct(F.col(c)).alias(c) for c in na.columns]
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).alias("n_distinct"),
+                    )
+                    for c in na.columns
+                ]
+            )
+        ).alias("s")
+    ).select("s.column", "s.n_distinct")
+
+
+SQL_UNIQUE_COLS = """
+select 'n_nationkey' as "column", count(distinct n_nationkey) as n_distinct from nation
+union all
+select 'n_name', count(distinct n_name) from nation
+union all
+select 'n_regionkey', count(distinct n_regionkey) from nation
+"""
+
+
+def q_precision_violations(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    n = Q.numeric_precision_violations(li, "l_discount", 1).count()
+    return spark.createDataFrame([(n,)], "n_violations long")
+
+
+SQL_PRECISION = """
+select count(*) as n_violations from lineitem
+where l_discount is not null and l_discount <> round(l_discount, 1)
+"""
+
+
+def q_pattern_mismatch(spark, sf):
+    ev = _t(spark, sf, "events")
+    n = Q.pattern_mismatch(ev, "props", r'\{"k": [0-9]\}').count()
+    return spark.createDataFrame([(n,)], "n_mismatches long")
+
+
+SQL_PATTERN = r"""
+select count(*) as n_mismatches from events
+where props is not null
+  and not regexp_matches(props, '^(?:\{"k": [0-9]\})')
+"""
+
+
+def q_null_proportions_by_group(spark, sf):
+    ev = _t(spark, sf, "events")
+    return Q.null_proportions_by_group(ev, "event_type", "value").select(
+        "grp", _r6(F.col("null_frac")).alias("null_frac")
+    )
+
+
+SQL_NULL_BY_GROUP = """
+select event_type as grp,
+ round(avg(case when value is null then 1.0 else 0.0 end), 6) as null_frac
+from events group by event_type
+"""
+
+
+def q_cross_column_violations(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    n = Q.cross_column_violations(li, "l_tax <= l_discount + 0.05").count()
+    return spark.createDataFrame([(n,)], "n_violations long")
+
+
+SQL_CROSS_COL = """
+select count(*) as n_violations from lineitem
+where not (l_tax <= l_discount + 0.05)
+"""
+
+
+def q_json_extract(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_JSON = """
+select cast(json_extract_string(props, '$.k') as int) as k, count(*) as n
+from events group by 1
+"""
+
+
+# --------------------------------------------------------------------
+# temporal
+# --------------------------------------------------------------------
+
+
+def q_ts_order_audit(spark, sf):
+    ev = _t(spark, sf, "events")
+    return T.out_of_order_and_null_timestamps(ev, "ts", "event_id")
+
+
+SQL_TS_AUDIT = """
+with w as (select ts, lag(ts) over (order by event_id) prev from events)
+select
+  (select count(*) from events where ts is null) as n_null_ts,
+  count(*) filter (where ts < prev) as n_out_of_order
+from w
+"""
+
+
+def q_missing_hours(spark, sf):
+    ev = _t(spark, sf, "events")
+    return T.missing_timestamps(ev, "ts", "1 hour").select(
+        F.unix_micros("missing_ts").alias("missing_us")
+    )
+
+
+SQL_MISSING_HOURS = """
+with bounds as (select date_trunc('hour', min(ts)) lo,
+                       date_trunc('hour', max(ts)) hi from events),
+grid as (select unnest(generate_series(lo, hi, interval 1 hour)) g
+         from bounds),
+obs as (select distinct date_trunc('hour', ts) g from events)
+select epoch_us(g) as missing_us from grid
+where g not in (select g from obs)
+"""
+
+
+def q_rolling_forecast(spark, sf):
+    ev = _t(spark, sf, "events")
+    return T.rolling_forecast(
+        ev, "value", "ts", 3, series_col="user_id"
+    ).select("event_id", _r6(F.col("forecast")).alias("forecast"))
+
+
+SQL_ROLLING = """
+select event_id,
+ round(avg(value) over (partition by user_id order by ts
+   rows between 3 preceding and 1 preceding), 6) as forecast
+from events
+"""
+
+
+def q_spikes(spark, sf):
+    ev = _t(spark, sf, "events")
+    return T.spikes(ev, "value", "ts", k=3.0).select("event_id")
+
+
+SQL_SPIKES = """
+with d as (select event_id,
+             value - lag(value) over (order by ts) as dv from events),
+s as (select stddev_samp(dv) sd from d)
+select event_id from d, s where abs(dv) > 3.0 * sd
+"""
+
+
+def q_anomalies_zscore(spark, sf):
+    ev = _t(spark, sf, "events")
+    return T.anomalies_zscore(ev, "value", 3.0).select("event_id")
+
+
+SQL_ANOM_Z = """
+with s as (select avg(value) m, stddev_samp(value) sd from events)
+select event_id from events, s
+where sd > 0 and abs((value - m) / sd) > 3.0
+"""
+
+
+def q_serial_correlation(spark, sf):
+    ev = _t(spark, sf, "events")
+    return T.serial_correlation(ev, "value", "ts", 3).select(
+        "lag", _r6(F.col("acf")).alias("acf")
+    )
+
+
+SQL_ACF = """
+with w as (select value v,
+  lag(value, 1) over (order by ts) l1,
+  lag(value, 2) over (order by ts) l2,
+  lag(value, 3) over (order by ts) l3 from events)
+select 1 as lag, round(corr(v, l1), 6) as acf from w
+union all select 2, round(corr(v, l2), 6) from w
+union all select 3, round(corr(v, l3), 6) from w
+"""
+
+
+def q_weekend_effects(spark, sf):
+    ev = _t(spark, sf, "events")
+    return T.weekend_effects(ev, "ts", "value").select(
+        "is_weekend",
+        _r6(F.col("mean_value")).alias("mean_value"),
+        "n",
+    )
+
+
+SQL_WEEKEND = """
+select dayofweek(ts) in (0, 6) as is_weekend,
+ round(avg(value), 6) as mean_value, count(*) as n
+from events group by 1
+"""
+
+
+def q_monotonicity(spark, sf):
+    ev = _t(spark, sf, "events")
+    return T.monotonicity(ev, "value", "ts")
+
+
+SQL_MONO = """
+with d as (select value - lag(value) over (order by ts) dv from events)
+select
+ coalesce(min(dv >= 0), true) as non_decreasing,
+ coalesce(min(dv <= 0), true) as non_increasing,
+ coalesce(min(dv > 0), true) as strictly_increasing
+from d where dv is not null
+"""
+
+
+def q_sessionization(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gapped = ev.withColumn(
+        "new_session",
+        (
+            F.col("ts") - F.lag("ts").over(w)
+            > F.expr("INTERVAL 1800 SECONDS")
+        ).cast("int"),
+    )
+    return gapped.groupBy("user_id").agg(
+        (F.sum(F.coalesce("new_session", F.lit(0))) + 1).alias("n_sessions")
+    )
+
+
+SQL_SESSIONS = """
+with g as (select user_id,
+  case when epoch(ts) - epoch(lag(ts) over
+    (partition by user_id order by ts)) > 1800 then 1 else 0 end ns
+  from events)
+select user_id, sum(ns) + 1 as n_sessions from g group by user_id
+"""
+
+
+def q_ewma(spark, sf):
+    # recursive state -> applyInPandas; NOT SQL-expressible (no oracle,
+    # rows-only check) — SURVEY.md §2.5 exponential_moving_average
+    ev = _t(spark, sf, "events")
+    out = T.ewma(ev, "value", "ts", span=5, series_col="user_id")
+    return out.select("event_id", _r6(F.col("ewma")).alias("ewma"))
+
+
+# --------------------------------------------------------------------
+# statistics
+# --------------------------------------------------------------------
+
+
+def q_skew_kurtosis(spark, sf):
+    ev = _t(spark, sf, "events")
+    return S.skewness_kurtosis(ev, ["value"]).select(
+        "column",
+        _r6(F.col("skewness")).alias("skewness"),
+        _r6(F.col("kurtosis")).alias("kurtosis"),
+    )
+
+
+SQL_SKEW = """
+with m as (select avg(value) mu from events),
+c as (select avg(pow(value - mu, 2)) m2, avg(pow(value - mu, 3)) m3,
+             avg(pow(value - mu, 4)) m4 from events, m)
+select 'value' as "column",
+ round(m3 / pow(m2, 1.5), 6) as skewness,
+ round(m4 / pow(m2, 2) - 3, 6) as kurtosis
+from c
+"""
+
+
+def q_correlation_pairs(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    cols = [
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+    ]
+    return S.correlation_pairs(li.select(*cols)).select(
+        "col_a", "col_b", _r6(F.col("corr")).alias("corr")
+    )
+
+
+def _sql_corr_pairs():
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    parts = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            parts.append(
+                f"select '{a}' as col_a, '{b}' as col_b, "
+                f"round(corr({a}, {b}), 6) as corr from lineitem"
+            )
+    return " union all ".join(parts)
+
+
+def q_data_spread(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return S.data_spread(li, "l_extendedprice").select(
+        _r6(F.col("variance")).alias("variance"),
+        _r6(F.col("iqr")).alias("iqr"),
+    )
+
+
+SQL_SPREAD = """
+select round(var_samp(l_extendedprice), 6) as variance,
+ round(quantile_cont(l_extendedprice, 0.75)
+     - quantile_cont(l_extendedprice, 0.25), 6) as iqr
+from lineitem
+"""
+
+
+def q_psi(spark, sf):
+    ev = _t(spark, sf, "events")
+    n = ev.count()
+    cur = ev.filter(F.col("event_id") >= n // 2)
+    base = ev.filter(F.col("event_id") < n // 2)
+    val = S.psi(cur, base, "value", bins=10)
+    return spark.createDataFrame([(round(val, 6),)], "psi double")
+
+
+SQL_PSI = """
+with n as (select count(*) c from events),
+cur as (select value from events, n where event_id >= c // 2),
+base as (select value from events, n where event_id < c // 2),
+b as (select min(value) lo, max(value) hi from events),
+cb as (select least(9, floor((value - lo) / ((hi - lo) / 10)))::int bk,
+              count(*) n from cur, b group by 1),
+bb as (select least(9, floor((value - lo) / ((hi - lo) / 10)))::int bk,
+              count(*) n from base, b group by 1),
+grid as (select unnest(generate_series(0, 9)) bk),
+p as (select grid.bk,
+        greatest(coalesce(cb.n, 0)::double / (select sum(n) from cb), 1e-4) pc,
+        greatest(coalesce(bb.n, 0)::double / (select sum(n) from bb), 1e-4) pb
+      from grid left join cb on grid.bk = cb.bk
+                left join bb on grid.bk = bb.bk)
+select round(sum((pc - pb) * ln(pc / pb)), 6) as psi from p
+"""
+
+
+def q_mutual_information(spark, sf):
+    ev = _t(spark, sf, "events")
+    d = ev.select(
+        "event_type", (F.col("value") > 100).alias("hi")
+    )
+    val = S.mutual_information(d, "event_type", "hi")
+    return spark.createDataFrame([(round(val, 6),)], "mi double")
+
+
+SQL_MI = """
+with d as (select event_type x, value > 100 y from events),
+n as (select count(*) c from d),
+j as (select x, y, count(*) nxy from d group by x, y),
+px as (select x, count(*) nx from d group by x),
+py as (select y, count(*) ny from d group by y)
+select round(sum((nxy::double / c) *
+  ln((nxy::double / c) / ((nx::double / c) * (ny::double / c)))), 6) as mi
+from j join px using (x) join py using (y), n
+"""
+
+
+def q_cohens_d(spark, sf):
+    ev = _t(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    val = S.cohens_d(ev, "event_type", "value")
+    return spark.createDataFrame([(round(abs(val), 6),)], "abs_d double")
+
+
+SQL_COHENS = """
+with s as (select event_type g, count(*) n, avg(value) m, var_samp(value) v
+           from events where event_type in ('click', 'view')
+           group by event_type),
+a as (select * from s where g = 'click'),
+b as (select * from s where g = 'view')
+select round(abs((a.m - b.m) /
+  sqrt(((a.n - 1) * a.v + (b.n - 1) * b.v) / (a.n + b.n - 2))), 6) as abs_d
+from a, b
+"""
+
+
+def q_confidence_interval(spark, sf):
+    ev = _t(spark, sf, "events")
+    ci = S.confidence_interval(ev, "value")
+    return spark.createDataFrame(
+        [(round(ci["mean"], 6), round(ci["lo"], 6), round(ci["hi"], 6), ci["n"])],
+        "mean double, lo double, hi double, n long",
+    )
+
+
+SQL_CI = """
+select round(avg(value), 6) as mean,
+ round(avg(value) - 1.959963984540054 * stddev_samp(value) / sqrt(count(*)), 6) as lo,
+ round(avg(value) + 1.959963984540054 * stddev_samp(value) / sqrt(count(*)), 6) as hi,
+ count(*) as n
+from events
+"""
+
+
+def q_conditional_probability(spark, sf):
+    ev = _t(spark, sf, "events").select(
+        "event_type", (F.col("value") > 100).alias("hi")
+    )
+    return S.conditional_probability(ev, "event_type", "hi").select(
+        "given_value", "of_value", _r6(F.col("p")).alias("p")
+    )
+
+
+SQL_COND_P = """
+with j as (select event_type gv, value > 100 ov, count(*) n
+           from events group by 1, 2)
+select gv as given_value, ov as of_value,
+ round(n::double / sum(n) over (partition by gv), 6) as p
+from j
+"""
+
+
+# --------------------------------------------------------------------
+# text / documents
+# --------------------------------------------------------------------
+
+
+def q_text_stats(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        X.word_count("text").alias("wc"),
+        _r6(X.stopword_ratio("text")).alias("stop_ratio"),
+        _r6(X.symbol_ratio("text")).alias("sym_ratio"),
+        _r6(X.lexical_diversity("text")).alias("diversity"),
+        _r6(X.mean_word_length("text")).alias("mean_word_len"),
+    )
+
+
+def _sql_text_stats():
+    return f"""
+select doc_id, {duck.wc('text')} as wc,
+ round({duck.stop_ratio('text', STOPWORDS['en'])}, 6) as stop_ratio,
+ round({duck.symbol_ratio('text')}, 6) as sym_ratio,
+ round({duck.diversity('text')}, 6) as diversity,
+ round({duck.mean_word_length('text')}, 6) as mean_word_len
+from documents
+"""
+
+
+def q_langid_counts(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.select(X.langid_best("text").alias("lang_detected"))
+        .groupBy("lang_detected")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _sql_langid_counts():
+    scores = ", ".join(
+        f"{expr} as s_{lang}" for lang, expr in duck.lang_scores("text").items()
+    )
+    return f"""
+with sc as (select doc_id, {scores} from documents),
+l as (select {duck.langid_best('text')} as lang_detected from sc)
+select lang_detected, count(*) as n from l group by lang_detected
+"""
+
+
+def q_quality_verdict(spark, sf):
+    docs = _t(spark, sf, "documents")
+    scored = with_verdict(with_rule_flags(docs))
+    return scored.select(
+        "doc_id", "keep", F.size("fired_rules").alias("n_fired")
+    )
+
+
+def _sql_quality_verdict():
+    flags = duck.rule_flags_sql()
+    scores = ", ".join(
+        f"{expr} as s_{lang}" for lang, expr in duck.lang_scores("text").items()
+    )
+    flag_cols = ", ".join(
+        f"({expr})::int as f_{name}" for name, expr in flags.items()
+    )
+    total = " + ".join(f"f_{name}" for name in flags)
+    return f"""
+with sc as (select doc_id, text, {scores} from documents),
+ld as (select doc_id, text, {duck.langid_best('text')} as lang_detected
+       from sc),
+fl as (select doc_id, {flag_cols} from ld)
+select doc_id, ({total}) = 0 as keep, ({total}) as n_fired from fl
+"""
+
+
+def q_scrubbed_digest(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.coalesce(scrub_expr("text"), F.lit(""))).alias("scrub_md5"),
+    )
+
+
+def _sql_scrub():
+    return f"""
+select doc_id, md5(coalesce({duck.scrub_sql('text')}, '')) as scrub_md5
+from documents
+"""
+
+
+def q_top_bigrams(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return N.top_ngrams(docs, n=2, top_k=20)
+
+
+SQL_TOP_BIGRAMS = f"""
+with t as (select {duck.toks('text')} tk from documents
+           where text is not null),
+g as (select array_to_string(tk[i:i+1], ' ') as ngram
+      from t, unnest(generate_series(1, len(tk) - 1)) u(i)
+      where len(tk) >= 2)
+select ngram, count(*) as n from g group by ngram
+order by n desc, ngram limit 20
+"""
+
+
+def q_word_frequencies(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return N.word_frequencies(docs, top_k=20)
+
+
+SQL_WORD_FREQ = f"""
+select t.token, count(*) as n
+from (select unnest({duck.toks('text')}) as token
+      from documents where text is not null) t
+group by t.token order by n desc, t.token limit 20
+"""
+
+
+def q_word_length_distribution(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return N.word_length_distribution(docs)
+
+
+SQL_WORD_LEN = f"""
+select length(t.token) as word_length, count(*) as n
+from (select unnest({duck.toks('text')}) as token
+      from documents where text is not null) t
+group by 1
+"""
+
+
+def q_char_count_distribution(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return N.char_count_distribution(docs, bucket=100)
+
+
+SQL_CHAR_DIST = """
+select (length(text) // 100) * 100 as char_bucket, count(*) as n
+from documents where text is not null group by 1
+"""
+
+
+def q_corpus_diversity(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return N.corpus_lexical_diversity(docs).select(
+        "unique_tokens",
+        "total_tokens",
+        _r6(F.col("lexical_diversity")).alias("lexical_diversity"),
+    )
+
+
+SQL_CORPUS_DIV = f"""
+with t as (select unnest({duck.toks('text')}) as token
+           from documents where text is not null)
+select count(distinct token) as unique_tokens,
+ count(*) as total_tokens,
+ round(count(distinct token)::double / count(*), 6) as lexical_diversity
+from t
+"""
+
+
+def q_tfidf_top1(spark, sf):
+    docs = _t(spark, sf, "documents").filter("doc_id < 200")
+    return N.tfidf_top_terms(docs, top_k=1).select(
+        "doc", "term", _r6(F.col("tfidf")).alias("tfidf")
+    )
+
+
+SQL_TFIDF = f"""
+with d as (select doc_id, text from documents
+           where doc_id < 200 and text is not null),
+nd as (select count(distinct doc_id) c from d),
+tok as (select doc_id as doc, unnest({duck.toks('text')}) as term from d),
+tf as (select doc, term, count(*) tf from tok group by doc, term),
+df as (select term, count(distinct doc) df from tok group by term),
+scored as (select doc, term,
+   tf * (ln((select c from nd) + 1.0) - ln(df + 1.0) + 1) as tfidf
+   from tf join df using (term))
+select doc, term, round(tfidf, 6) as tfidf from scored
+qualify row_number() over (partition by doc order by tfidf desc, term) <= 1
+"""
+
+
+def q_token_count_total(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.agg(
+        F.sum(X.token_count_regex("text")).alias("total_subword_tokens"),
+        F.sum(X.word_count("text")).alias("total_ws_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT = r"""
+select
+ sum(len(list_filter(string_split_regex(lower(text), '[\s[:punct:]]+'),
+     t -> t <> ''))) as total_subword_tokens,
+ sum(len(list_filter(string_split_regex(lower(text), '\s+'),
+     t -> t <> ''))) as total_ws_tokens
+from documents where text is not null
+"""
+
+
+def q_doc_fingerprint(spark, sf):
+    docs = _t(spark, sf, "documents").filter("doc_id < 300")
+    return docs.select(
+        "doc_id", X.doc_fingerprint("text").alias("fingerprint")
+    )
+
+
+SQL_FINGERPRINT = """
+select doc_id,
+ case when text is null or length(text) = 0 then 0
+ else list_reduce(
+   list_prepend(0::bigint,
+     list_transform(string_split(text, ''), c -> ascii(c))),
+   (a, b) -> (a * 31 + b) % 2147483647)
+ end as fingerprint
+from documents where doc_id < 300
+"""
+
+
+def q_dedup_subset(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.groupBy("lang", "n_chars")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+SQL_DEDUP_SUBSET = """
+select lang, n_chars, count(*) as n_docs from documents
+group by lang, n_chars having count(*) > 1
+"""
+
+
+def q_minhash_signatures(spark, sf):
+    docs = _t(spark, sf, "documents").filter("doc_id < 100")
+    from data_quality_checker_spark.functions.hashing import (
+        minhash_signature_md5,
+        shingles,
+    )
+
+    base = docs.select(
+        "doc_id", shingles("text", 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = base.select(
+        "doc_id", minhash_signature_md5(F.col("sh"), 4).alias("sig")
+    )
+    return sig.select(
+        "doc_id",
+        *[F.col("sig").getItem(j).alias(f"sig{j}") for j in range(4)],
+    )
+
+
+SQL_MINHASH = f"""
+with t as (select doc_id, {duck.toks('text')} tk from documents
+           where doc_id < 100 and text is not null),
+sh as (select doc_id,
+  list_distinct(list_transform(generate_series(1, len(tk) - 2),
+    i -> array_to_string(tk[i:i+2], ' '))) sg
+  from t where len(tk) >= 3)
+select doc_id,
+ list_min(list_transform(sg, s -> md5('0|' || s))) as sig0,
+ list_min(list_transform(sg, s -> md5('1|' || s))) as sig1,
+ list_min(list_transform(sg, s -> md5('2|' || s))) as sig2,
+ list_min(list_transform(sg, s -> md5('3|' || s))) as sig3
+from sh where len(sg) > 0
+"""
+
+
+def q_simhash_neardups(spark, sf):
+    # xxhash64-based SimHash has no DuckDB twin -> rows-only check
+    docs = _t(spark, sf, "documents")
+    return DD.near_duplicates_simhash(docs, max_hamming=8)
+
+
+def q_minhash_neardups(spark, sf):
+    # xxhash64 banding -> rows-only check (portable md5 variant is
+    # oracle-checked via q_minhash_signatures)
+    docs = _t(spark, sf, "documents")
+    return DD.near_duplicates_minhash(docs, threshold=0.8)
+
+
+# --------------------------------------------------------------------
+# embeddings / similarity
+# --------------------------------------------------------------------
+
+
+def q_ann_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter("vec_id < 3")
+    return SIM.topk_bruteforce(emb, queries, k=5).select(
+        "query_id", "id", _r6(F.col("cosine")).alias("cosine"), "rank"
+    )
+
+
+SQL_ANN = """
+with e as (select vec_id, embedding::DOUBLE[] v from embeddings),
+q as (select vec_id query_id, v qv from e where vec_id < 3),
+s as (select query_id, e.vec_id id,
+        list_cosine_similarity(qv, e.v) cosine
+      from q, e where e.vec_id <> query_id)
+select query_id, id, round(cosine, 6) as cosine,
+ row_number() over (partition by query_id
+                    order by cosine desc, id) as rank
+from s
+qualify rank <= 5
+"""
+
+
+def q_embedding_pairs(spark, sf):
+    emb = _t(spark, sf, "embeddings").filter("vec_id < 150").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            _r6(DD.cosine_expr(F.col("va"), F.col("vb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+    )
+
+
+SQL_EMB_PAIRS = """
+with e as (select vec_id, embedding::DOUBLE[] v from embeddings
+           where vec_id < 150)
+select a.vec_id id_a, b.vec_id id_b,
+ round(list_cosine_similarity(a.v, b.v), 6) as cosine
+from e a, e b
+where a.vec_id < b.vec_id
+  and round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+"""
+
+
+def q_ann_topk_lsh(spark, sf):
+    # approximate method: no exact SQL twin -> rows-only check
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter("vec_id < 3")
+    return SIM.topk_lsh(
+        emb, queries, k=5, dim=64, num_tables=6, num_planes=6
+    ).select("query_id", "id", _r6(F.col("cosine")).alias("cosine"), "rank")
+
+
+def q_perplexity(spark, sf):
+    # pandas-UDF scorer (hash-trigram LM) -> rows-only check
+    docs = _t(spark, sf, "documents").filter("doc_id < 200")
+    return docs.select(
+        "doc_id", _r6(perplexity_udf("text")).alias("perplexity")
+    )
+
+
+# --------------------------------------------------------------------
+# multimodal
+# --------------------------------------------------------------------
+
+
+def q_multimodal_features(spark, sf):
+    from data_quality_checker_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_media_features,
+    )
+
+    docs = _t(spark, sf, "documents").filter("doc_id < 300")
+    media = attach_fake_media(docs, "doc_id", "text")
+    return extract_media_features(media).select(
+        "media_id", "kind", "byte_length", "sha256"
+    )
+
+
+SQL_MULTIMODAL = """
+select doc_id as media_id,
+ case when doc_id % 3 = 0 then 'image'
+      when doc_id % 3 = 1 then 'audio' else 'video' end as kind,
+ octet_length(encode(coalesce(text, ''))) as byte_length,
+ sha256(coalesce(text, '')) as sha256
+from documents where doc_id < 300
+"""
+
+
+# --------------------------------------------------------------------
+# contract functions
+# --------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full quality-filter verdict + langid + scrub digest
+    over the sf0.001 documents corpus (the text-only projection of the
+    pages pipeline — plans/pipeline.py adds dedup/metrics/lineage)."""
+    sf = "/root/testdata/sf0.001"
+    docs = _t(spark, sf, "documents")
+    scored = with_verdict(with_rule_flags(docs))
+    return scored.select(
+        "doc_id",
+        "keep",
+        F.size("fired_rules").alias("n_fired"),
+        X.langid_best("text").alias("lang_detected"),
+        F.md5(F.coalesce(scrub_expr("text"), F.lit(""))).alias("scrub_md5"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational
+        "pricing_summary": q_pricing_summary,
+        "top_parts": q_top_parts,
+        "fk_orphans": q_fk_orphans,
+        "order_line_histogram": q_order_line_histogram,
+        "join_integrity": q_join_integrity,
+        # data quality
+        "missing_values": q_missing_values,
+        "imbalance": q_imbalance,
+        "rare_categories": q_rare_categories,
+        "outliers_zscore": q_outliers_zscore,
+        "outliers_iqr": q_outliers_iqr,
+        "unique_value_columns": q_unique_value_columns,
+        "precision_violations": q_precision_violations,
+        "pattern_mismatch": q_pattern_mismatch,
+        "null_proportions_by_group": q_null_proportions_by_group,
+        "cross_column_violations": q_cross_column_violations,
+        "json_extract": q_json_extract,
+        # temporal
+        "ts_order_audit": q_ts_order_audit,
+        "missing_hours": q_missing_hours,
+        "rolling_forecast": q_rolling_forecast,
+        "spikes": q_spikes,
+        "anomalies_zscore": q_anomalies_zscore,
+        "serial_correlation": q_serial_correlation,
+        "weekend_effects": q_weekend_effects,
+        "monotonicity": q_monotonicity,
+        "sessionization": q_sessionization,
+        "ewma": q_ewma,
+        # stats
+        "skew_kurtosis": q_skew_kurtosis,
+        "correlation_pairs": q_correlation_pairs,
+        "data_spread": q_data_spread,
+        "psi": q_psi,
+        "mutual_information": q_mutual_information,
+        "cohens_d": q_cohens_d,
+        "confidence_interval": q_confidence_interval,
+        "conditional_probability": q_conditional_probability,
+        # text
+        "text_stats": q_text_stats,
+        "langid_counts": q_langid_counts,
+        "quality_verdict": q_quality_verdict,
+        "scrubbed_digest": q_scrubbed_digest,
+        "top_bigrams": q_top_bigrams,
+        "word_frequencies": q_word_frequencies,
+        "word_length_distribution": q_word_length_distribution,
+        "char_count_distribution": q_char_count_distribution,
+        "corpus_diversity": q_corpus_diversity,
+        "tfidf_top1": q_tfidf_top1,
+        "token_count_total": q_token_count_total,
+        "doc_fingerprint": q_doc_fingerprint,
+        # dedup
+        "dedup_subset": q_dedup_subset,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_neardups": q_minhash_neardups,
+        "simhash_neardups": q_simhash_neardups,
+        # similarity / embeddings
+        "ann_topk": q_ann_topk,
+        "embedding_pairs": q_embedding_pairs,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "perplexity": q_perplexity,
+        # multimodal
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": SQL_PRICING,
+        "top_parts": SQL_TOP_PARTS,
+        "fk_orphans": SQL_FK_ORPHANS,
+        "order_line_histogram": SQL_ORDER_LINE_HIST,
+        "join_integrity": SQL_JOIN_INTEGRITY,
+        "missing_values": _sql_missing_values(),
+        "imbalance": SQL_IMBALANCE,
+        "rare_categories": SQL_RARE,
+        "outliers_zscore": SQL_OUT_Z,
+        "outliers_iqr": SQL_OUT_IQR,
+        "unique_value_columns": SQL_UNIQUE_COLS,
+        "precision_violations": SQL_PRECISION,
+        "pattern_mismatch": SQL_PATTERN,
+        "null_proportions_by_group": SQL_NULL_BY_GROUP,
+        "cross_column_violations": SQL_CROSS_COL,
+        "json_extract": SQL_JSON,
+        "ts_order_audit": SQL_TS_AUDIT,
+        "missing_hours": SQL_MISSING_HOURS,
+        "rolling_forecast": SQL_ROLLING,
+        "spikes": SQL_SPIKES,
+        "anomalies_zscore": SQL_ANOM_Z,
+        "serial_correlation": SQL_ACF,
+        "weekend_effects": SQL_WEEKEND,
+        "monotonicity": SQL_MONO,
+        "sessionization": SQL_SESSIONS,
+        # ewma: recursive state, not SQL-expressible -> rows-only
+        "skew_kurtosis": SQL_SKEW,
+        "correlation_pairs": _sql_corr_pairs(),
+        "data_spread": SQL_SPREAD,
+        "psi": SQL_PSI,
+        "mutual_information": SQL_MI,
+        "cohens_d": SQL_COHENS,
+        "confidence_interval": SQL_CI,
+        "conditional_probability": SQL_COND_P,
+        "text_stats": _sql_text_stats(),
+        "langid_counts": _sql_langid_counts(),
+        "quality_verdict": _sql_quality_verdict(),
+        "scrubbed_digest": _sql_scrub(),
+        "top_bigrams": SQL_TOP_BIGRAMS,
+        "word_frequencies": SQL_WORD_FREQ,
+        "word_length_distribution": SQL_WORD_LEN,
+        "char_count_distribution": SQL_CHAR_DIST,
+        "corpus_diversity": SQL_CORPUS_DIV,
+        "tfidf_top1": SQL_TFIDF,
+        "token_count_total": SQL_TOKEN_COUNT,
+        "doc_fingerprint": SQL_FINGERPRINT,
+        "dedup_subset": SQL_DEDUP_SUBSET,
+        "minhash_signatures": SQL_MINHASH,
+        # minhash_neardups / simhash_neardups / ann_topk_lsh /
+        # perplexity: hash- or model-based, no exact SQL twin ->
+        # rows-only checks
+        "ann_topk": SQL_ANN,
+        "embedding_pairs": SQL_EMB_PAIRS,
+        "multimodal_features": SQL_MULTIMODAL,
+    }

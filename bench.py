@@ -1,0 +1,146 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and the pages
+pipeline over a deterministic synthetic corpus sized to the SF, then
+prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "pipeline_docs_per_sec": ..., "cpus": ...}
+
+Scaling-proxy runs (north rule: efficiency >= 0.8 from N to 4N):
+  SPARK_GRAFT_CPUS=8 python bench.py   vs   SPARK_GRAFT_CPUS=32 ...
+tools/scaling_bench.py automates the pair and writes BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from data_quality_checker_spark.session import get_spark
+from data_quality_checker_spark.plans import synth
+from data_quality_checker_spark.plans.pipeline import (
+    PipelineConfig,
+    score_pages,
+)
+
+HEADLINE = [
+    "pricing_summary",
+    "top_parts",
+    "order_line_histogram",
+    "missing_values",
+    "outliers_zscore",
+    "rolling_forecast",
+    "sessionization",
+    "serial_correlation",
+    "psi",
+    "text_stats",
+    "quality_verdict",
+    "scrubbed_digest",
+    "langid_counts",
+    "top_bigrams",
+    "tfidf_top1",
+    "minhash_neardups",
+    "simhash_neardups",
+    "ann_topk",
+    "multimodal_features",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[1])
+    except Exception:
+        return 0.1
+
+
+def _pages_parquet(spark, sf: float, cache_root: str = "/tmp/dqc_bench") -> tuple[str, int]:
+    """Deterministic synthetic corpus parquet sized to SF; generated
+    once per (sf, n) — distributed generation (no driver loop), written
+    pre-partitioned so every parallelism level can read in parallel;
+    generation cost never pollutes timing."""
+    n = max(10_000, int(8_000_000 * sf))
+    path = f"{cache_root}/pages_sf{sf}_n{n}"
+    marker = f"{path}/_SUCCESS"
+    if not os.path.exists(marker):
+        (
+            synth.pages_df_distributed(spark, n, seed=42)
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path, n
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+    # fixed task count at every parallelism level: AQE's
+    # parallelism-first coalescing otherwise produces ~1.1 waves
+    # (straggler-bound) and breaks cross-level comparability
+    spark = get_spark(
+        "dqc-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=256,
+        extra_conf={
+            "spark.sql.adaptive.coalescePartitions.enabled": "false"
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    # tiny warmup so JVM/codegen startup isn't billed to the first query
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    # pages pipeline throughput (the north-rule headline number):
+    # 1 warmup (codegen/JIT) + median of 3 measured runs — single-run
+    # numbers vary ~30% across JVMs
+    pages_path, n_pages = _pages_parquet(spark, sf)
+    pages = spark.read.parquet(pages_path)
+    cfg = PipelineConfig(num_buckets=64)  # fixed shape across levels
+    for _ in range(2):  # 2 warmups: C2 JIT on the big codegen methods
+        kept = score_pages(pages, cfg).filter("keep").count()
+    runs = []
+    for _ in range(5):
+        t0 = time.time()
+        kept = score_pages(pages, cfg).filter("keep").count()
+        runs.append(time.time() - t0)
+    pipeline_sec = sorted(runs)[2]
+    timings["pages_pipeline"] = round(pipeline_sec, 3)
+    docs_per_sec = round(n_pages / pipeline_sec, 1)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_pipeline_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "pipeline_docs_per_sec": docs_per_sec,
+                "pipeline_docs": n_pages,
+                "pipeline_kept": kept,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -406,3 +406,46 @@ def overlapping_categories(
             how="semi",
         )
     )
+
+
+def jarque_bera(df: DataFrame, column: str) -> dict:
+    """Normality test from distributive moments (replaces the
+    reference's sample-bound Shapiro/KS, stat_analyzer.py:375-403):
+    JB = n/6 * (skew^2 + kurtosis^2/4); chi2(2) p-value closed form
+    exp(-JB/2). Fully scalable — one aggregate, no sampling."""
+    n, sk, ku = df.agg(
+        F.count(column), F.skewness(column), F.kurtosis(column)
+    ).collect()[0]
+    jb = n / 6.0 * (sk**2 + ku**2 / 4.0)
+    return {"jb": jb, "p_value": math.exp(-jb / 2.0), "n": n}
+
+
+def bartlett_test(df: DataFrame, group: str, value: str) -> dict:
+    """Bartlett homoscedasticity test from per-group (n, var)
+    sufficient statistics (stat_analyzer.py:511-549). Levene's median
+    variant needs per-group medians -> percentile_approx + second pass;
+    Bartlett is the one-pass distributive choice."""
+    stats = {
+        r["g"]: (r["n"], r["v"])
+        for r in df.groupBy(F.col(group).alias("g"))
+        .agg(F.count(value).alias("n"), F.var_samp(value).alias("v"))
+        .collect()
+    }
+    k = len(stats)
+    n = sum(s[0] for s in stats.values())
+    sp2 = sum((ni - 1) * vi for ni, vi in stats.values()) / (n - k)
+    num = (n - k) * math.log(sp2) - sum(
+        (ni - 1) * math.log(vi) for ni, vi in stats.values()
+    )
+    den = 1 + (
+        sum(1 / (ni - 1) for ni, _ in stats.values()) - 1 / (n - k)
+    ) / (3 * (k - 1))
+    stat = num / den
+    p = float("nan")
+    try:
+        from scipy import stats as sps
+
+        p = float(sps.chi2.sf(stat, k - 1))
+    except ImportError:
+        pass
+    return {"statistic": stat, "dof": k - 1, "p_value": p}

@@ -394,3 +394,144 @@ def change_points(
     return df.groupBy(series_col).applyInPandas(
         _per_series, schema=f"series {series_type}, change_ts {ts_type}"
     )
+
+
+def autoregressive_forecast(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    series_col: str,
+    lags: int = 3,
+    steps: int = 5,
+) -> DataFrame:
+    """AR(lags) forecast per series (ts_analyzer.py:237-262 used
+    statsmodels AutoReg): least-squares fit + recursive forecast in
+    numpy inside applyInPandas — parallel across series keys.
+    Returns (series, step, forecast)."""
+    import numpy as np
+    import pandas as pd
+
+    def _fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(ts_col)
+        y = pdf[value_col].to_numpy(dtype=float)
+        if len(y) <= lags + 1:
+            return pd.DataFrame(
+                {"series": [], "step": [], "forecast": []}
+            ).astype({"step": "int32", "forecast": "float64"})
+        rows = np.stack(
+            [y[i : len(y) - lags + i] for i in range(lags)], axis=1
+        )
+        target = y[lags:]
+        a = np.hstack([np.ones((len(target), 1)), rows])
+        coef, *_ = np.linalg.lstsq(a, target, rcond=None)
+        hist = list(y[-lags:])
+        preds = []
+        for _ in range(steps):
+            nxt = coef[0] + float(np.dot(coef[1:], hist[-lags:]))
+            preds.append(nxt)
+            hist.append(nxt)
+        key = pdf[series_col].iloc[0]
+        return pd.DataFrame(
+            {
+                "series": [key] * steps,
+                "step": np.arange(1, steps + 1, dtype="int32"),
+                "forecast": preds,
+            }
+        )
+
+    series_type = {
+        f.name: f.dataType.simpleString() for f in df.schema.fields
+    }[series_col]
+    return df.groupBy(series_col).applyInPandas(
+        _fit, schema=f"series {series_type}, step int, forecast double"
+    )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    series_col: str,
+    period: int,
+) -> DataFrame:
+    """Additive decomposition per series (ts_analyzer.py:329-386,
+    458-474): centered-MA trend, mean-by-phase seasonal, residual —
+    numpy inside applyInPandas. Returns the input grain +
+    trend/seasonal/resid columns."""
+    import numpy as np
+    import pandas as pd
+
+    def _dec(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        y = pdf[value_col].to_numpy(dtype=float)
+        n = len(y)
+        trend = np.full(n, np.nan)
+        if n >= period:
+            kernel = np.ones(period) / period
+            conv = np.convolve(y, kernel, mode="valid")
+            start = (period - 1) // 2
+            trend[start : start + len(conv)] = conv
+        detr = y - trend
+        seasonal = np.zeros(n)
+        for phase in range(period):
+            vals = detr[phase::period]
+            vals = vals[~np.isnan(vals)]
+            if len(vals):
+                seasonal[phase::period] = vals.mean()
+        seasonal -= np.nanmean(seasonal)
+        out = pdf.copy()
+        out["trend"] = trend
+        out["seasonal"] = seasonal
+        out["resid"] = y - trend - seasonal
+        return out
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("trend", DoubleType()),
+            StructField("seasonal", DoubleType()),
+            StructField("resid", DoubleType()),
+        ]
+    )
+    return df.groupBy(series_col).applyInPandas(_dec, schema=out_schema)
+
+
+def fourier_top_frequencies(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    series_col: str,
+    top_k: int = 3,
+) -> DataFrame:
+    """Dominant FFT frequencies per series (ts_analyzer.py:180-211).
+    Returns (series, freq_idx, amplitude)."""
+    import numpy as np
+    import pandas as pd
+
+    def _fft(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(ts_col)
+        y = pdf[value_col].to_numpy(dtype=float)
+        if len(y) < 4:
+            return pd.DataFrame(
+                {"series": [], "freq_idx": [], "amplitude": []}
+            ).astype({"freq_idx": "int32", "amplitude": "float64"})
+        amp = np.abs(np.fft.rfft(y - y.mean()))
+        idx = np.argsort(-amp)[:top_k]
+        key = pdf[series_col].iloc[0]
+        return pd.DataFrame(
+            {
+                "series": [key] * len(idx),
+                "freq_idx": idx.astype("int32"),
+                "amplitude": amp[idx],
+            }
+        )
+
+    series_type = {
+        f.name: f.dataType.simpleString() for f in df.schema.fields
+    }[series_col]
+    return df.groupBy(series_col).applyInPandas(
+        _fft,
+        schema=f"series {series_type}, freq_idx int, amplitude double",
+    )

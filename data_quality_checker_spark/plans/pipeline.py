@@ -74,11 +74,9 @@ def score_pages(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
     if cfg.with_perplexity:
         out = out.withColumn("perplexity", perplexity_udf("text"))
     out = with_verdict(out, cfg.rules)
-    scrub_counts = scrub_count_exprs("text")
-    out = out.withColumns(
-        {f"scrub_{k}": v for k, v in scrub_counts.items()}
-    )
-    return out.withColumn("scrubbed_text", scrub_expr("text"))
+    from data_quality_checker_spark.plans.scrub import with_scrub
+
+    return with_scrub(out, "text")
 
 
 def partition_metrics(scored: DataFrame, run_id: str) -> DataFrame:

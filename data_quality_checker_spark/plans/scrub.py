@@ -52,9 +52,11 @@ def scrub_count_exprs(text_col: str = "text") -> dict[str, Column]:
     out: dict[str, Column] = {}
     c: Column = F.col(text_col)
     for name, pat, repl in SCRUB_PATTERNS:
-        out[name] = F.when(
-            c.isNull(), F.lit(0)
-        ).otherwise(F.size(F.regexp_extract_all(c, F.lit(f"({pat})"), 1)))
+        # regexp_count: same value as size(regexp_extract_all) without
+        # materializing the match array (allocation-free codegen scan)
+        out[name] = F.when(c.isNull(), F.lit(0)).otherwise(
+            F.regexp_count(c, F.lit(pat))
+        )
         c = F.regexp_replace(c, pat, repl)
     return out
 
@@ -66,3 +68,34 @@ def scrub_python(text: str | None) -> str | None:
     for _, pat, repl in SCRUB_PATTERNS:
         text = re.sub(pat, repl, text)
     return text
+
+
+def with_scrub(df, text_col: str = "text"):
+    """Staged scrub: each intermediate replacement is a materialized,
+    multi-referenced column (CollapseProject keeps it), so the chain
+    runs each regexp_replace exactly once and the per-kind counts read
+    the staged text instead of rebuilding the chain (3 fewer full-doc
+    regex passes than independent scrub_expr + scrub_count_exprs).
+    Adds scrub_<kind> counts + scrubbed_text."""
+    from pyspark.sql import functions as F
+
+    cur = F.col(text_col)
+    out = df
+    stage_names = []
+    for i, (name, pat, repl) in enumerate(SCRUB_PATTERNS):
+        out = out.withColumn(
+            f"scrub_{name}",
+            F.when(cur.isNull(), F.lit(0)).otherwise(
+                F.regexp_count(cur, F.lit(pat))
+            ),
+        )
+        stage = (
+            "scrubbed_text"
+            if i == len(SCRUB_PATTERNS) - 1
+            else f"_scrub{i}"
+        )
+        out = out.withColumn(stage, F.regexp_replace(cur, pat, repl))
+        if stage != "scrubbed_text":
+            stage_names.append(stage)
+        cur = F.col(stage)
+    return out.drop(*stage_names)

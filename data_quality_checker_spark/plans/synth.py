@@ -127,3 +127,94 @@ def pages_df(spark, n: int, seed: int = 42):
         for p in make_pages(n, seed)
     ]
     return spark.createDataFrame(rows, PAGE_SCHEMA)
+
+
+def pages_df_distributed(spark, n: int, seed: int = 42):
+    """Fully-distributed deterministic corpus generator for benchmarks:
+    spark.range(n) + hash-indexed literal word pools, zero driver-side
+    loops — the shape a 100 TB synthetic load test would use. Texts are
+    deterministic functions of (id, seed); violation classes are mixed
+    in at ~the make_pages rates via hash buckets. (Correctness tests
+    use make_pages, which has an exact Python oracle.)"""
+    from pyspark.sql import functions as F
+
+    stop_arr = F.array(*[F.lit(w) for w in _STOP])
+    content_arr = F.array(*[F.lit(w) for w in _CONTENT])
+    es_arr = F.array(*[F.lit(w) for w in STOPWORDS["es"]])
+
+    def pick(arr, size, salt):
+        # deterministic word pick per (id, position, seed)
+        return F.element_at(
+            arr,
+            (
+                F.pmod(
+                    F.xxhash64(F.col("id"), F.lit(salt), F.lit(seed)),
+                    F.lit(size),
+                )
+                + 1
+            ).cast("int"),
+        )
+
+    def words_expr(n_words, stop_every=4):
+        parts = []
+        for i in range(n_words):
+            if i % stop_every == 0:
+                parts.append(pick(stop_arr, len(_STOP), 1000 + i))
+            else:
+                parts.append(pick(content_arr, len(_CONTENT), 2000 + i))
+        return F.concat_ws(" ", *parts)
+
+    clean = words_expr(60)
+    short = words_expr(3)
+    foreign = F.concat_ws(
+        " ", *[pick(es_arr, len(STOPWORDS["es"]), 3000 + i) for i in range(40)]
+    )
+    nostop = F.concat_ws(
+        " ", *[pick(content_arr, len(_CONTENT), 4000 + i) for i in range(50)]
+    )
+    repeated = F.concat_ws(
+        " ",
+        *([pick(content_arr, len(_CONTENT), 5000)] * 60 + [F.lit("the and")]),
+    )
+    pii = F.concat(
+        words_expr(45),
+        F.lit(
+            " contact john.doe@example.com or +1 (555) 123-4567"
+            " from 192.168.1.77 today"
+        ),
+    )
+    toxic = F.concat(words_expr(45), F.lit(" " + TOXIC_WORDS[0]))
+
+    bucket = F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(100))
+    text = (
+        F.when(bucket < 55, clean)
+        .when(bucket < 63, foreign)
+        .when(bucket < 68, short)
+        .when(bucket < 75, F.concat(clean, F.lit(" @#$% *&^! ~~~ ||| @#$% *&^!")))
+        .when(bucket < 80, nostop)
+        .when(bucket < 85, repeated)
+        .when(bucket < 93, pii)
+        .when(bucket < 96, toxic)
+        .when(bucket < 98, F.lit(""))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    host = F.concat(
+        F.lit("host"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 1)), F.lit(50)),
+        F.lit(".example"),
+    )
+    return spark.range(n).select(
+        F.concat(F.lit("https://"), host, F.lit("/p"), F.col("id")).alias(
+            "url"
+        ),
+        (
+            F.lit(_BASE_TS)
+            + F.make_dt_interval(secs=F.col("id").cast("double"))
+        ).alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("<html><body>"), F.coalesce(text, F.lit("")), F.lit("</body></html>")),
+            "UTF-8",
+        ).alias("html"),
+        text.alias("text"),
+        F.lit("en").alias("lang"),
+    )

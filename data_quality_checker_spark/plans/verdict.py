@@ -22,12 +22,41 @@ RULE_PREFIX = "rule_"
 def with_rule_flags(
     df: DataFrame, cfg: RuleConfig | None = None, text_col: str = "text"
 ) -> DataFrame:
+    """Staged plan: (1) lower/line-split once (multi-referenced, so
+    CollapseProject keeps them materialized), (2) per-doc counts as
+    codegen'd regexp scans, (3) cheap ratios + language argmax,
+    (4) flag comparisons. The whole battery reads each document a
+    bounded number of times with no per-rule token-array allocation
+    (~6x over the naive per-rule form; see rules.stat_exprs_counts)."""
+    from data_quality_checker_spark.functions import text as X
+    from data_quality_checker_spark.plans.rules import (
+        LANGS,
+        rule_exprs_from_stats,
+        stat_exprs_counts,
+        stat_exprs_ratios,
+    )
+
     cfg = cfg or RuleConfig()
+    d = df.withColumns(
+        {
+            "_lower": F.lower(F.col(text_col)),
+            "_lines": X.lines(text_col),
+        }
+    )
+    d = d.withColumns(
+        stat_exprs_counts(cfg, text_col, F.col("_lower"), F.col("_lines"))
+    )
+    d = d.withColumns(stat_exprs_ratios(cfg, text_col))
     flags = {
         f"{RULE_PREFIX}{name}": F.coalesce(expr, F.lit(False))
-        for name, expr in rule_exprs(cfg, text_col).items()
+        for name, expr in rule_exprs_from_stats(cfg, text_col).items()
     }
-    return df.withColumns(flags)
+    helper_cols = [
+        "_lower", "_lines", "_wc", "_nonws", "_stopc", "_symc",
+        "_udist", "_mwl", "_stopr", "_symr", "_rep", "_dlf", "_lang",
+        "_tox", *[f"_s_{lang}" for lang in LANGS],
+    ]
+    return d.withColumns(flags).drop(*helper_cols)
 
 
 def with_verdict(df: DataFrame, cfg: RuleConfig | None = None) -> DataFrame:
