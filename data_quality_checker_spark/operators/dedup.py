@@ -33,6 +33,7 @@ __all__ = [
     "exact_duplicates",
     "exact_duplicate_groups",
     "near_duplicates_minhash",
+    "simhash64_agg",
     "near_duplicates_simhash",
     "ngram_jaccard_pairs",
     "cosine_expr",
@@ -80,20 +81,37 @@ def near_duplicates_minhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     k_shingle: int = 3,
-    num_hashes: int = 16,
+    num_hashes: int = 32,
     num_bands: int = 8,
     threshold: float = 0.7,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a, id_b, jaccard >= threshold).
 
+    Default banding 8x4 (32 hashes): candidate probability j^4 per
+    band keeps false candidates rare even on low-diversity corpora
+    (recall at j=0.8 is 1-(1-0.41)^8 ~= 0.985), where 2-row bands
+    admit j^2 collisions and flood the verify join.
+
     Plan shape: one projection (shingles+signature+band keys) -> explode
     bands -> self equi-join on band key -> distinct candidate pairs ->
     join shingle arrays back -> exact Jaccard filter. Candidates scale
     with collisions, never with n^2."""
+    from data_quality_checker_spark.functions.text import tokens, word_ngrams
+
     rows_per_band = num_hashes // num_bands
-    base = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("id"), shingles(text_col, k_shingle).alias("sh")
-    ).filter(F.size("sh") > 0)
+    # tokens materialized in their own projection: word_ngrams slices
+    # per index, so an inlined tokenize would re-run per n-gram
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), tokens(text_col).alias("_tk"))
+        .select(
+            "id",
+            F.array_distinct(
+                word_ngrams(F.col("_tk"), k_shingle)
+            ).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+    )
     # Signature via explode + min-aggregation rather than nested
     # array_min(transform(...)) expressions: Catalyst's CollapseProject
     # re-inlines the (expensive) shingle subtree into every lambda site,
@@ -153,6 +171,40 @@ def near_duplicates_minhash(
     return verified
 
 
+def simhash64_agg(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sh) SimHash via explode + 64 codegen'd bit-sum aggregates.
+
+    The pure-expression simhash64 runs interpreted zip_with/aggregate
+    lambdas (64 adds per token, no codegen); this form hashes each
+    token once and lets a hash aggregate do the bit voting — ~5x
+    faster and it map-side combines, so the shuffle carries one row
+    per doc."""
+    from data_quality_checker_spark.functions.text import tokens
+
+    tok = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
+    )
+    hashed = tok.select("id", F.xxhash64("t").alias("h"))
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                (F.getbit(F.col("h"), F.lit(i)) * 2 - 1).cast("long")
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    pow2 = [1 << i for i in range(63)] + [-(1 << 63)]
+    packed = None
+    for i in range(64):
+        term = F.when(
+            F.col(f"b{i}") > 0, F.lit(pow2[i]).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    return votes.select("id", packed.alias("sh"))
+
+
 def near_duplicates_simhash(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -164,9 +216,7 @@ def near_duplicates_simhash(
     Blocking: any pair within hamming 3 of 64 bits shares at least one
     of the four 16-bit chunks (pigeonhole), so candidates come from
     four equi-joins on (chunk_idx, chunk_value)."""
-    base = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("id"), simhash64(text_col).alias("sh")
-    ).filter(F.col("sh").isNotNull())
+    base = simhash64_agg(df, id_col, text_col)
     chunks = base.select(
         "id",
         "sh",

@@ -39,10 +39,15 @@ def top_ngrams(
     df: DataFrame, text_col: str = "text", n: int = 2, top_k: int = 20
 ) -> DataFrame:
     """Top-k n-grams corpus-wide (nlp_analyzer.py:175-196). limit after
-    orderBy compiles to TakeOrderedAndProject — no global sort."""
+    orderBy compiles to TakeOrderedAndProject — no global sort.
+
+    Tokens are materialized in their own projection: word_ngrams slices
+    the token array once per n-gram index, and inlining the tokenize
+    expression there re-tokenizes per index (O(words^2))."""
     return (
         df.filter(F.col(text_col).isNotNull())
-        .select(F.explode(word_ngrams(tokens(text_col), n)).alias("ngram"))
+        .select(tokens(text_col).alias("_tk"))
+        .select(F.explode(word_ngrams(F.col("_tk"), n)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "ngram")

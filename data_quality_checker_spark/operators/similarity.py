@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from data_quality_checker_spark.operators.dedup import cosine_expr, sign_lsh_key
 
-__all__ = ["topk_bruteforce", "topk_lsh"]
+__all__ = ["topk_bruteforce", "topk_lsh", "topk_ivf"]
 
 
 def topk_bruteforce(
@@ -110,4 +110,93 @@ def topk_lsh(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    n_probe: int = 4,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans coarse quantizer
+    fit on a corpus sample, corpus assigned to its nearest centroid
+    once (reusable — persist/write the assignment at scale), each query
+    probes only its n_probe nearest centroid cells. Exact cosine + top-k
+    inside the probed cells.
+
+    Scale shape: the fit touches a sample; assignment is one map pass;
+    search reads ~n_probe/num_centroids of the corpus per query batch.
+    Recall rises with n_probe (n_probe == num_centroids -> exact)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+            "features"
+        )
+    )
+    if sample_fraction < 1.0:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    km = KMeans(k=num_centroids, seed=seed, maxIter=10).fit(train)
+    centroids = [
+        (int(i), [float(x) for x in c])
+        for i, c in enumerate(km.clusterCenters())
+    ]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        centroids, "cell int, centroid array<double>"
+    )
+
+    def _cells(df: DataFrame, ident: str, vec: str, probes: int) -> DataFrame:
+        """n-probe nearest centroid cells per vector via a broadcast
+        cross join + rank (centroid count is tiny by construction)."""
+        scored = df.select(
+            F.col(ident).alias("_id"), F.col(vec).alias("_v")
+        ).crossJoin(F.broadcast(cent_df))
+        dist = F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("_v").cast("array<double>"),
+                    F.col("centroid"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        w = Window.partitionBy("_id").orderBy(dist.asc(), F.col("cell"))
+        return (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= probes)
+            .select("_id", "_v", "cell")
+        )
+
+    corpus_cells = _cells(corpus, id_col, vec_col, 1).withColumnsRenamed(
+        {"_id": "id", "_v": "cv"}
+    )
+    query_cells = _cells(queries, id_col, vec_col, n_probe).withColumnsRenamed(
+        {"_id": "query_id", "_v": "qv"}
+    )
+    cands = corpus_cells.join(
+        F.broadcast(query_cells), "cell"
+    ).filter(F.col("id") != F.col("query_id"))
+    scored = cands.select(
+        "query_id",
+        "id",
+        cosine_expr(
+            F.col("qv").cast("array<double>"),
+            F.col("cv").cast("array<double>"),
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )

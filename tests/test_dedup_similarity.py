@@ -189,3 +189,29 @@ def test_multimodal_features_and_frames(spark, docs):
     # deterministic: same payload -> same frame digests
     again = M.sample_video_frames(media).collect()
     assert sorted(map(tuple, frames)) == sorted(map(tuple, again))
+
+
+def test_topk_ivf(vectors):
+    queries = vectors.filter("vec_id = 0")
+    exact = [
+        r["id"]
+        for r in SIM.topk_bruteforce(vectors, queries, k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    got = (
+        SIM.topk_ivf(
+            vectors, queries, k=3, num_centroids=4, n_probe=4
+        )  # n_probe == num_centroids -> exhaustive -> exact
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["id"] for r in got] == exact
+    # fewer probes: still finds the planted near-dups (same cell as q)
+    near = {
+        r["id"]
+        for r in SIM.topk_ivf(
+            vectors, queries, k=3, num_centroids=4, n_probe=1
+        ).collect()
+    }
+    assert {100, 101, 102} & near
