@@ -531,3 +531,27 @@ def report(df: DataFrame) -> dict:
         "duplicate_row_count": dup_count,
         "zscore_outlier_row_count": outlier_count,
     }
+
+
+def validate_schema(df: DataFrame, schema_json: dict) -> dict:
+    """Declarative schema check (dq_checker.py:432-454 +
+    check_data_completeness dq_checker.py:712-725): required columns
+    missing from the frame, unexpected extras, and dtype mismatches —
+    driver-side against df.schema, no job launched."""
+    want = {
+        c["name"]: c.get("type") for c in schema_json.get("columns", [])
+    }
+    have = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    missing = sorted(set(want) - set(have))
+    extra = sorted(set(have) - set(want))
+    mismatched = sorted(
+        name
+        for name, typ in want.items()
+        if typ is not None and name in have and have[name] != typ
+    )
+    return {
+        "missing_columns": missing,
+        "unexpected_columns": extra,
+        "type_mismatches": mismatched,
+        "valid": not missing and not mismatched,
+    }

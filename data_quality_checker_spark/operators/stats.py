@@ -449,3 +449,49 @@ def bartlett_test(df: DataFrame, group: str, value: str) -> dict:
     except ImportError:
         pass
     return {"statistic": stat, "dof": k - 1, "p_value": p}
+
+
+def detect_multimodal(
+    df: DataFrame, column: str, bins: int = 30, min_prominence: float = 0.15
+) -> dict:
+    """Histogram peak detection (stat_analyzer.py:405-435 used
+    scipy.signal.find_peaks): distributed fixed-range histogram +
+    driver-side local-maximum scan with a relative-prominence floor.
+    Returns {"n_peaks", "peak_buckets"}."""
+    lo, hi = df.agg(F.min(column), F.max(column)).collect()[0]
+    if lo is None or hi is None or lo == hi:
+        return {"n_peaks": 0, "peak_buckets": []}
+    counts = {
+        r["bucket"]: r["n"]
+        for r in histogram(df, column, bins, float(lo), float(hi)).collect()
+    }
+    raw = [counts.get(b, 0) for b in range(bins)]
+    # light smoothing: histogram sampling noise creates spurious maxima
+    series = [
+        (raw[max(0, b - 1)] + raw[b] + raw[min(bins - 1, b + 1)]) / 3.0
+        for b in range(bins)
+    ]
+    top = max(series) or 1.0
+    candidates = [
+        b
+        for b in range(1, bins - 1)
+        if series[b] > series[b - 1]
+        and series[b] >= series[b + 1]
+        and series[b] >= min_prominence * top
+    ]
+    # valley separation: a candidate is a distinct mode only if the
+    # histogram dips below half its height between it and every
+    # already-accepted (taller) peak
+    accepted: list[int] = []
+    for b in sorted(candidates, key=lambda x: -series[x]):
+        ok = True
+        for a in accepted:
+            lo_i, hi_i = sorted((a, b))
+            valley = min(series[lo_i : hi_i + 1])
+            if valley > 0.5 * min(series[a], series[b]):
+                ok = False
+                break
+        if ok:
+            accepted.append(b)
+    accepted.sort()
+    return {"n_peaks": len(accepted), "peak_buckets": accepted}

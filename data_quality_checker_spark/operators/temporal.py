@@ -12,6 +12,8 @@ series, the parallelism is across keys."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -534,4 +536,99 @@ def fourier_top_frequencies(
     return df.groupBy(series_col).applyInPandas(
         _fft,
         schema=f"series {series_type}, freq_idx int, amplitude double",
+    )
+
+
+def holt_winters_forecast(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    series_col: str,
+    period: int,
+    steps: int = 5,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+) -> DataFrame:
+    """Additive Holt-Winters forecast per series
+    (ts_analyzer.py:560-602 used statsmodels ExponentialSmoothing;
+    this is the dependency-free additive triple-smoothing recursion in
+    numpy inside applyInPandas). Returns (series, step, forecast)."""
+    import numpy as np
+    import pandas as pd
+
+    def _hw(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(ts_col)
+        y = pdf[value_col].to_numpy(dtype=float)
+        key = pdf[series_col].iloc[0]
+        if len(y) < 2 * period:
+            return pd.DataFrame(
+                {"series": [], "step": [], "forecast": []}
+            ).astype({"step": "int32", "forecast": "float64"})
+        level = y[:period].mean()
+        trend = (y[period : 2 * period].mean() - y[:period].mean()) / period
+        season = list(y[:period] - level)
+        for i in range(len(y)):
+            s = season[i % period]
+            new_level = alpha * (y[i] - s) + (1 - alpha) * (level + trend)
+            trend = beta * (new_level - level) + (1 - beta) * trend
+            season[i % period] = gamma * (y[i] - new_level) + (1 - gamma) * s
+            level = new_level
+        preds = [
+            level + (h + 1) * trend + season[(len(y) + h) % period]
+            for h in range(steps)
+        ]
+        return pd.DataFrame(
+            {
+                "series": [key] * steps,
+                "step": np.arange(1, steps + 1, dtype="int32"),
+                "forecast": preds,
+            }
+        )
+
+    series_type = {
+        f.name: f.dataType.simpleString() for f in df.schema.fields
+    }[series_col]
+    return df.groupBy(series_col).applyInPandas(
+        _hw, schema=f"series {series_type}, step int, forecast double"
+    )
+
+
+def dickey_fuller_stat(
+    df: DataFrame, value_col: str, ts_col: str, series_col: str
+) -> DataFrame:
+    """Simplified (no-lag) Dickey-Fuller t-statistic per series
+    (ts_analyzer.py:388-438 used statsmodels adfuller): regress
+    delta_y on y_{t-1} + intercept; t << -2.9 suggests stationarity.
+    Statistic only — p-values need the DF distribution tables.
+    Returns (series, df_stat, n)."""
+    import numpy as np
+    import pandas as pd
+
+    def _adf(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(ts_col)
+        y = pdf[value_col].to_numpy(dtype=float)
+        key = pdf[series_col].iloc[0]
+        if len(y) < 10:
+            return pd.DataFrame({"series": [], "df_stat": [], "n": []}).astype(
+                {"df_stat": "float64", "n": "int64"}
+            )
+        dy = np.diff(y)
+        ylag = y[:-1]
+        a = np.stack([np.ones_like(ylag), ylag], axis=1)
+        coef, res, *_ = np.linalg.lstsq(a, dy, rcond=None)
+        resid = dy - a @ coef
+        dof = len(dy) - 2
+        s2 = float(resid @ resid) / dof
+        cov = s2 * np.linalg.inv(a.T @ a)
+        t = coef[1] / math.sqrt(cov[1, 1]) if cov[1, 1] > 0 else float("nan")
+        return pd.DataFrame(
+            {"series": [key], "df_stat": [float(t)], "n": [len(y)]}
+        )
+
+    series_type = {
+        f.name: f.dataType.simpleString() for f in df.schema.fields
+    }[series_col]
+    return df.groupBy(series_col).applyInPandas(
+        _adf, schema=f"series {series_type}, df_stat double, n long"
     )

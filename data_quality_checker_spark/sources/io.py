@@ -60,3 +60,30 @@ def write_partitioned(
         .mode("overwrite")
         .parquet(path)
     )
+
+
+def write_table(df: DataFrame, identifier: str, path: str | None = None) -> None:
+    """Production sink: Iceberg `writeTo(...).createOrReplace()` when
+    the runtime has the Iceberg catalog (session.ICEBERG_ENABLED),
+    parquet at `path` otherwise — same idempotent-overwrite semantics
+    either way."""
+    from data_quality_checker_spark.session import ICEBERG_ENABLED
+
+    if ICEBERG_ENABLED:  # pragma: no cover - no Iceberg jars in sandbox
+        df.writeTo(f"dqc.{identifier}").createOrReplace()
+    else:
+        if path is None:
+            raise ValueError("path required for the parquet fallback")
+        df.write.mode("overwrite").parquet(path)
+
+
+def read_table_by_name(
+    spark: SparkSession, identifier: str, path: str | None = None
+) -> DataFrame:
+    from data_quality_checker_spark.session import ICEBERG_ENABLED
+
+    if ICEBERG_ENABLED:  # pragma: no cover
+        return spark.read.table(f"dqc.{identifier}")
+    if path is None:
+        raise ValueError("path required for the parquet fallback")
+    return spark.read.parquet(path)

@@ -1,0 +1,82 @@
+"""spark-submit entry point for the web-text quality pipeline.
+
+    spark-submit --py-files dqc.zip scripts/run_pipeline.py \
+        --input /path/pages_parquet --output /path/out \
+        --buckets 4096 --run-id nightly-42 [--synth N]
+
+Resumable: re-running with the same --output anti-joins the lineage
+table and processes only incomplete partitions (plans/pipeline.py).
+Packaging: `python scripts/package.py` zips the library for
+--py-files."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", help="pages parquet/Iceberg path")
+    p.add_argument("--output", required=True, help="output root")
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--run-id", default="run-0")
+    p.add_argument(
+        "--synth",
+        type=int,
+        default=0,
+        help="generate N synthetic pages instead of reading --input",
+    )
+    p.add_argument(
+        "--langid",
+        choices=["sql", "udf"],
+        default="sql",
+        help="heuristic Catalyst langid vs pandas-UDF (fastText-ready)",
+    )
+    args = p.parse_args()
+
+    from data_quality_checker_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+    from data_quality_checker_spark.plans.rules import RuleConfig
+    from data_quality_checker_spark.session import get_spark
+
+    # no master override: spark-submit supplies cluster config
+    from pyspark.sql import SparkSession
+
+    builder = SparkSession.builder.appName("dqc-webtext-pipeline")
+    spark = builder.getOrCreate() if os.environ.get(
+        "SPARK_ENV_LOADED"
+    ) else get_spark("dqc-webtext-pipeline")
+
+    if args.synth:
+        from data_quality_checker_spark.plans.synth import (
+            pages_df_distributed,
+        )
+
+        pages = pages_df_distributed(spark, args.synth, seed=42)
+    else:
+        if not args.input:
+            p.error("--input required unless --synth is given")
+        pages = spark.read.parquet(args.input)
+
+    cfg = PipelineConfig(
+        rules=RuleConfig(),
+        num_buckets=args.buckets,
+        langid_impl=args.langid,
+    )
+    result = run_pipeline(
+        spark, pages, args.output, cfg, run_id=args.run_id
+    )
+    print(
+        f"processed={len(result['processed_partitions'])} "
+        f"skipped={result['skipped']} output={args.output}"
+    )
+
+
+if __name__ == "__main__":
+    main()

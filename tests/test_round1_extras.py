@@ -1,0 +1,114 @@
+"""Tests: Holt-Winters, Dickey-Fuller, multimodal detection, schema
+validation, Iceberg-gated IO fallback."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+import pytest
+
+from data_quality_checker_spark.operators import quality as Q
+from data_quality_checker_spark.operators import stats as S
+from data_quality_checker_spark.operators import temporal as T
+from data_quality_checker_spark.sources import io as IO
+
+
+def test_holt_winters_tracks_seasonal_series(spark):
+    base = dt.datetime(2024, 1, 1)
+    period = 4
+    rows = [
+        (
+            base + dt.timedelta(hours=i),
+            100.0 + 0.5 * i + [8.0, 0.0, -5.0, -3.0][i % period],
+            "s",
+        )
+        for i in range(48)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double, k string")
+    fc = {
+        r["step"]: r["forecast"]
+        for r in T.holt_winters_forecast(
+            df, "v", "ts", "k", period=period, steps=4
+        ).collect()
+    }
+    truth = {
+        h: 100.0 + 0.5 * (48 + h - 1) + [8.0, 0.0, -5.0, -3.0][(48 + h - 1) % period]
+        for h in (1, 2, 3, 4)
+    }
+    for h in (1, 2, 3, 4):
+        assert abs(fc[h] - truth[h]) < 3.0, (h, fc[h], truth[h])
+    # seasonal ordering preserved in the forecast
+    assert fc[1] - fc[2] > 4  # phase 0 is the high season
+
+
+def test_dickey_fuller_stationary_vs_random_walk(spark):
+    rng = np.random.RandomState(3)
+    base = dt.datetime(2024, 1, 1)
+    stationary = rng.normal(0, 1, 300)
+    walk = np.cumsum(rng.normal(0, 1, 300))
+    rows = [
+        (base + dt.timedelta(hours=i), float(stationary[i]), "stat")
+        for i in range(300)
+    ] + [
+        (base + dt.timedelta(hours=i), float(walk[i]), "walk")
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double, k string")
+    stats = {
+        r["series"]: r["df_stat"]
+        for r in T.dickey_fuller_stat(df, "v", "ts", "k").collect()
+    }
+    assert stats["stat"] < -5  # strongly stationary
+    # walk hovers near the unit-root region; the separation is the signal
+    assert stats["walk"] > -3.5
+    assert stats["stat"] < stats["walk"] - 3
+
+
+def test_detect_multimodal(spark):
+    rng = np.random.RandomState(4)
+    bimodal = np.concatenate(
+        [rng.normal(0, 0.5, 800), rng.normal(10, 0.5, 800)]
+    )
+    uni = rng.normal(5, 1, 1600)
+    dfb = spark.createDataFrame([(float(x),) for x in bimodal], "x double")
+    dfu = spark.createDataFrame([(float(x),) for x in uni], "x double")
+    assert S.detect_multimodal(dfb, "x")["n_peaks"] == 2
+    assert S.detect_multimodal(dfu, "x")["n_peaks"] == 1
+
+
+def test_validate_schema(spark):
+    df = spark.createDataFrame([(1, "a")], "id bigint, name string")
+    ok = Q.validate_schema(
+        df,
+        {
+            "columns": [
+                {"name": "id", "type": "bigint"},
+                {"name": "name", "type": "string"},
+            ]
+        },
+    )
+    assert ok["valid"] and not ok["unexpected_columns"]
+    bad = Q.validate_schema(
+        df,
+        {
+            "columns": [
+                {"name": "id", "type": "int"},
+                {"name": "missing_col"},
+            ]
+        },
+    )
+    assert bad["missing_columns"] == ["missing_col"]
+    assert bad["type_mismatches"] == ["id"]
+    assert bad["unexpected_columns"] == ["name"]
+    assert not bad["valid"]
+
+
+def test_write_table_parquet_fallback(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("iox")) + "/t1"
+    df = spark.createDataFrame([(1,), (2,)], "x long")
+    IO.write_table(df, "t1", path=d)
+    assert IO.read_table_by_name(spark, "t1", path=d).count() == 2
+    with pytest.raises(ValueError):
+        IO.write_table(df, "t1")
