@@ -251,6 +251,64 @@ group by n_name
 """
 
 
+def q_forecast_revenue(spark, sf):
+    """TPC-H Q6 shape: tight filter -> single agg; every predicate
+    pushes to the parquet scan."""
+    li = _t(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        _r6(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+            "revenue"
+        )
+    )
+
+
+SQL_Q6 = """
+select round(sum(l_extendedprice * l_discount), 6) as revenue
+from lineitem
+where l_shipdate >= timestamp '1996-01-01'
+  and l_shipdate < timestamp '1997-01-01'
+  and l_discount between 0.03 and 0.07
+  and l_quantity < 24
+"""
+
+
+def q_returned_items(spark, sf):
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            _r6(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+SQL_Q10 = """
+select c_custkey, c_name,
+ round(sum(l_extendedprice * (1 - l_discount)), 6) as revenue
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on c_custkey = o_custkey
+where l_returnflag = 'R'
+group by c_custkey, c_name
+order by revenue desc, c_custkey limit 20
+"""
+
+
 # --------------------------------------------------------------------
 # data-quality checks
 # --------------------------------------------------------------------
@@ -1192,6 +1250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_integrity": q_join_integrity,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
+        "forecast_revenue": q_forecast_revenue,
+        "returned_items": q_returned_items,
         # data quality
         "missing_values": q_missing_values,
         "imbalance": q_imbalance,
@@ -1261,6 +1321,8 @@ def oracle_sql() -> dict[str, str]:
         "join_integrity": SQL_JOIN_INTEGRITY,
         "shipping_priority": SQL_Q3,
         "local_supplier_volume": SQL_Q5,
+        "forecast_revenue": SQL_Q6,
+        "returned_items": SQL_Q10,
         "missing_values": _sql_missing_values(),
         "imbalance": SQL_IMBALANCE,
         "rare_categories": SQL_RARE,

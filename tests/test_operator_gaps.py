@@ -1,0 +1,139 @@
+"""Coverage for operators not yet exercised elsewhere: sampling bias,
+overlapping categories/intervals, mojibake, low variance, seasonal
+strength, category interaction, redundant tokens, language distribution,
+plus physical-plan assertions (predicate pushdown reaches the scan)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_checker_spark.operators import nlp as N
+from data_quality_checker_spark.operators import quality as Q
+from data_quality_checker_spark.operators import stats as S
+from data_quality_checker_spark.operators import temporal as T
+
+
+def test_sampling_bias(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 70 + [("b",)] * 30, "cat string"
+    )
+    biased = Q.sampling_bias(
+        df, "cat", {"a": 0.5, "b": 0.5}, tol=0.05
+    ).collect()
+    assert {r["value"] for r in biased} == {"a", "b"}
+    ok = Q.sampling_bias(df, "cat", {"a": 0.7, "b": 0.3}, tol=0.05)
+    assert ok.count() == 0
+
+
+def test_overlapping_categories(spark):
+    df = spark.createDataFrame(
+        [("x", "y"), ("y", "z"), ("w", "q")], "c1 string, c2 string"
+    )
+    got = {r["value"] for r in S.overlapping_categories(df, "c1", "c2").collect()}
+    assert got == {"y"}
+
+
+def test_overlapping_intervals(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base, base + dt.timedelta(hours=2)),          # overlaps next
+        (base + dt.timedelta(hours=1), base + dt.timedelta(hours=3)),
+        (base + dt.timedelta(hours=5), base + dt.timedelta(hours=6)),
+    ]
+    df = spark.createDataFrame(rows, "start timestamp, end timestamp")
+    bad = T.overlapping_intervals(df, "start", "end").collect()
+    assert len(bad) == 1 and bad[0]["start"] == base
+
+
+def test_mojibake_rows(spark):
+    df = spark.createDataFrame(
+        [("clean text",), ("bad � char",), ("weird Ã© artifact",)],
+        "t string",
+    )
+    assert Q.mojibake_rows(df, "t").count() == 2
+
+
+def test_low_variance_features(spark):
+    df = spark.createDataFrame(
+        [(1.0, 100.0), (1.0001, 200.0), (0.9999, 300.0)], "a double, b double"
+    )
+    rows = S.low_variance_features(df, 0.01).collect()
+    assert [r["column"] for r in rows] == ["a"]
+
+
+def test_seasonal_strength(spark):
+    """The reference metric (ts_analyzer.py:130-155) is
+    1 - var(y - centered_MA)/var(y): the variance the smooth component
+    explains. High for trend-dominated series, ~0 when all variance
+    sits inside the window (pure short-period oscillation)."""
+    base = dt.datetime(2024, 1, 1)
+    trending = [
+        (base + dt.timedelta(hours=i), 1.0 * i + (0.2 if i % 2 else -0.2))
+        for i in range(40)
+    ]
+    oscillating = [
+        (base + dt.timedelta(hours=i), 10.0 + (5.0 if i % 4 == 0 else -1.0))
+        for i in range(40)
+    ]
+    s_trend = T.seasonal_strength(
+        spark.createDataFrame(trending, "ts timestamp, v double"),
+        "v", "ts", period=4,
+    ).collect()[0]["seasonal_strength"]
+    s_osc = T.seasonal_strength(
+        spark.createDataFrame(oscillating, "ts timestamp, v double"),
+        "v", "ts", period=4,
+    ).collect()[0]["seasonal_strength"]
+    assert s_trend > 0.95
+    assert s_osc < 0.2
+
+
+def test_category_feature_interaction(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0)], "g string, v double"
+    )
+    rows = {
+        r["category"]: r
+        for r in N.category_feature_interaction(df, "g", "v").collect()
+    }
+    assert rows["a"]["mean"] == 2.0 and rows["a"]["median"] == 2.0
+    assert rows["b"]["n"] == 1
+
+
+def test_redundant_tokens_and_language_distribution(spark):
+    df = spark.createDataFrame(
+        [(0, "spark spark spark rare", "en"), (1, "spark is here", "es")],
+        "doc_id long, text string, lang string",
+    )
+    red = {r["token"] for r in N.redundant_tokens(df, min_count=4).collect()}
+    assert red == {"spark"}
+    langs = [
+        (r["lang"], r["n"])
+        for r in N.language_distribution(df).collect()
+    ]
+    assert sorted(langs) == [("en", 1), ("es", 1)]
+
+
+def test_predicate_pushdown_reaches_parquet_scan(spark, tmp_path_factory):
+    """The Q1-style date filter must appear in PushedFilters and the
+    scan must prune to the referenced columns (SURVEY.md §4.2)."""
+    d = str(tmp_path_factory.mktemp("pq"))
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").write.parquet(
+        d, mode="overwrite"
+    )
+    li = spark.read.parquet(d)
+    q = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert scan_lines and "l_shipdate" in scan_lines[0]
+    read_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_lines
+    # only the 3 referenced columns are read, not all 11
+    assert "l_extendedprice" not in read_lines[0]
+    assert "l_returnflag" in read_lines[0]
