@@ -168,3 +168,78 @@ def run_pipeline(
     ).withColumn("completed_ts", F.current_timestamp())
     lineage.write.mode("append").parquet(lineage_path)
     return {"processed_partitions": todo, "skipped": len(done)}
+
+
+def host_metrics_salted(
+    scored: DataFrame, salt_buckets: int = 16
+) -> DataFrame:
+    """Per-host keep-rate metrics via two-stage salted aggregation
+    (north rule: pathological hosts own large url shares — Zipf — so a
+    plain groupBy(host) puts one host's entire corpus in one reduce
+    task). Stage 1 aggregates on host#salt (spreads a hot host over
+    salt_buckets tasks, map-side combine does most of the work);
+    stage 2 merges the per-salt partials — its input is at most
+    hosts x salt_buckets tiny rows. Returns
+    (host, rows_scanned, rows_kept, keep_rate)."""
+    from data_quality_checker_spark.sources.io import salted_key
+
+    host = F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)", 1)
+    stage1 = (
+        scored.withColumn(
+            "_hs", salted_key(host, F.col("url"), salt_buckets)
+        )
+        .groupBy("_hs")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("k"),
+        )
+    )
+    return (
+        stage1.withColumn(
+            "host", F.substring_index(F.col("_hs"), "#", 1)
+        )
+        .groupBy("host")
+        .agg(
+            F.sum("n").alias("rows_scanned"),
+            F.sum("k").alias("rows_kept"),
+            (F.sum("k") / F.sum("n")).alias("keep_rate"),
+        )
+    )
+
+
+def rule_drift_report(
+    metrics_old: DataFrame, metrics_new: DataFrame
+) -> DataFrame:
+    """Run-over-run drift of per-rule drop rates (SURVEY.md §7 item 6,
+    generalizing compute_population_stability_index
+    stat_analyzer.py:467-509 to pipeline monitoring): one row per rule
+    with old/new drop rates and the absolute delta. Inputs are
+    partition_metrics outputs (possibly different runs)."""
+    def rates(m: DataFrame, tag: str) -> DataFrame:
+        aggs = [F.sum("rows_scanned").alias("n")] + [
+            F.sum(f"drop_{r}").alias(f"drop_{r}") for r in RULE_NAMES
+        ]
+        total = m.agg(*aggs)
+        return total.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("rule"),
+                            (
+                                F.col(f"drop_{r}") / F.col("n")
+                            ).alias(f"rate_{tag}"),
+                        )
+                        for r in RULE_NAMES
+                    ]
+                )
+            ).alias("s")
+        ).select("s.*")
+
+    return (
+        rates(metrics_old, "old")
+        .join(rates(metrics_new, "new"), "rule")
+        .withColumn(
+            "abs_delta", F.abs(F.col("rate_new") - F.col("rate_old"))
+        )
+    )

@@ -181,3 +181,51 @@ def test_rule_names_static_tuple_in_sync(spark):
     )
 
     assert tuple(rule_exprs(RuleConfig()).keys()) == RULE_NAMES
+
+
+def test_host_metrics_salted_equals_direct(spark, pages, scored):
+    from data_quality_checker_spark.plans.pipeline import (
+        host_metrics_salted,
+    )
+
+    salted = {
+        r["host"]: (r["rows_scanned"], r["rows_kept"])
+        for r in host_metrics_salted(scored, salt_buckets=8).collect()
+    }
+    direct = {
+        r["host"]: (r["n"], r["k"])
+        for r in scored.groupBy(
+            F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("host")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("k"),
+        )
+        .collect()
+    }
+    assert salted == direct
+    # the synth corpus is Zipf-skewed: the top host dominates
+    top = max(v[0] for v in direct.values())
+    assert top > sum(v[0] for v in direct.values()) * 0.3
+
+
+def test_rule_drift_report(spark, pages, tmp_path_factory):
+    from data_quality_checker_spark.plans.pipeline import (
+        PipelineConfig,
+        partition_metrics,
+        rule_drift_report,
+        score_pages,
+    )
+    from data_quality_checker_spark.plans.rules import RuleConfig
+
+    cfg_loose = PipelineConfig(num_buckets=4)
+    cfg_strict = PipelineConfig(
+        num_buckets=4, rules=RuleConfig(min_chars=10_000)
+    )
+    m_old = partition_metrics(score_pages(pages, cfg_loose), "a")
+    m_new = partition_metrics(score_pages(pages, cfg_strict), "b")
+    drift = {
+        r["rule"]: r for r in rule_drift_report(m_old, m_new).collect()
+    }
+    assert drift["too_short"]["abs_delta"] > 0.5  # nearly all docs now fail
+    assert drift["toxicity"]["abs_delta"] < 1e-9  # untouched rule stable
