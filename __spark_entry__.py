@@ -466,6 +466,41 @@ where not (l_tax <= l_discount + 0.05)
 """
 
 
+def q_metrics_cube(spark, sf):
+    """Drill-down metrics via CUBE (SURVEY.md §2.4: grouping-sets over
+    partition x rule for the metrics table — Spark gives these free):
+    event counts + mean value by (type), (weekday), both, and total."""
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        F.dayofweek("ts").alias("dow_spark"),
+        "value",
+    )
+    return (
+        ev.cube("event_type", "dow_spark")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r6(F.avg("value")).alias("mean_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            # normalize to ISO-ish day index for engine portability:
+            # Spark dayofweek is 1=Sunday..7; DuckDB dayofweek 0=Sunday
+            F.coalesce(F.col("dow_spark") - 1, F.lit(-1)).alias("dow"),
+            "n",
+            "mean_value",
+        )
+    )
+
+
+SQL_CUBE = """
+select coalesce(event_type, 'ALL') as event_type,
+ coalesce(dayofweek(ts), -1) as dow,
+ count(*) as n, round(avg(value), 6) as mean_value
+from events
+group by cube (event_type, dayofweek(ts))
+"""
+
+
 def q_json_extract(spark, sf):
     ev = _t(spark, sf, "events")
     return (
@@ -1264,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_proportions_by_group": q_null_proportions_by_group,
         "cross_column_violations": q_cross_column_violations,
         "json_extract": q_json_extract,
+        "metrics_cube": q_metrics_cube,
         # temporal
         "ts_order_audit": q_ts_order_audit,
         "missing_hours": q_missing_hours,
@@ -1334,6 +1370,7 @@ def oracle_sql() -> dict[str, str]:
         "null_proportions_by_group": SQL_NULL_BY_GROUP,
         "cross_column_violations": SQL_CROSS_COL,
         "json_extract": SQL_JSON,
+        "metrics_cube": SQL_CUBE,
         "ts_order_audit": SQL_TS_AUDIT,
         "missing_hours": SQL_MISSING_HOURS,
         "rolling_forecast": SQL_ROLLING,

@@ -100,17 +100,20 @@ def near_duplicates_minhash(
 
     rows_per_band = num_hashes // num_bands
     # tokens materialized in their own projection: word_ngrams slices
-    # per index, so an inlined tokenize would re-run per n-gram
+    # per index, so an inlined tokenize would re-run per n-gram.
+    # NO array_distinct here: min() is idempotent over duplicate
+    # shingles, and distinct is an O(n^2) interpreted pass per doc
+    # (the verify step's jaccard() dedups internally where it matters).
     base = (
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("id"), tokens(text_col).alias("_tk"))
-        .select(
-            "id",
-            F.array_distinct(
-                word_ngrams(F.col("_tk"), k_shingle)
-            ).alias("sh"),
-        )
+        .select("id", word_ngrams(F.col("_tk"), k_shingle).alias("sh"))
         .filter(F.size("sh") > 0)
+        # self-join branches and the two verify joins would otherwise
+        # recompute the shingle map up to 4x (exchange reuse only
+        # covers shuffle boundaries, not map-only subtrees). At
+        # petabyte scale, write the shingle/signature tables instead.
+        .persist()
     )
     # Signature via explode + min-aggregation rather than nested
     # array_min(transform(...)) expressions: Catalyst's CollapseProject
@@ -129,7 +132,7 @@ def near_duplicates_minhash(
     )
     sig = hashed.groupBy("id").agg(
         *[F.min(f"h{j}").alias(f"h{j}") for j in range(num_hashes)]
-    )
+    ).persist()  # tiny (num_hashes longs per doc); joined twice
     band_cols = [
         F.concat(
             F.lit(f"b{b}:"),

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_quality_checker_spark.plans.rules import RULE_NAMES, RuleConfig
-from data_quality_checker_spark.plans.scrub import scrub_count_exprs, scrub_expr
+from data_quality_checker_spark.plans.scrub import with_scrub
 from data_quality_checker_spark.plans.udfs import langid_udf, perplexity_udf
 from data_quality_checker_spark.plans.verdict import (
     RULE_PREFIX,
@@ -74,8 +74,6 @@ def score_pages(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
     if cfg.with_perplexity:
         out = out.withColumn("perplexity", perplexity_udf("text"))
     out = with_verdict(out, cfg.rules)
-    from data_quality_checker_spark.plans.scrub import with_scrub
-
     return with_scrub(out, "text")
 
 
