@@ -137,3 +137,32 @@ def test_predicate_pushdown_reaches_parquet_scan(spark, tmp_path_factory):
     # only the 3 referenced columns are read, not all 11
     assert "l_extendedprice" not in read_lines[0]
     assert "l_returnflag" in read_lines[0]
+
+
+def test_report_and_remaining_quality_ops(spark):
+    df = spark.createDataFrame(
+        [
+            (1.0, "a", "p1"),
+            (1.0, "a", "p1"),
+            (None, "b", "p2"),
+            (4.0, "b", None),
+        ],
+        "v double, c string, part string",
+    )
+    rep = Q.report(df)
+    assert rep["missing_values_pct"]["v"] == 25.0
+    assert rep["duplicate_row_count"] == 2
+    dups = Q.column_value_duplicates(df, "c").collect()
+    assert {(r["value"], r["dup_count"]) for r in dups} == {("a", 2), ("b", 2)}
+    comp = Q.partition_column_completeness(df, "part", ["v", "c"]).collect()
+    # p2's only row has v NULL -> flagged; c is populated everywhere
+    assert [(r["partition"], r["column"]) for r in comp] == [("p2", "v")]
+    df2 = spark.createDataFrame(
+        [(None, "x", "p1"), (None, "y", "p1"), (1.0, "z", "p2")],
+        "v double, c string, part string",
+    )
+    rows = Q.partition_column_completeness(df2, "part", ["v"]).collect()
+    assert [(r["partition"], r["column"]) for r in rows] == [("p1", "v")]
+    assert Q.column_naming_violations(
+        spark.createDataFrame([(1,)], "BadName long")
+    ) == ["BadName"]
