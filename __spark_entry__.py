@@ -914,6 +914,50 @@ select lang_detected, count(*) as n from l group by lang_detected
 """
 
 
+def q_lang_agreement(spark, sf):
+    """Claimed-vs-detected language confusion counts (FIXTURES.md F1:
+    claimed labels are sometimes wrong; the langid rule must disagree).
+    Returns (claimed, detected, n)."""
+    from data_quality_checker_spark.plans.rules import word_alt_pattern
+
+    docs = _t(spark, sf, "documents")
+    scored = docs.withColumn("_lower", F.lower("text")).withColumns(
+        {
+            f"_s_{lang}": F.regexp_count(
+                "_lower", F.lit(word_alt_pattern(STOPWORDS[lang]))
+            )
+            for lang in LANGS
+        }
+    )
+    best = F.greatest(*[F.col(f"_s_{lang}") for lang in LANGS])
+    lang_expr = F.lit("und")
+    for lang in reversed(LANGS):
+        lang_expr = F.when(
+            (F.col(f"_s_{lang}") > 0) & (F.col(f"_s_{lang}") == best),
+            F.lit(lang),
+        ).otherwise(lang_expr)
+    return (
+        scored.select(
+            F.col("lang").alias("claimed"), lang_expr.alias("detected")
+        )
+        .groupBy("claimed", "detected")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _sql_lang_agreement():
+    scores = ", ".join(
+        f"{expr} as s_{lang}"
+        for lang, expr in duck.lang_scores("text").items()
+    )
+    return f"""
+with sc as (select lang, {scores} from documents),
+l as (select lang as claimed, {duck.langid_best('text')} as detected
+      from sc)
+select claimed, detected, count(*) as n from l group by 1, 2
+"""
+
+
 def q_quality_verdict(spark, sf):
     docs = _t(spark, sf, "documents")
     scored = with_verdict(with_rule_flags(docs))
@@ -1323,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text
         "text_stats": q_text_stats,
         "langid_counts": q_langid_counts,
+        "lang_agreement": q_lang_agreement,
         "quality_verdict": q_quality_verdict,
         "scrubbed_digest": q_scrubbed_digest,
         "top_bigrams": q_top_bigrams,
@@ -1391,6 +1436,7 @@ def oracle_sql() -> dict[str, str]:
         "conditional_probability": SQL_COND_P,
         "text_stats": _sql_text_stats(),
         "langid_counts": _sql_langid_counts(),
+        "lang_agreement": _sql_lang_agreement(),
         "quality_verdict": _sql_quality_verdict(),
         "scrubbed_digest": _sql_scrub(),
         "top_bigrams": SQL_TOP_BIGRAMS,
