@@ -1,0 +1,46 @@
+"""Event-time windowed aggregation with watermarking — the late-data
+handling surface of Structured Streaming (task brief: "watermarks +
+windowed aggs for late data"; the reference has no streaming at all,
+SURVEY.md §2.12).
+
+Semantics: tumbling event-time windows keyed by (window, key); the
+watermark bounds state — windows older than (max event time seen -
+watermark) are finalized and emitted (append mode), and events arriving
+later than the watermark for an already-finalized window are DROPPED,
+which is the correctness contract the metrics pipeline needs (counts
+never silently change after emission)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "10 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """(window_start, window_end, key, n, mean_value) per finalized
+    tumbling window. Works on both streaming and batch frames (batch
+    ignores the watermark, which is the standard parity contract)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("w"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("mean_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "key",
+            "n",
+            "mean_value",
+        )
+    )
