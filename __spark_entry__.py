@@ -1263,11 +1263,31 @@ def q_ann_topk_lsh(spark, sf):
 
 
 def q_perplexity(spark, sf):
-    # pandas-UDF scorer (hash-trigram LM) -> rows-only check
+    """Hash-trigram perplexity via the iterator pandas UDF — the one
+    oracle check that exercises the Arrow JVM->Python crossing: the
+    DuckDB twin recomputes the same md5-seeded LM in pure SQL."""
     docs = _t(spark, sf, "documents").filter("doc_id < 200")
     return docs.select(
         "doc_id", _r6(perplexity_udf("text")).alias("perplexity")
     )
+
+
+SQL_PERPLEXITY = f"""
+with t as (select doc_id, {duck.toks('text')} tk from documents
+           where doc_id < 200),
+tri as (select doc_id,
+  case when len(tk) >= 3 then
+    list_transform(generate_series(1, len(tk) - 2),
+      i -> array_to_string(tk[i:i+2], ' '))
+  end trigrams from t),
+lp as (select doc_id,
+  case when trigrams is not null then
+    list_aggregate(list_transform(trigrams,
+      s -> ln((1 + ('0x' || substr(md5(s), 1, 8))::BIGINT % 1000)
+              / 1001.0)), 'avg')
+  end mean_lp from tri)
+select doc_id, round(exp(-mean_lp), 6) as perplexity from lp
+"""
 
 
 # --------------------------------------------------------------------
@@ -1449,9 +1469,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": SQL_FINGERPRINT,
         "dedup_subset": SQL_DEDUP_SUBSET,
         "minhash_signatures": SQL_MINHASH,
-        # minhash_neardups / simhash_neardups / ann_topk_lsh /
-        # perplexity: hash- or model-based, no exact SQL twin ->
-        # rows-only checks
+        "perplexity": SQL_PERPLEXITY,
+        # minhash_neardups / simhash_neardups / ann_topk_lsh:
+        # xxhash64-based, no DuckDB twin -> rows-only checks
         "ann_topk": SQL_ANN,
         "embedding_pairs": SQL_EMB_PAIRS,
         "multimodal_features": SQL_MULTIMODAL,
