@@ -669,11 +669,27 @@ select user_id, sum(ns) + 1 as n_sessions from g group by user_id
 
 
 def q_ewma(spark, sf):
-    # recursive state -> applyInPandas; NOT SQL-expressible (no oracle,
-    # rows-only check) — SURVEY.md §2.5 exponential_moving_average
+    """EWMA via applyInPandas (recursive state; SURVEY.md §2.5
+    exponential_moving_average). The oracle uses the adjust=True
+    closed form — ratio of (1-a)^-i weighted running sums — valid
+    while pow(1.5, rows_per_series) fits a double, which holds at the
+    sf<=0.01 correctness gate (verified exact on all rows)."""
     ev = _t(spark, sf, "events")
     out = T.ewma(ev, "value", "ts", span=5, series_col="user_id")
     return out.select("event_id", _r6(F.col("ewma")).alias("ewma"))
+
+
+SQL_EWMA = """
+with w as (select event_id, user_id, value,
+  row_number() over (partition by user_id order by ts) - 1 as rn
+  from events),
+s as (select event_id,
+  sum(pow(1.5, rn) * value) over
+    (partition by user_id order by rn) as num,
+  sum(pow(1.5, rn)) over (partition by user_id order by rn) as den
+  from w)
+select event_id, round(num / den, 6) as ewma from s
+"""
 
 
 # --------------------------------------------------------------------
@@ -1445,7 +1461,7 @@ def oracle_sql() -> dict[str, str]:
         "weekend_effects": SQL_WEEKEND,
         "monotonicity": SQL_MONO,
         "sessionization": SQL_SESSIONS,
-        # ewma: recursive state, not SQL-expressible -> rows-only
+        "ewma": SQL_EWMA,
         "skew_kurtosis": SQL_SKEW,
         "correlation_pairs": _sql_corr_pairs(),
         "data_spread": SQL_SPREAD,
