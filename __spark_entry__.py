@@ -1196,6 +1196,101 @@ from sh where len(sg) > 0
 """
 
 
+def q_minhash_lsh_portable(spark, sf):
+    """Full LSH near-dup pipeline (signature -> banded candidate join
+    -> exact-Jaccard verify) in the md5-string hash family, so the
+    ENTIRE sketch path has a DuckDB twin. Production uses the xxhash64
+    variant (dedup.near_duplicates_minhash); same plan shape."""
+    from data_quality_checker_spark.functions.hashing import (
+        jaccard,
+        minhash_signature_md5,
+    )
+    from data_quality_checker_spark.functions.text import (
+        tokens,
+        word_ngrams,
+    )
+
+    docs = _t(spark, sf, "documents").filter("doc_id < 200")
+    base = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.col("doc_id").alias("id"), tokens("text").alias("_tk"))
+        .select("id", word_ngrams(F.col("_tk"), 3).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    sig = base.select(
+        "id", minhash_signature_md5(F.col("sh"), 8).alias("s")
+    )
+    band_cols = [
+        F.concat(
+            F.lit(f"b{b}:"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.col("s").getItem(2 * b),
+                    F.col("s").getItem(2 * b + 1),
+                )
+            ),
+        )
+        for b in range(4)
+    ]
+    exploded = sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("bk")
+    ).persist()
+    cands = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), "bk")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cands.join(
+            base.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a"
+        )
+        .join(base.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            _r6(jaccard(F.col("sh_a"), F.col("sh_b"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+    )
+
+
+SQL_MINHASH_LSH = f"""
+with t as (select doc_id, {duck.toks('text')} tk
+           from documents where doc_id < 200 and text is not null),
+sh as (select doc_id,
+  list_transform(generate_series(1, len(tk) - 2),
+    i -> array_to_string(tk[i:i+2], ' ')) sg
+  from t where len(tk) >= 3),
+sig as (select doc_id, [
+  list_min(list_transform(sg, s -> md5('0|' || s))),
+  list_min(list_transform(sg, s -> md5('1|' || s))),
+  list_min(list_transform(sg, s -> md5('2|' || s))),
+  list_min(list_transform(sg, s -> md5('3|' || s))),
+  list_min(list_transform(sg, s -> md5('4|' || s))),
+  list_min(list_transform(sg, s -> md5('5|' || s))),
+  list_min(list_transform(sg, s -> md5('6|' || s))),
+  list_min(list_transform(sg, s -> md5('7|' || s)))] s
+  from sh where len(sg) > 0),
+bands as (select doc_id, unnest([
+  'b0:' || md5(s[1] || ',' || s[2]),
+  'b1:' || md5(s[3] || ',' || s[4]),
+  'b2:' || md5(s[5] || ',' || s[6]),
+  'b3:' || md5(s[7] || ',' || s[8])]) bk from sig),
+cand as (select distinct a.doc_id id_a, b.doc_id id_b
+         from bands a join bands b using (bk) where a.doc_id < b.doc_id),
+v as (select id_a, id_b,
+  len(list_intersect(list_distinct(x.sg), list_distinct(y.sg)))::double /
+  (len(list_distinct(x.sg)) + len(list_distinct(y.sg)) -
+   len(list_intersect(list_distinct(x.sg), list_distinct(y.sg)))) j
+  from cand join sh x on x.doc_id = id_a join sh y on y.doc_id = id_b)
+select id_a, id_b, round(j, 6) as jaccard from v where j >= 0.6
+"""
+
+
 def q_simhash_neardups(spark, sf):
     # xxhash64-based SimHash has no DuckDB twin -> rows-only check
     docs = _t(spark, sf, "documents")
@@ -1417,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup
         "dedup_subset": q_dedup_subset,
         "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_portable": q_minhash_lsh_portable,
         "minhash_neardups": q_minhash_neardups,
         "simhash_neardups": q_simhash_neardups,
         # similarity / embeddings
@@ -1485,6 +1581,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": SQL_FINGERPRINT,
         "dedup_subset": SQL_DEDUP_SUBSET,
         "minhash_signatures": SQL_MINHASH,
+        "minhash_lsh_portable": SQL_MINHASH_LSH,
         "perplexity": SQL_PERPLEXITY,
         # minhash_neardups / simhash_neardups / ann_topk_lsh:
         # xxhash64-based, no DuckDB twin -> rows-only checks
