@@ -664,16 +664,19 @@ with g as (select user_id,
   case when epoch(ts) - epoch(lag(ts) over
     (partition by user_id order by ts)) > 1800 then 1 else 0 end ns
   from events)
-select user_id, sum(ns) + 1 as n_sessions from g group by user_id
+select user_id, (sum(ns) + 1)::bigint as n_sessions from g group by user_id
 """
 
 
 def q_ewma(spark, sf):
     """EWMA via applyInPandas (recursive state; SURVEY.md §2.5
     exponential_moving_average). The oracle uses the adjust=True
-    closed form — ratio of (1-a)^-i weighted running sums — valid
-    while pow(1.5, rows_per_series) fits a double, which holds at the
-    sf<=0.01 correctness gate (verified exact on all rows)."""
+    weighted form truncated to the trailing 128 lags via a bounded
+    self-join: with alpha=1/3 the weight of lag k is (2/3)^k, so the
+    discarded tail is < (2/3)^129 * 3 * max|value| ~ 1e-21 — far
+    below the 6-dp rounding both sides apply. Exponents stay in
+    [0,128], so the twin is exact at ANY series length (the previous
+    pow(1.5, rn) closed form overflowed past ~1700 rows/series)."""
     ev = _t(spark, sf, "events")
     out = T.ewma(ev, "value", "ts", span=5, series_col="user_id")
     return out.select("event_id", _r6(F.col("ewma")).alias("ewma"))
@@ -683,12 +686,13 @@ SQL_EWMA = """
 with w as (select event_id, user_id, value,
   row_number() over (partition by user_id order by ts) - 1 as rn
   from events),
-s as (select event_id,
-  sum(pow(1.5, rn) * value) over
-    (partition by user_id order by rn) as num,
-  sum(pow(1.5, rn)) over (partition by user_id order by rn) as den
-  from w)
-select event_id, round(num / den, 6) as ewma from s
+p as (select a.event_id,
+  sum(pow(2.0/3.0, a.rn - b.rn) * b.value) as num,
+  sum(pow(2.0/3.0, a.rn - b.rn)) as den
+  from w a join w b
+    on a.user_id = b.user_id and b.rn between a.rn - 128 and a.rn
+  group by a.event_id)
+select event_id, round(num / den, 6) as ewma from p
 """
 
 
@@ -1252,9 +1256,10 @@ def q_minhash_lsh_portable(spark, sf):
         .select(
             "id_a",
             "id_b",
-            _r6(jaccard(F.col("sh_a"), F.col("sh_b"))).alias("jaccard"),
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("_j"),
         )
-        .filter(F.col("jaccard") >= 0.6)
+        .filter(F.col("_j") >= 0.6)  # unrounded, mirroring the SQL twin
+        .select("id_a", "id_b", _r6(F.col("_j")).alias("jaccard"))
     )
 
 

@@ -43,8 +43,10 @@ __all__ = [
     "word_ngrams",
 ]
 
-# ASCII whitespace run — identical semantics in Java regex (Spark), RE2
-# (DuckDB) and Python `re` for the corpora used here.
+# ASCII whitespace run. Java \s == [ \t\n\x0B\f\r]; the Python oracle
+# pins that exact class; RE2 (DuckDB) \s == [ \t\n\f\r] — the single
+# divergence is \x0B (vertical tab), which the engine contract excludes
+# from input (no oracle-checked corpus contains it).
 _WS = r"\s+"
 
 
@@ -118,9 +120,15 @@ def mean_word_length(text: Column | str) -> Column:
 
 
 def lines(text: Column | str) -> Column:
-    """Non-empty lines (split on newline, trimmed of \r)."""
+    """Non-empty lines: split on \\n, strip trailing [space, tab, \\r].
+    regexp_replace (not rtrim, which strips only ' ') so CRLF and
+    tab-trailing corpora agree with the Python oracle (rstrip(' \\t\\r'))
+    and the DuckDB twin (rtrim(s, ' '||\\t||\\r))."""
     return F.filter(
-        F.transform(F.split(_col(text), r"\n"), lambda s: F.rtrim(s)),
+        F.transform(
+            F.split(_col(text), r"\n"),
+            lambda s: F.regexp_replace(s, r"[ \t\r]+$", ""),
+        ),
         lambda s: s != F.lit(""),
     )
 

@@ -113,10 +113,16 @@ def monotonicity(
     d = df.withColumn("_diff", F.col(col) - F.lag(col).over(w))
     keys = [series_col] if series_col else []
     grouped = d.groupBy(*keys) if keys else d.groupBy()
+    # coalesce(min(...), true): a series with no non-null diffs (single
+    # row, or all-null values) is vacuously monotone — matches SQL_MONO.
     return grouped.agg(
-        (F.min(F.col("_diff") >= 0) & F.lit(True)).alias("non_decreasing"),
-        (F.min(F.col("_diff") <= 0) & F.lit(True)).alias("non_increasing"),
-        (F.min(F.col("_diff") > 0) & F.lit(True)).alias(
+        F.coalesce(F.min(F.col("_diff") >= 0), F.lit(True)).alias(
+            "non_decreasing"
+        ),
+        F.coalesce(F.min(F.col("_diff") <= 0), F.lit(True)).alias(
+            "non_increasing"
+        ),
+        F.coalesce(F.min(F.col("_diff") > 0), F.lit(True)).alias(
             "strictly_increasing"
         ),
     )

@@ -11,12 +11,18 @@ independently of Spark itself.
 from __future__ import annotations
 
 import re
+import unicodedata
 
 from data_quality_checker_spark.functions.wordlists import LANGS, STOPWORDS
 from data_quality_checker_spark.plans.rules import RuleConfig
 from data_quality_checker_spark.plans.scrub import scrub_python
 
-_WS = re.compile(r"\s+")
+# Pin the ENGINE contract, not Python's Unicode defaults: Java regex \s
+# is exactly [ \t\n\x0B\f\r] (what the Catalyst side splits on), so the
+# oracle uses that literal class — Python \s would also match NBSP etc.
+# and silently diverge on non-ASCII whitespace.
+_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+_JAVA_WS = " \t\n\x0b\f\r"
 
 
 def _tokens(text: str) -> list[str]:
@@ -24,16 +30,26 @@ def _tokens(text: str) -> list[str]:
 
 
 def _lines(text: str) -> list[str]:
-    return [ln.rstrip() for ln in text.split("\n") if ln.rstrip() != ""]
+    # matches Spark regexp_replace(s, '[ \t\r]+$', '') and the DuckDB
+    # rtrim(s, ' '||\t||\r) — NOT bare rstrip(), which strips \f/\v too
+    return [
+        ln.rstrip(" \t\r")
+        for ln in text.split("\n")
+        if ln.rstrip(" \t\r") != ""
+    ]
 
 
 def _symbol_ratio(text: str) -> float | None:
+    """Fraction of chars outside [\\p{L}\\p{N}\\s] — Java semantics:
+    L*/N* are Unicode general categories, \\s is the ASCII class.
+    (ch.isdigit()/isspace() would disagree on ², NBSP, …)."""
     if not text:
         return None
     syms = sum(
         1
         for ch in text
-        if not (ch.isalpha() or ch.isdigit() or ch.isspace())
+        if unicodedata.category(ch)[0] not in ("L", "N")
+        and ch not in _JAVA_WS
     )
     return syms / len(text)
 

@@ -41,10 +41,17 @@ def running_stats_stream(
     key_col: str = "user_id",
     value_col: str = "value",
     alpha: float = 0.3,
+    ts_col: str = "ts",
 ) -> DataFrame:
     """Per-key running count/mean/EWMA over a stream — the stateful
     generalization of temporal.ewma. `events` must be a streaming
-    DataFrame; output mode "update" emits one row per key per batch."""
+    DataFrame; output mode "update" emits one row per key per batch.
+
+    Each Arrow batch is sorted by ``ts_col`` before the EWMA fold so the
+    order-sensitive value is deterministic across shuffles/retries
+    WITHIN a micro-batch (matching temporal.ewma's sort-by-ts);
+    cross-batch ordering still relies on the source delivering batches
+    in event-time order, as micro-batch streaming inherently does."""
 
     def update(key, batches, state: GroupState):
         import pandas as pd
@@ -54,6 +61,8 @@ def running_stats_stream(
         else:
             n, total, ewma = 0, 0.0, None
         for pdf in batches:
+            if ts_col in pdf.columns:
+                pdf = pdf.sort_values(ts_col, kind="mergesort")
             vals = pdf[value_col].dropna()
             for v in vals:
                 n += 1
