@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from data_quality_checker_spark.functions import text as X
 from data_quality_checker_spark.functions.wordlists import LANGS, STOPWORDS
 from data_quality_checker_spark.operators import dedup as DD
+from data_quality_checker_spark.operators import drift as DR
 from data_quality_checker_spark.operators import joins as J
 from data_quality_checker_spark.operators import nlp as N
 from data_quality_checker_spark.operators import quality as Q
@@ -867,6 +868,157 @@ from j
 """
 
 
+def q_ks_drift(spark, sf):
+    """Two-sample KS drift (stat_analyzer.py:48-52): baseline = first
+    half of the month, current = second half. The Spark plan computes
+    the exact ECDF gap via the distributed two-phase prefix scan in
+    operators/drift.py (no single-partition window); the DuckDB twin
+    uses a plain ordered window — same math, different physical plan."""
+    ev = _t(spark, sf, "events")
+    res = DR.ks_two_sample(
+        ev, "value", F.col("ts") >= F.lit("2024-01-16").cast("timestamp")
+    )
+    return res.select(
+        _r6(F.col("d")).alias("d"),
+        "n_baseline",
+        "n_current",
+        _r6(F.col("p_value")).alias("p_value"),
+    )
+
+
+# Kolmogorov series + Stephens correction, identical formula to
+# drift._kolmogorov_p (j odd -> +, even -> -; 100 terms).
+_SQL_KS_P = (
+    "case when lam < 0.02 then 1.0 else "
+    "least(1.0, greatest(0.0, 2.0 * list_sum(list_transform("
+    "generate_series(1, 100), j -> (case when j % 2 = 1 then 1.0 "
+    "else -1.0 end) * exp(-2.0 * j * j * lam * lam))))) end"
+)
+
+SQL_KS_DRIFT = f"""
+with u as (select value v,
+  sum(case when ts >= timestamp '2024-01-16' then 1 else 0 end) ca,
+  sum(case when ts <  timestamp '2024-01-16' then 1 else 0 end) cb
+  from events where value is not null group by value),
+t as (select sum(ca)::double nc, sum(cb)::double nb from u),
+c as (select sum(ca) over (order by v) sca,
+             sum(cb) over (order by v) scb from u),
+d as (select max(abs(sca / t.nc - scb / t.nb)) d,
+             any_value(t.nc) nc, any_value(t.nb) nb from c, t),
+l as (select d, nc, nb,
+  (sqrt(nc * nb / (nc + nb)) + 0.12 +
+   0.11 / sqrt(nc * nb / (nc + nb))) * d lam from d)
+select round(d, 6) as d, nb::bigint as n_baseline,
+ nc::bigint as n_current, round({_SQL_KS_P}, 6) as p_value
+from l
+"""
+
+
+def q_uniformity_ks(spark, sf):
+    """One-sample KS of events.value against U[min, max]
+    (stat_analyzer.py:255-299 numeric branch)."""
+    ev = _t(spark, sf, "events")
+    res = DR.ks_uniformity(ev, "value")
+    return res.select(
+        _r6(F.col("d")).alias("d"),
+        "n",
+        _r6(F.col("p_value")).alias("p_value"),
+    )
+
+
+SQL_UNIFORM_KS = f"""
+with u as (select value v, count(*) c from events
+           where value is not null group by value),
+t as (select sum(c)::double n, min(v) lo, max(v) hi from u),
+c2 as (select v, c, sum(c) over (order by v) sc from u),
+d as (select max(greatest(
+        sc / t.n - (v - t.lo) / (t.hi - t.lo),
+        (v - t.lo) / (t.hi - t.lo) - (sc - c) / t.n)) d,
+      any_value(t.n) n from c2, t),
+l as (select d, n,
+  (sqrt(n) + 0.12 + 0.11 / sqrt(n)) * d lam from d)
+select round(d, 6) as d, n::bigint as n,
+ round({_SQL_KS_P}, 6) as p_value
+from l
+"""
+
+
+def q_uniformity_chi2(spark, sf):
+    """Chi-squared uniformity of the categorical event_type column
+    (stat_analyzer.py:255-299 categorical branch)."""
+    ev = _t(spark, sf, "events")
+    res = DR.chi2_uniformity(ev, "event_type")
+    return res.select(_r6(F.col("chi2")).alias("chi2"), "dof", "n")
+
+
+SQL_UNIFORM_CHI2 = """
+with g as (select event_type, count(*) c from events
+           where event_type is not null group by event_type)
+select round(sum(c * c) / (sum(c)::double / count(*)) - sum(c), 6)
+  as chi2,
+ (count(*) - 1)::bigint as dof, sum(c)::bigint as n
+from g
+"""
+
+
+def q_levene(spark, sf):
+    """Brown-Forsythe (median-centered Levene) homoscedasticity of
+    value across event_type groups (stat_analyzer.py:511-549)."""
+    ev = _t(spark, sf, "events")
+    res = S.levene_statistic(ev, "event_type", "value")
+    return res.select(_r6(F.col("w")).alias("w"), "dof1", "dof2")
+
+
+SQL_LEVENE = """
+with m as (select event_type g, quantile_cont(value, 0.5) med
+           from events where value is not null group by event_type),
+z as (select e.event_type g, abs(e.value - m.med) z
+      from events e join m on e.event_type = m.g
+      where e.value is not null),
+s as (select g, count(*) n, avg(z) m, var_samp(z) v from z group by g),
+a as (select sum(n)::double nn, count(*)::double kk,
+             sum(n * m) snm, sum(n * m * m) snm2,
+             sum((n - 1) * v) ssw from s)
+select round(((nn - kk) / (kk - 1)) * (snm2 - snm * snm / nn) / ssw, 6)
+  as w,
+ (kk - 1)::bigint as dof1, (nn - kk)::bigint as dof2
+from a
+"""
+
+
+def q_multivariate_normality(spark, sf):
+    """Per-column Jarque-Bera normality over the lineitem numeric set
+    (stat_analyzer.py:579-603; JB substitutes the sample-bound
+    Shapiro — documented in stats.multivariate_normality)."""
+    li = _t(spark, sf, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    res = S.multivariate_normality(li, cols)
+    return res.select(
+        "column",
+        _r6(F.col("jb")).alias("jb"),
+        _r6(F.col("p_value")).alias("p_value"),
+        "normal",
+    )
+
+
+def _sql_multinorm() -> str:
+    blocks = []
+    for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]:
+        blocks.append(f"""
+select '{c}' as "column",
+ round(jb, 6) as jb, round(exp(-jb / 2), 6) as p_value,
+ exp(-jb / 2) > 0.05 as normal
+from (select n / 6.0 * (pow(m3 / pow(m2, 1.5), 2)
+                        + pow(m4 / pow(m2, 2) - 3, 2) / 4) jb
+      from (select count({c})::double n,
+                   avg(pow({c} - mu, 2)) m2,
+                   avg(pow({c} - mu, 3)) m3,
+                   avg(pow({c} - mu, 4)) m4
+            from lineitem,
+                 (select avg({c}) mu from lineitem) m))""")
+    return " union all ".join(blocks)
+
+
 # --------------------------------------------------------------------
 # text / documents
 # --------------------------------------------------------------------
@@ -1500,6 +1652,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohens_d": q_cohens_d,
         "confidence_interval": q_confidence_interval,
         "conditional_probability": q_conditional_probability,
+        "ks_drift": q_ks_drift,
+        "uniformity_ks": q_uniformity_ks,
+        "uniformity_chi2": q_uniformity_chi2,
+        "levene": q_levene,
+        "multivariate_normality": q_multivariate_normality,
         # text
         "text_stats": q_text_stats,
         "langid_counts": q_langid_counts,
@@ -1571,6 +1728,11 @@ def oracle_sql() -> dict[str, str]:
         "cohens_d": SQL_COHENS,
         "confidence_interval": SQL_CI,
         "conditional_probability": SQL_COND_P,
+        "ks_drift": SQL_KS_DRIFT,
+        "uniformity_ks": SQL_UNIFORM_KS,
+        "uniformity_chi2": SQL_UNIFORM_CHI2,
+        "levene": SQL_LEVENE,
+        "multivariate_normality": _sql_multinorm(),
         "text_stats": _sql_text_stats(),
         "langid_counts": _sql_langid_counts(),
         "lang_agreement": _sql_lang_agreement(),

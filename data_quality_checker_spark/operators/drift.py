@@ -1,0 +1,248 @@
+"""Distribution-drift and uniformity tests (ECDF family).
+
+Re-expresses the reference's sample-bound scipy calls as distributed
+plans:
+
+ - detect_data_drift (two-sample Kolmogorov-Smirnov):
+   stat_analyzer.py:48-52 — ks_2samp over baseline vs current values.
+ - check_uniform_distribution: stat_analyzer.py:255-299 — one-sample KS
+   against U[min,max] for numeric columns, chi-squared against the
+   uniform expected count for categorical columns.
+
+The KS statistic needs a global ECDF, i.e. exact prefix sums over a
+global value ordering. A bare ``Window.orderBy(v)`` moves ALL rows to a
+single partition — the classic scale killer — so :func:`prefix_sums`
+implements the textbook two-phase distributed scan instead:
+range-partition, per-partition totals (one O(partitions)-row collect),
+broadcast offsets, stateful cumulative pass per partition. Everything
+downstream of the groupBy touches only distinct values, so the shuffled
+payload is bounded by value cardinality, not row count.
+
+The asymptotic p-value uses the Kolmogorov series
+``Q(lam) = 2 * sum_{j>=1} (-1)^(j-1) exp(-2 j^2 lam^2)`` with the
+Stephens small-sample correction ``lam = (sqrt(ne)+0.12+0.11/sqrt(ne))*D``
+— the same closed form is evaluated in the DuckDB oracle twin, so the
+two engines agree to full float precision.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+__all__ = [
+    "prefix_sums",
+    "ks_two_sample",
+    "ks_uniformity",
+    "chi2_uniformity",
+]
+
+
+def prefix_sums(
+    df: DataFrame,
+    order_col: str,
+    sum_cols: list[str],
+    partitions: int = 32,
+) -> DataFrame:
+    """Exact global running sums of ``sum_cols`` in ``order_col`` order,
+    WITHOUT a single-partition window.
+
+    Two-phase distributed scan: (1) range-partition by ``order_col`` and
+    sort within partitions; (2) aggregate per-partition totals — an
+    O(partitions)-row collect — and turn them into per-partition start
+    offsets; (3) one stateful mapInPandas pass adds ``cum_<c>`` columns
+    (double: counts stay exact to 2^53). Rows with NULL ``order_col``
+    must be filtered by the caller.
+
+    At petabyte scale, persist/checkpoint ``df`` first: phases 1 and 3
+    each scan it once.
+    """
+    d = (
+        df.repartitionByRange(partitions, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    totals = {
+        r["_pid"]: [r[f"_t_{c}"] or 0 for c in sum_cols]
+        for r in d.groupBy("_pid")
+        .agg(*[F.sum(c).alias(f"_t_{c}") for c in sum_cols])
+        .collect()
+    }
+    offsets: dict[int, list[float]] = {}
+    running = [0.0] * len(sum_cols)
+    for pid in range(partitions):
+        offsets[pid] = list(running)
+        if pid in totals:
+            running = [a + float(b) for a, b in zip(running, totals[pid])]
+
+    # copy the fields: StructType.add would mutate df's cached schema
+    out_schema = StructType(
+        list(d.schema.fields)
+        + [StructField(f"cum_{c}", DoubleType()) for c in sum_cols]
+    )
+
+    def cumulate(batches):
+        state: list[float] | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if state is None:  # first batch of this partition
+                state = list(offsets[int(pdf["_pid"].iloc[0])])
+            for i, c in enumerate(sum_cols):
+                vals = pdf[c].fillna(0).astype("float64")
+                pdf[f"cum_{c}"] = vals.cumsum() + state[i]
+                state[i] += float(vals.sum())
+            yield pdf
+
+    return d.mapInPandas(cumulate, schema=out_schema).drop("_pid")
+
+
+def _kolmogorov_p(d: Column, ne: Column, terms: int = 100) -> Column:
+    """Asymptotic two-sided KS p-value (Kolmogorov series + Stephens
+    correction), as a pure Catalyst expression so the DuckDB twin can
+    evaluate the identical formula."""
+    lam = (F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne)) * d
+    series = F.aggregate(
+        F.sequence(F.lit(1), F.lit(terms)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.when(j % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.exp(F.lit(-2.0) * (j * j).cast("double") * lam * lam),
+    )
+    # below lam ~ 0.02 the 100-term alternating tail hasn't decayed and
+    # the partial sum oscillates (at lam == 0 it is exactly 0, not the
+    # analytic limit 1/2) — there Q(lam) == 1 to >10 decimal places.
+    return F.when(lam < 0.02, F.lit(1.0)).otherwise(
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), 2.0 * series))
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    in_current: Column,
+    partitions: int = 32,
+) -> DataFrame:
+    """Two-sample KS drift test (stat_analyzer.py:48-52): baseline =
+    rows where ``in_current`` is false, current = rows where true.
+    Returns one row (d, n_baseline, n_current, p_value); D is the max
+    absolute ECDF gap, exact (not binned)."""
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(value_col)
+        .agg(
+            F.sum(F.when(in_current, 1).otherwise(0)).alias("_cur"),
+            F.sum(F.when(in_current, 0).otherwise(1)).alias("_base"),
+        )
+    )
+    cum = prefix_sums(g, value_col, ["_cur", "_base"], partitions)
+    totals = g.agg(
+        F.sum("_cur").cast("double").alias("_n_cur"),
+        F.sum("_base").cast("double").alias("_n_base"),
+    )
+    agg = cum.crossJoin(F.broadcast(totals)).agg(
+        F.max(
+            F.abs(
+                F.col("cum__cur") / F.col("_n_cur")
+                - F.col("cum__base") / F.col("_n_base")
+            )
+        ).alias("d"),
+        F.first("_n_cur").alias("nc"),
+        F.first("_n_base").alias("nb"),
+    )
+    ne = F.col("nc") * F.col("nb") / (F.col("nc") + F.col("nb"))
+    return agg.select(
+        F.col("d"),
+        F.col("nb").cast("bigint").alias("n_baseline"),
+        F.col("nc").cast("bigint").alias("n_current"),
+        _kolmogorov_p(F.col("d"), ne).alias("p_value"),
+    )
+
+
+def ks_uniformity(
+    df: DataFrame, value_col: str, partitions: int = 32
+) -> DataFrame:
+    """One-sample KS of a numeric column against the uniform
+    distribution on [min, max] (stat_analyzer.py:255-299 numeric
+    branch: min-max scale, kstest(..., 'uniform')). Returns one row
+    (d, n, p_value). D accounts for both ECDF sides at each jump:
+    max(ECDF_hi - F(v), F(v) - ECDF_lo)."""
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    cum = prefix_sums(g, value_col, ["_cnt"], partitions)
+    totals = g.agg(
+        F.sum("_cnt").cast("double").alias("_n"),
+        F.min(value_col).alias("_lo"),
+        F.max(value_col).alias("_hi"),
+    )
+    v = F.col(value_col)
+    fv = (v - F.col("_lo")) / (F.col("_hi") - F.col("_lo"))
+    ecdf_hi = F.col("cum__cnt") / F.col("_n")
+    ecdf_lo = (F.col("cum__cnt") - F.col("_cnt")) / F.col("_n")
+    agg = (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max(F.greatest(ecdf_hi - fv, fv - ecdf_lo)).alias("d"),
+            F.first("_n").alias("n"),
+        )
+    )
+    return agg.select(
+        F.col("d"),
+        F.col("n").cast("bigint").alias("n"),
+        _kolmogorov_p(F.col("d"), F.col("n")).alias("p_value"),
+    )
+
+
+def chi2_uniformity(df: DataFrame, col: str) -> DataFrame:
+    """Chi-squared goodness-of-fit of a categorical column against the
+    uniform expected count n/k (stat_analyzer.py:255-299 categorical
+    branch). Returns one row (chi2, dof, n); the p-value needs the
+    regularized incomplete gamma, computed driver-side by
+    :func:`uniformity_test` when scipy is present."""
+    g = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    return g.agg(
+        (
+            F.sum(F.col("_cnt") * F.col("_cnt"))
+            / (F.sum("_cnt") / F.count(F.lit(1)))
+            - F.sum("_cnt")
+        ).alias("chi2"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("dof"),
+        F.sum("_cnt").cast("bigint").alias("n"),
+    )
+
+
+def uniformity_test(
+    df: DataFrame, col: str, numeric: bool, p_threshold: float = 0.05
+) -> dict:
+    """Dict-shaped twin of the reference API
+    (stat_analyzer.py:255-299): {'is_uniform', 'p_value', 'statistic'}."""
+    if numeric:
+        row = ks_uniformity(df, col).collect()[0]
+        return {
+            "statistic": row["d"],
+            "p_value": row["p_value"],
+            "is_uniform": row["p_value"] > p_threshold,
+        }
+    row = chi2_uniformity(df, col).collect()[0]
+    p = float("nan")
+    try:
+        from scipy import stats as sps
+
+        p = float(sps.chi2.sf(row["chi2"], row["dof"]))
+    except ImportError:
+        pass
+    return {
+        "statistic": row["chi2"],
+        "p_value": p,
+        "is_uniform": (p > p_threshold) if p == p else None,
+    }

@@ -32,6 +32,9 @@ __all__ = [
     "outlier_impact",
     "histogram",
     "overlapping_categories",
+    "levene_statistic",
+    "levene_test",
+    "multivariate_normality",
 ]
 
 
@@ -495,3 +498,106 @@ def detect_multimodal(
             accepted.append(b)
     accepted.sort()
     return {"n_peaks": len(accepted), "peak_buckets": accepted}
+
+
+def levene_statistic(
+    df: DataFrame, group: str, value: str
+) -> DataFrame:
+    """Brown-Forsythe/Levene homoscedasticity statistic (median-centered,
+    scipy.stats.levene's default — the reference's 'levene' branch,
+    stat_analyzer.py:511-549). Plan: exact per-group medians (one agg),
+    broadcast back (group cardinality is small by construction), then
+    the one-way-ANOVA F over z = |x - median_g| from per-group
+    sufficient statistics — two scans, no driver collect. Returns one
+    row (w, dof1, dof2)."""
+    med = df.filter(F.col(value).isNotNull()).groupBy(group).agg(
+        F.median(value).alias("_med")
+    )
+    z = (
+        df.filter(F.col(value).isNotNull())
+        .join(F.broadcast(med), group)
+        .select(group, F.abs(F.col(value) - F.col("_med")).alias("_z"))
+    )
+    s = z.groupBy(group).agg(
+        F.count("_z").alias("_n"),
+        F.avg("_z").alias("_m"),
+        F.var_samp("_z").alias("_v"),
+    )
+    # W = ((N-k)/(k-1)) * ss_between / ss_within with
+    # ss_between = sum n*m^2 - N*grand^2, ss_within = sum (n-1)*v
+    agg = s.agg(
+        F.sum("_n").alias("N"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("_n") * F.col("_m")).alias("snm"),
+        F.sum(F.col("_n") * F.col("_m") * F.col("_m")).alias("snm2"),
+        F.sum((F.col("_n") - 1) * F.col("_v")).alias("ssw"),
+    )
+    nn, kk = F.col("N").cast("double"), F.col("k").cast("double")
+    ss_between = F.col("snm2") - F.col("snm") * F.col("snm") / nn
+    return agg.select(
+        (
+            ((nn - kk) / (kk - 1.0)) * ss_between / F.col("ssw")
+        ).alias("w"),
+        (F.col("k") - 1).cast("bigint").alias("dof1"),
+        (F.col("N") - F.col("k")).cast("bigint").alias("dof2"),
+    )
+
+
+def levene_test(df: DataFrame, group: str, value: str) -> dict:
+    """Dict-shaped reference twin (stat_analyzer.py:511-549 'levene'):
+    {'test_statistic', 'p_value', 'equal_variance'}; p via scipy's F
+    survival function when present, else NaN with the statistic."""
+    row = levene_statistic(df, group, value).collect()[0]
+    p = float("nan")
+    try:
+        from scipy import stats as sps
+
+        p = float(sps.f.sf(row["w"], row["dof1"], row["dof2"]))
+    except ImportError:
+        pass
+    return {
+        "test_statistic": row["w"],
+        "p_value": p,
+        "equal_variance": (p > 0.05) if p == p else None,
+    }
+
+
+def multivariate_normality(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Per-column normality over a column set
+    (stat_analyzer.py:579-603; the reference loops Shapiro-Wilk, which
+    is sample-bound — this uses the distributive Jarque-Bera substitute,
+    same substitution as jarque_bera above). One aggregate pass computes
+    (n, skewness, kurtosis) for ALL columns, then stacks to one row per
+    column: (column, jb, p_value, normal). p = exp(-jb/2) is the exact
+    chi2(2) survival closed form — fully SQL-portable."""
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.count(c).alias(f"_n_{c}"),
+            F.skewness(c).alias(f"_sk_{c}"),
+            F.kurtosis(c).alias(f"_ku_{c}"),
+        ]
+    a = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            (
+                F.col(f"_n_{c}").cast("double")
+                / 6.0
+                * (
+                    F.col(f"_sk_{c}") * F.col(f"_sk_{c}")
+                    + F.col(f"_ku_{c}") * F.col(f"_ku_{c}") / 4.0
+                )
+            ).alias("jb"),
+        )
+        for c in columns
+    ]
+    stacked = a.select(F.explode(F.array(*structs)).alias("s")).select(
+        "s.column", "s.jb"
+    )
+    return stacked.select(
+        "column",
+        "jb",
+        F.exp(-F.col("jb") / 2.0).alias("p_value"),
+        (F.exp(-F.col("jb") / 2.0) > 0.05).alias("normal"),
+    )

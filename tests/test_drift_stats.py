@@ -1,0 +1,162 @@
+"""Drift/uniformity/Levene/multi-normality vs pure-numpy references.
+
+These pin the math of operators/drift.py and the new stats.py tests
+independently of the DuckDB oracle queries (which pin cross-engine
+agreement): each test recomputes the statistic with a 5-line numpy
+implementation of the textbook formula.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_checker_spark.operators import drift as DR
+from data_quality_checker_spark.operators import stats as S
+
+def _ks_two_sample_ref(a: np.ndarray, b: np.ndarray) -> float:
+    pts = np.sort(np.unique(np.concatenate([a, b])))
+    fa = np.searchsorted(np.sort(a), pts, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), pts, side="right") / len(b)
+    return float(np.max(np.abs(fa - fb)))
+
+
+def _ks_uniform_ref(x: np.ndarray) -> float:
+    x = np.sort(x)
+    f = (x - x[0]) / (x[-1] - x[0])
+    n = len(x)
+    hi = np.arange(1, n + 1) / n - f
+    lo = f - np.arange(0, n) / n
+    return float(max(hi.max(), lo.max()))
+
+
+def _levene_ref(groups: list[np.ndarray]) -> float:
+    z = [np.abs(g - np.median(g)) for g in groups]
+    n = np.array([len(zi) for zi in z], dtype=float)
+    m = np.array([zi.mean() for zi in z])
+    v = np.array([zi.var(ddof=1) for zi in z])
+    big_n, k = n.sum(), len(z)
+    grand = (n * m).sum() / big_n
+    ssb = (n * (m - grand) ** 2).sum()
+    ssw = ((n - 1) * v).sum()
+    return float(((big_n - k) / (k - 1)) * ssb / ssw)
+
+
+def test_prefix_sums_matches_cumsum(spark):
+    RNG = np.random.default_rng(1)
+    vals = RNG.integers(0, 50, size=500)  # ties on purpose
+    counts = RNG.integers(1, 9, size=500)
+    df = spark.createDataFrame(
+        [(int(v), int(c)) for v, c in zip(vals, counts)], "v int, c int"
+    ).groupBy("v").agg(F.sum("c").alias("c"))
+    got = {
+        r["v"]: r["cum_c"]
+        for r in DR.prefix_sums(df, "v", ["c"], partitions=7).collect()
+    }
+    pdf = df.toPandas().sort_values("v")
+    want = dict(zip(pdf["v"], pdf["c"].cumsum().astype(float)))
+    assert got == want
+
+
+def test_ks_two_sample_matches_numpy(spark):
+    RNG = np.random.default_rng(2)
+    a = RNG.normal(0.0, 1.0, 400)
+    b = RNG.normal(0.4, 1.3, 300)
+    rows = [(float(x), True) for x in a] + [(float(x), False) for x in b]
+    df = spark.createDataFrame(rows, "value double, cur boolean")
+    row = DR.ks_two_sample(df, "value", F.col("cur"), partitions=5).first()
+    assert row["n_current"] == 400 and row["n_baseline"] == 300
+    assert row["d"] == pytest.approx(_ks_two_sample_ref(a, b), abs=1e-12)
+    assert 0.0 <= row["p_value"] <= 1.0
+
+
+def test_ks_two_sample_identical_samples_d_zero(spark):
+    RNG = np.random.default_rng(3)
+    x = RNG.normal(size=200)
+    rows = [(float(v), t) for v in x for t in (True, False)]
+    df = spark.createDataFrame(rows, "value double, cur boolean")
+    row = DR.ks_two_sample(df, "value", F.col("cur")).first()
+    assert row["d"] == pytest.approx(0.0, abs=1e-12)
+    assert row["p_value"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_ks_uniformity_matches_numpy(spark):
+    RNG = np.random.default_rng(4)
+    x = RNG.exponential(2.0, 500)
+    df = spark.createDataFrame([(float(v),) for v in x], "value double")
+    row = DR.ks_uniformity(df, "value", partitions=5).first()
+    assert row["n"] == 500
+    assert row["d"] == pytest.approx(_ks_uniform_ref(x), abs=1e-12)
+    # exponential data is decisively non-uniform
+    assert row["p_value"] < 0.01
+
+
+def test_ks_uniformity_accepts_uniform(spark):
+    RNG = np.random.default_rng(5)
+    x = RNG.uniform(0.0, 10.0, 2000)
+    df = spark.createDataFrame([(float(v),) for v in x], "value double")
+    row = DR.ks_uniformity(df, "value").first()
+    assert row["p_value"] > 0.05
+
+
+def test_chi2_uniformity(spark):
+    counts = {"a": 100, "b": 120, "c": 80}
+    rows = [(k,) for k, n in counts.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, "cat string")
+    row = DR.chi2_uniformity(df, "cat").first()
+    n, k = 300, 3
+    e = n / k
+    want = sum((o - e) ** 2 / e for o in counts.values())
+    assert row["chi2"] == pytest.approx(want, rel=1e-12)
+    assert row["dof"] == k - 1 and row["n"] == n
+
+
+def test_uniformity_test_dict_api(spark):
+    RNG = np.random.default_rng(6)
+    df = spark.createDataFrame(
+        [(float(v),) for v in RNG.uniform(size=1000)], "value double"
+    )
+    out = DR.uniformity_test(df, "value", numeric=True)
+    assert set(out) == {"statistic", "p_value", "is_uniform"}
+    assert out["is_uniform"] is np.True_ or out["is_uniform"] is True
+
+
+def test_levene_matches_numpy(spark):
+    RNG = np.random.default_rng(7)
+    groups = {
+        "a": RNG.normal(0, 1.0, 150),
+        "b": RNG.normal(0, 2.5, 120),
+        "c": RNG.normal(1, 1.0, 180),
+    }
+    rows = [(g, float(v)) for g, arr in groups.items() for v in arr]
+    df = spark.createDataFrame(rows, "g string, value double")
+    row = S.levene_statistic(df, "g", "value").first()
+    assert row["w"] == pytest.approx(
+        _levene_ref(list(groups.values())), rel=1e-9
+    )
+    assert row["dof1"] == 2 and row["dof2"] == 450 - 3
+    out = S.levene_test(df, "g", "value")
+    assert out["test_statistic"] == pytest.approx(row["w"], rel=1e-12)
+
+
+def test_multivariate_normality_flags(spark):
+    RNG = np.random.default_rng(8)
+    n = 4000
+    rows = [
+        (float(a), float(b))
+        for a, b in zip(RNG.normal(size=n), RNG.exponential(size=n))
+    ]
+    df = spark.createDataFrame(rows, "norm double, expo double")
+    out = {
+        r["column"]: r
+        for r in S.multivariate_normality(df, ["norm", "expo"]).collect()
+    }
+    assert out["norm"]["normal"] and out["norm"]["p_value"] > 0.05
+    assert not out["expo"]["normal"] and out["expo"]["p_value"] < 0.01
+    # jb must equal the moment formula recomputed in numpy
+    x = np.array([r[0] for r in rows])
+    sk = ((x - x.mean()) ** 3).mean() / x.std() ** 3
+    ku = ((x - x.mean()) ** 4).mean() / x.std() ** 4 - 3
+    want = n / 6 * (sk**2 + ku**2 / 4)
+    assert out["norm"]["jb"] == pytest.approx(want, rel=1e-6)
