@@ -1450,8 +1450,128 @@ select id_a, id_b, round(j, 6) as jaccard from v where j >= 0.6
 
 def q_simhash_neardups(spark, sf):
     # xxhash64-based SimHash has no DuckDB twin -> rows-only check
+    # (the same plan shape IS oracle-checked via q_simhash_portable)
     docs = _t(spark, sf, "documents")
     return DD.near_duplicates_simhash(docs, max_hamming=8)
+
+
+_SIMHASH_BITS = 64
+_SIMHASH_CHUNKS = 4
+
+
+def q_simhash_portable(spark, sf):
+    """Full SimHash near-dup pipeline in the md5 hash family so EVERY
+    stage has a DuckDB twin (same trick as q_minhash_lsh_portable):
+    per-token md5 -> 64 bit-vote aggregates (map-side combined, the
+    production plan shape of dedup.simhash64_agg) -> '0'/'1' bitstring
+    fingerprint (the portable packing) -> 16-bit pigeonhole chunk
+    blocking -> hamming verify. Production uses xxhash64 + bigint
+    packing (q_simhash_neardups); this pins the plan's semantics
+    cross-engine."""
+    docs = _t(spark, sf, "documents").filter("doc_id < 300")
+    tok = docs.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("id"), F.explode(X.tokens("text")).alias("t")
+    )
+    hashed = tok.select("id", F.md5("t").alias("m"))
+
+    def bit(i: int):
+        nib = F.conv(F.substring(F.col("m"), i // 4 + 1, 1), 16, 10).cast(
+            "int"
+        )
+        return F.shiftright(nib, i % 4).bitwiseAND(F.lit(1))
+
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(bit(i) * 2 - 1).alias(f"b{i}")
+            for i in range(_SIMHASH_BITS)
+        ]
+    )
+    fp = F.concat(
+        *[
+            F.when(F.col(f"b{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(_SIMHASH_BITS)
+        ]
+    )
+    base = votes.select("id", fp.alias("fp"))
+    chunks = base.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.substring("fp", 16 * i + 1, 16).alias("cv"),
+                    )
+                    for i in range(_SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "fp", "c.ci", "c.cv")
+    cands = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), ["ci", "cv"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.fp").alias("fa"),
+            F.col("b.fp").alias("fb"),
+        )
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.split(F.col("fa"), ""),
+            F.split(F.col("fb"), ""),
+            lambda x, y: F.when(x != y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return cands.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= 8
+    )
+
+
+def _sql_simhash_portable() -> str:
+    nib = [
+        f"(strpos('0123456789abcdef', substr(m, {j + 1}, 1)) - 1)"
+        for j in range(16)
+    ]
+    votes = ", ".join(
+        f"sum(2 * (({nib[i // 4]} >> {i % 4}) & 1) - 1) as b{i}"
+        for i in range(_SIMHASH_BITS)
+    )
+    fp = " || ".join(
+        f"(case when b{i} > 0 then '1' else '0' end)"
+        for i in range(_SIMHASH_BITS)
+    )
+    chunk_union = " union all ".join(
+        f"select doc_id, fp, {i} as ci, substr(fp, {16 * i + 1}, 16) as cv"
+        " from fps"
+        for i in range(_SIMHASH_CHUNKS)
+    )
+    return f"""
+with t as (select doc_id, unnest({duck.toks("text")}) tk
+           from documents where doc_id < 300 and text is not null),
+h as (select doc_id, md5(tk) m from t),
+v as (select doc_id, {votes} from h group by doc_id),
+fps as (select doc_id, {fp} as fp from v),
+chunks as ({chunk_union}),
+cand as (select distinct a.doc_id id_a, b.doc_id id_b,
+                a.fp fa, b.fp fb
+         from chunks a join chunks b on a.ci = b.ci and a.cv = b.cv
+         where a.doc_id < b.doc_id)
+select id_a, id_b,
+ list_sum(list_transform(generate_series(1, 64),
+   i -> case when substr(fa, i, 1) <> substr(fb, i, 1)
+        then 1 else 0 end))::int as hamming
+from cand
+where list_sum(list_transform(generate_series(1, 64),
+   i -> case when substr(fa, i, 1) <> substr(fb, i, 1)
+        then 1 else 0 end)) <= 8
+"""
 
 
 def q_minhash_neardups(spark, sf):
@@ -1520,14 +1640,38 @@ where a.vec_id < b.vec_id
 
 
 def q_ann_topk_lsh(spark, sf):
-    # approximate method: no exact SQL twin -> rows-only check
+    """LSH ANN promoted from rows-only to an oracle-checked RECALL
+    GATE: one row per probe query with recall_ok = (LSH top-5 hits at
+    least 3 of the exact brute-force top-5). The DuckDB twin asserts
+    every row is TRUE, so a recall regression (or a broken bucket
+    join) is a hash mismatch, not a silent rows-only pass. LSH is
+    seeded -> fully deterministic."""
     emb = _t(spark, sf, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.filter("vec_id < 3")
-    return SIM.topk_lsh(
-        emb, queries, k=5, dim=64, num_tables=6, num_planes=6
-    ).select("query_id", "id", _r6(F.col("cosine")).alias("cosine"), "rank")
+    exact = SIM.topk_bruteforce(emb, queries, k=5).select("query_id", "id")
+    approx = SIM.topk_lsh(
+        emb, queries, k=5, dim=64, num_tables=12, num_planes=4
+    ).select("query_id", "id")
+    hits = exact.join(approx, ["query_id", "id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("hits"), F.lit(0)) >= 3).alias("recall_ok"),
+        )
+    )
+
+
+SQL_ANN_LSH_RECALL = """
+select distinct vec_id as query_id, true as recall_ok
+from embeddings where vec_id < 3
+"""
 
 
 def q_perplexity(spark, sf):
@@ -1677,6 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_portable": q_minhash_lsh_portable,
         "minhash_neardups": q_minhash_neardups,
         "simhash_neardups": q_simhash_neardups,
+        "simhash_portable": q_simhash_portable,
         # similarity / embeddings
         "ann_topk": q_ann_topk,
         "embedding_pairs": q_embedding_pairs,
@@ -1749,10 +1894,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_subset": SQL_DEDUP_SUBSET,
         "minhash_signatures": SQL_MINHASH,
         "minhash_lsh_portable": SQL_MINHASH_LSH,
+        "simhash_portable": _sql_simhash_portable(),
         "perplexity": SQL_PERPLEXITY,
-        # minhash_neardups / simhash_neardups / ann_topk_lsh:
-        # xxhash64-based, no DuckDB twin -> rows-only checks
+        # minhash_neardups / simhash_neardups: xxhash64-based, no
+        # DuckDB twin -> rows-only checks; their plan shapes ARE
+        # oracle-checked via the md5-family portable twins.
         "ann_topk": SQL_ANN,
+        "ann_topk_lsh": SQL_ANN_LSH_RECALL,
         "embedding_pairs": SQL_EMB_PAIRS,
         "multimodal_features": SQL_MULTIMODAL,
     }

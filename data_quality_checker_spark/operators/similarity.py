@@ -93,16 +93,21 @@ def topk_lsh(
     q = keyed(queries, id_col, vec_col).withColumnsRenamed(
         {"_id": "query_id", "_v": "qv"}
     )
-    cands = (
+    # Score every bucket collision immediately, THEN dedup table-level
+    # duplicates with max(cosine) keyed on (query_id, id): the shuffle
+    # payload is three scalars per candidate — never the embedding
+    # arrays (a .distinct() over rows carrying qv/cv would shuffle the
+    # full vectors and compare arrays for equality).
+    scored = (
         c.join(F.broadcast(q), "bk")
         .filter(F.col("id") != F.col("query_id"))
-        .select("query_id", "id", "qv", "cv")
-        .distinct()
-    )
-    scored = cands.select(
-        "query_id",
-        "id",
-        cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+        .select(
+            "query_id",
+            "id",
+            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+        .groupBy("query_id", "id")
+        .agg(F.max("cosine").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("id")
@@ -148,33 +153,38 @@ def topk_ivf(
         (int(i), [float(x) for x in c])
         for i, c in enumerate(km.clusterCenters())
     ]
-    spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(
-        centroids, "cell int, centroid array<double>"
-    )
 
     def _cells(df: DataFrame, ident: str, vec: str, probes: int) -> DataFrame:
-        """n-probe nearest centroid cells per vector via a broadcast
-        cross join + rank (centroid count is tiny by construction)."""
-        scored = df.select(
-            F.col(ident).alias("_id"), F.col(vec).alias("_v")
-        ).crossJoin(F.broadcast(cent_df))
-        dist = F.sqrt(
-            F.aggregate(
+        """n-probe nearest centroid cells per vector as a PURE PROJECTION:
+        the centroid list is a compile-time literal, so each row computes
+        its (distance, cell) array, sorts it (struct order = dist asc,
+        cell asc — same tie-break a rank window would give), and explodes
+        the first `probes` entries. Zero shuffle — the previous
+        crossJoin + Window.partitionBy(_id) re-shuffled the entire
+        embedding corpus once per build."""
+
+        def sq_dist(center: list[float]):
+            return F.aggregate(
                 F.zip_with(
                     F.col("_v").cast("array<double>"),
-                    F.col("centroid"),
+                    F.lit(center),
                     lambda a, b: (a - b) * (a - b),
                 ),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
+
+        dc = F.array(
+            *[
+                F.struct(sq_dist(center).alias("d"), F.lit(cell).alias("cell"))
+                for cell, center in centroids
+            ]
         )
-        w = Window.partitionBy("_id").orderBy(dist.asc(), F.col("cell"))
+        nearest = F.slice(F.array_sort(dc), 1, probes)
         return (
-            scored.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= probes)
-            .select("_id", "_v", "cell")
+            df.select(F.col(ident).alias("_id"), F.col(vec).alias("_v"))
+            .select("_id", "_v", F.explode(nearest).alias("_dc"))
+            .select("_id", "_v", F.col("_dc.cell").alias("cell"))
         )
 
     corpus_cells = _cells(corpus, id_col, vec_col, 1).withColumnsRenamed(

@@ -215,3 +215,33 @@ def test_topk_ivf(vectors):
         ).collect()
     }
     assert {100, 101, 102} & near
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_topk_ivf_assignment_is_shuffle_free(vectors):
+    """The corpus->cell assignment must be a pure argmin projection:
+    no Exchange keyed on the per-row _id (the old crossJoin + rank
+    window shuffled the whole embedding corpus), and exactly one
+    Window (the final per-query top-k)."""
+    queries = vectors.filter("vec_id = 0")
+    plan = _plan(
+        SIM.topk_ivf(vectors, queries, k=3, num_centroids=4, n_probe=2)
+    )
+    assert "hashpartitioning(_id" not in plan, plan
+    assert plan.count("windowspecdefinition") == 1, plan
+
+
+def test_topk_lsh_shuffle_carries_no_vectors(vectors):
+    """Candidate dedup must aggregate (query_id, id, cosine) — never
+    group on rows still carrying the qv/cv embedding arrays."""
+    queries = vectors.filter("vec_id = 0")
+    plan = _plan(
+        SIM.topk_lsh(vectors, queries, k=3, dim=8, num_tables=4, num_planes=4)
+    )
+    for line in plan.splitlines():
+        if "keys=" in line:
+            assert "qv" not in line and "cv" not in line, line
+    assert "max(cosine" in plan, plan
