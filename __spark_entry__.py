@@ -1367,12 +1367,14 @@ def q_minhash_lsh_portable(spark, sf):
     )
 
     docs = _t(spark, sf, "documents").filter("doc_id < 200")
+    # no persist: the oracle gate runs at doc_id < 200 where recompute
+    # is cheaper than leaking cached RDDs in a long-lived session (the
+    # production operator materializes via storage_path/release_cache)
     base = (
         docs.filter(F.col("text").isNotNull())
         .select(F.col("doc_id").alias("id"), tokens("text").alias("_tk"))
         .select("id", word_ngrams(F.col("_tk"), 3).alias("sh"))
         .filter(F.size("sh") > 0)
-        .persist()
     )
     sig = base.select(
         "id", minhash_signature_md5(F.col("sh"), 8).alias("s")
@@ -1392,7 +1394,7 @@ def q_minhash_lsh_portable(spark, sf):
     ]
     exploded = sig.select(
         "id", F.explode(F.array(*band_cols)).alias("bk")
-    ).persist()
+    )
     cands = (
         exploded.alias("a")
         .join(exploded.alias("b"), "bk")

@@ -32,6 +32,7 @@ from data_quality_checker_spark.functions.hashing import (
 __all__ = [
     "exact_duplicates",
     "exact_duplicate_groups",
+    "release_cache",
     "near_duplicates_minhash",
     "simhash64_agg",
     "near_duplicates_simhash",
@@ -76,6 +77,15 @@ def exact_duplicates(
     )
 
 
+def release_cache(df: DataFrame) -> None:
+    """Unpersist the intermediate DataFrames an operator cached on
+    behalf of a returned (lazy) result. Call after the result has been
+    fully consumed — in a long-lived session, leaked cached RDDs
+    accumulate across calls."""
+    for dep in getattr(df, "_cached_deps", ()):
+        dep.unpersist()
+
+
 def near_duplicates_minhash(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -84,6 +94,7 @@ def near_duplicates_minhash(
     num_hashes: int = 32,
     num_bands: int = 8,
     threshold: float = 0.7,
+    storage_path: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a, id_b, jaccard >= threshold).
 
@@ -95,25 +106,43 @@ def near_duplicates_minhash(
     Plan shape: one projection (shingles+signature+band keys) -> explode
     bands -> self equi-join on band key -> distinct candidate pairs ->
     join shingle arrays back -> exact Jaccard filter. Candidates scale
-    with collisions, never with n^2."""
+    with collisions, never with n^2.
+
+    The shingle and signature intermediates are consumed 2-4x (self-join
+    branches + the two verify joins; exchange reuse only covers shuffle
+    boundaries, not map-only subtrees). ``storage_path`` chooses the
+    materialization: when set, they are WRITTEN as parquet tables
+    (``<path>/shingles``, ``<path>/signatures``) and read back — the
+    petabyte-scale form: resumable, inspectable, zero executor-memory
+    footprint, and nothing stays cached in a long-lived session. When
+    None they are persist()ed in memory; call :func:`release_cache` on
+    the returned DataFrame once consumed."""
     from data_quality_checker_spark.functions.text import tokens, word_ngrams
 
     rows_per_band = num_hashes // num_bands
+    spark = df.sparkSession
+    cached: list[DataFrame] = []
+
+    def materialize(d: DataFrame, name: str) -> DataFrame:
+        if storage_path is not None:
+            path = f"{storage_path}/{name}"
+            d.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+        d = d.persist()
+        cached.append(d)
+        return d
+
     # tokens materialized in their own projection: word_ngrams slices
     # per index, so an inlined tokenize would re-run per n-gram.
     # NO array_distinct here: min() is idempotent over duplicate
     # shingles, and distinct is an O(n^2) interpreted pass per doc
     # (the verify step's jaccard() dedups internally where it matters).
-    base = (
+    base = materialize(
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("id"), tokens(text_col).alias("_tk"))
         .select("id", word_ngrams(F.col("_tk"), k_shingle).alias("sh"))
-        .filter(F.size("sh") > 0)
-        # self-join branches and the two verify joins would otherwise
-        # recompute the shingle map up to 4x (exchange reuse only
-        # covers shuffle boundaries, not map-only subtrees). At
-        # petabyte scale, write the shingle/signature tables instead.
-        .persist()
+        .filter(F.size("sh") > 0),
+        "shingles",
     )
     # Signature via explode + min-aggregation rather than nested
     # array_min(transform(...)) expressions: Catalyst's CollapseProject
@@ -130,9 +159,12 @@ def near_duplicates_minhash(
             for j in range(num_hashes)
         ],
     )
-    sig = hashed.groupBy("id").agg(
-        *[F.min(f"h{j}").alias(f"h{j}") for j in range(num_hashes)]
-    ).persist()  # tiny (num_hashes longs per doc); joined twice
+    sig = materialize(  # tiny (num_hashes longs per doc); joined twice
+        hashed.groupBy("id").agg(
+            *[F.min(f"h{j}").alias(f"h{j}") for j in range(num_hashes)]
+        ),
+        "signatures",
+    )
     band_cols = [
         F.concat(
             F.lit(f"b{b}:"),
@@ -171,6 +203,7 @@ def near_duplicates_minhash(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    verified._cached_deps = tuple(cached)  # for release_cache()
     return verified
 
 

@@ -245,3 +245,26 @@ def test_topk_lsh_shuffle_carries_no_vectors(vectors):
         if "keys=" in line:
             assert "qv" not in line and "cv" not in line, line
     assert "max(cosine" in plan, plan
+
+
+def test_minhash_storage_path_matches_inmemory(spark, docs, tmp_path):
+    inmem = D.near_duplicates_minhash(docs, threshold=0.5)
+    got_mem = {(r["id_a"], r["id_b"]) for r in inmem.collect()}
+    stored = D.near_duplicates_minhash(
+        docs, threshold=0.5, storage_path=str(tmp_path / "mh")
+    )
+    got_disk = {(r["id_a"], r["id_b"]) for r in stored.collect()}
+    assert got_mem == got_disk and (0, 1) in got_disk
+    # the intermediates landed as real parquet tables
+    sh = spark.read.parquet(str(tmp_path / "mh" / "shingles"))
+    sig = spark.read.parquet(str(tmp_path / "mh" / "signatures"))
+    assert {"id", "sh"} <= set(sh.columns)
+    assert sig.count() == sh.count()
+    # disk-backed run caches nothing; in-memory run releases on demand
+    assert stored._cached_deps == ()
+    assert len(inmem._cached_deps) == 2
+    D.release_cache(inmem)
+    assert all(
+        not d.storageLevel.useMemory and not d.storageLevel.useDisk
+        for d in inmem._cached_deps
+    )
