@@ -72,42 +72,61 @@ def perplexity_python(text: str | None) -> float | None:
 _UDF_CACHE: dict[str, object] = {}
 
 
-def langid_udf(col):
-    """Iterator-form pandas UDF: model loads once per Python worker."""
-    if "langid" not in _UDF_CACHE:
+def langid_udf(col, model_path: str | None = None):
+    """Iterator-form pandas UDF: model loads once per Python worker.
+
+    Model resolution, decided DRIVER-side at UDF construction (only the
+    path string travels in the closure — the loaded model object is not
+    picklable, by design; it is loaded worker-side from the artifact
+    SparkContext.addFile distributed):
+     1. explicit ``model_path`` / $SPARK_DQC_LANGID_MODEL -> gzip
+        wordlist artifact (plans/models.py; exercised in tests with a
+        real file and a non-picklable loaded object)
+     2. $SPARK_DQC_FASTTEXT_MODEL -> fastText binary, same distribution
+        path (fastText absent in this sandbox)
+     3. deterministic stopword-argmax fallback, contract-identical to
+        functions/text.langid_best
+    """
+    wl_path = model_path or os.environ.get("SPARK_DQC_LANGID_MODEL")
+    ft_path = os.environ.get("SPARK_DQC_FASTTEXT_MODEL")
+    cache_key = ("langid", wl_path, ft_path)
+    if cache_key not in _UDF_CACHE:
 
         @pandas_udf("string")
         def _langid(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-            model = None
-            model_path = os.environ.get("SPARK_DQC_FASTTEXT_MODEL")
-            if model_path:
-                try:  # pragma: no cover - fastText absent in this sandbox
+            predict = None
+            if wl_path:
+                from data_quality_checker_spark.plans import models
+
+                local = models.resolve_artifact(wl_path)
+                if local:
+                    predict = models.load_langid_model(local).predict
+            if predict is None and ft_path:
+                try:  # pragma: no cover - fastText not in sandbox
                     import fasttext
 
-                    from pyspark import SparkFiles
+                    from data_quality_checker_spark.plans import models
 
-                    local = SparkFiles.get(os.path.basename(model_path))
-                    model = fasttext.load_model(
-                        local if os.path.exists(local) else model_path
-                    )
+                    local = models.resolve_artifact(ft_path)
+                    ft = fasttext.load_model(local or ft_path)
+                    predict = lambda t: ft.predict(  # noqa: E731
+                        t.replace("\n", " ")
+                    )[0][0].replace("__label__", "")
                 except Exception:
-                    model = None
+                    predict = None
             for batch in batches:
-                if model is not None:  # pragma: no cover
-                    labels = [
-                        model.predict(t.replace("\n", " "))[0][0].replace(
-                            "__label__", ""
-                        )
-                        if isinstance(t, str)
-                        else "und"
-                        for t in batch
-                    ]
-                    yield pd.Series(labels)
+                if predict is not None:
+                    yield pd.Series(
+                        [
+                            predict(t) if isinstance(t, str) else "und"
+                            for t in batch
+                        ]
+                    )
                 else:
                     yield batch.map(detect_lang_python)
 
-        _UDF_CACHE["langid"] = _langid
-    return _UDF_CACHE["langid"](col)
+        _UDF_CACHE[cache_key] = _langid
+    return _UDF_CACHE[cache_key](col)
 
 
 def perplexity_udf(col):

@@ -1,0 +1,70 @@
+"""SparkFiles model-distribution path: a REAL artifact (gzip wordlist
+langid model) shipped via addFile, loaded worker-side inside the
+iterator pandas UDF, with a non-picklable model object — proving the
+fastText/KenLM slot plumbing with something this sandbox can run."""
+
+from __future__ import annotations
+
+import pickle
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_checker_spark.functions import text as X
+from data_quality_checker_spark.plans import models, udfs
+
+
+def test_artifact_roundtrip_and_nonpicklable(tmp_path):
+    path = models.write_langid_model(str(tmp_path / "langid.model.gz"))
+    m = models.load_langid_model(path)
+    assert m.predict("the quick brown fox and the dog") == "en"
+    assert m.predict(None) == "und"
+    # real model semantics: loaded handles never pickle — accidental
+    # closure capture must fail loudly, not serialize per task
+    with pytest.raises(TypeError, match="not picklable"):
+        pickle.dumps(m)
+    with pytest.raises(ValueError, match="artifact"):
+        bad = str(tmp_path / "bad.gz")
+        import gzip, json  # noqa: E401
+
+        with gzip.open(bad, "wt") as fh:
+            json.dump({"format": "other"}, fh)
+        models.load_langid_model(bad)
+
+
+def test_langid_model_path_parity_on_fixture_corpus(spark, sf_dir, tmp_path):
+    """Default-weights model through addFile + SparkFiles must agree
+    row-for-row with BOTH the pure-SQL heuristic and the UDF fallback
+    on the fixture corpus (VERDICT r01 item 8)."""
+    path = models.write_langid_model(str(tmp_path / "langid_par.model.gz"))
+    spark.sparkContext.addFile(path)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = docs.select(
+        udfs.langid_udf(F.col("text"), model_path=path).alias("model_lang"),
+        udfs.langid_udf(F.col("text")).alias("heur_lang"),
+        X.langid_best("text").alias("sql_lang"),
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["model_lang"] == r["heur_lang"] == r["sql_lang"], r
+
+
+def test_langid_custom_weights_actually_drive_predictions(spark, tmp_path):
+    """A weighted artifact must CHANGE predictions (no silent fallback
+    to the heuristic when the model loads)."""
+    path = models.write_langid_model(
+        str(tmp_path / "langid_w.model.gz"),
+        weights={"en": {"the": 1.0}, "xx": {"zz": 5.0}},
+    )
+    spark.sparkContext.addFile(path)
+    df = spark.createDataFrame(
+        [("zz zz the cat",), ("the the zz",), (None,)], "text string"
+    )
+    got = [
+        r["lang"]
+        for r in df.select(
+            udfs.langid_udf(F.col("text"), model_path=path).alias("lang")
+        ).collect()
+    ]
+    # zz outweighs the 5:1 -> 'xx'; two 'the' beat one zz? no: zz=5.0
+    assert got == ["xx", "xx", "und"]
