@@ -1450,6 +1450,57 @@ select id_a, id_b, round(j, 6) as jaccard from v where j >= 0.6
 """
 
 
+def q_redundancy_structure(spark, sf):
+    """Representative composite analyzer
+    (nlp.analyze_text_redundancy_structure, nlp_analyzer.py:611-646):
+    the three constituent outputs unioned into (part, key, n) rows so
+    ONE oracle query pins the whole wrapper."""
+    docs = _t(spark, sf, "documents")
+    parts = N.analyze_text_redundancy_structure(
+        docs, redundancy_threshold=50, ngram_n=3, top_ngrams_k=20
+    )
+    red = parts["redundant_phrases"].select(
+        F.lit("redundant").alias("part"),
+        F.col("token").alias("key"),
+        "n",
+    )
+    sent = parts["sentence_structure"].select(
+        F.lit("sentence").alias("part"),
+        F.col("sentence_words").cast("string").alias("key"),
+        "n",
+    )
+    ng = parts["common_ngrams"].select(
+        F.lit("ngram").alias("part"), F.col("ngram").alias("key"), "n"
+    )
+    return red.unionByName(sent).unionByName(ng)
+
+
+SQL_REDUNDANCY_STRUCTURE = f"""
+with tok as (select unnest({duck.toks("text")}) token
+             from documents where text is not null),
+red as (select 'redundant' part, token as key, count(*) n
+        from tok group by token having count(*) >= 50),
+s as (select trim(u.s) sent
+      from (select string_split_regex(text, '[.!?]+') ss
+            from documents where text is not null) t,
+           unnest(t.ss) u(s)
+      where trim(u.s) <> ''),
+sents as (select 'sentence' part,
+  len(list_filter(string_split_regex(sent, '\\s+'), t -> t <> ''))
+    ::varchar as key,
+  count(*) n from s group by 2),
+tg as (select {duck.toks("text")} tk from documents
+       where text is not null),
+ng as (select 'ngram' part, array_to_string(tk[i:i+2], ' ') as key,
+              count(*) as n
+       from tg, unnest(generate_series(1, len(tk) - 2)) u(i)
+       where len(tk) >= 3
+       group by 2 order by n desc, key limit 20)
+select * from red union all select * from sents union all
+select * from ng
+"""
+
+
 def q_simhash_neardups(spark, sf):
     # xxhash64-based SimHash has no DuckDB twin -> rows-only check
     # (the same plan shape IS oracle-checked via q_simhash_portable)
@@ -1817,6 +1868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top1": q_tfidf_top1,
         "token_count_total": q_token_count_total,
         "doc_fingerprint": q_doc_fingerprint,
+        "redundancy_structure": q_redundancy_structure,
         # dedup
         "dedup_subset": q_dedup_subset,
         "minhash_signatures": q_minhash_signatures,
@@ -1893,6 +1945,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top1": SQL_TFIDF,
         "token_count_total": SQL_TOKEN_COUNT,
         "doc_fingerprint": SQL_FINGERPRINT,
+        "redundancy_structure": SQL_REDUNDANCY_STRUCTURE,
         "dedup_subset": SQL_DEDUP_SUBSET,
         "minhash_signatures": SQL_MINHASH,
         "minhash_lsh_portable": SQL_MINHASH_LSH,

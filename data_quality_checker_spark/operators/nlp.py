@@ -26,6 +26,12 @@ __all__ = [
     "category_feature_interaction",
     "tfidf_top_terms",
     "lda_topics",
+    "analyze_text_similarity",
+    "analyze_topics_and_keywords",
+    "analyze_deep_linguistics",
+    "detect_text_variability",
+    "analyze_text_complexity_overview",
+    "analyze_text_redundancy_structure",
 ]
 
 
@@ -228,3 +234,137 @@ def lda_topics(
     vec = cv.transform(toks)
     lda = LDA(k=num_topics, seed=seed, maxIter=max_iter).fit(vec)
     return lda.describeTopics(), list(cv.vocabulary)
+
+
+# ---------------------------------------------------------------------
+# composite analyzers — the reference's one-call wrappers
+# (nlp_analyzer.py:383-646). Each returns a dict of lazy DataFrames so
+# a reference user has a drop-in equivalent; constituents are the
+# operators above (scoped-out branches — word2vec, RAKE, NER/POS — are
+# documented in SURVEY.md §2.9 and omitted here too).
+# ---------------------------------------------------------------------
+
+
+def analyze_text_similarity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    similarity_threshold: float = 0.8,
+    top_k_terms: int = 3,
+) -> dict:
+    """nlp_analyzer.py:383-419: similar pairs + vectorization. The n^2
+    SequenceMatcher pair scan becomes MinHash-LSH; the TF-IDF matrix
+    becomes per-doc top terms (never a dense n x vocab frame)."""
+    from data_quality_checker_spark.operators.dedup import (
+        near_duplicates_minhash,
+    )
+
+    return {
+        "similar_text_pairs": near_duplicates_minhash(
+            df, id_col, text_col, threshold=similarity_threshold
+        ),
+        "tfidf_top_terms": tfidf_top_terms(
+            df, id_col, text_col, top_k=top_k_terms
+        ),
+    }
+
+
+def analyze_topics_and_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    n_topics: int = 5,
+    top_keywords: int = 10,
+    ngram_n: int = 2,
+    top_ngrams_k: int = 20,
+) -> dict:
+    """nlp_analyzer.py:421-459: LDA topics + keywords (word-frequency
+    branch; RAKE scoped out) + top n-grams."""
+    topics, vocab = lda_topics(df, text_col, num_topics=n_topics)
+    return {
+        "topics": topics,
+        "vocabulary": vocab,
+        "keywords": word_frequencies(df, text_col, top_k=top_keywords),
+        "ngrams": top_ngrams(df, text_col, n=ngram_n, top_k=top_ngrams_k),
+    }
+
+
+def analyze_deep_linguistics(
+    df: DataFrame, text_col: str = "text"
+) -> dict:
+    """nlp_analyzer.py:461-499: language mix + lexical richness
+    (NER/POS branches scoped out — spaCy/nltk absent by design)."""
+    from data_quality_checker_spark.functions.text import langid_best
+
+    langs = (
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(langid_best(text_col).alias("lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return {
+        "language_distribution": langs,
+        "lexical_diversity": corpus_lexical_diversity(df, text_col),
+        "word_length_distribution": word_length_distribution(df, text_col),
+    }
+
+
+def detect_text_variability(
+    df: DataFrame, text_col: str = "text", min_count: int = 3
+) -> dict:
+    """nlp_analyzer.py:501-540: repetition/variability signals (entity
+    variations reframed as casing-collision + overused tokens)."""
+    from data_quality_checker_spark.operators.quality import (
+        inconsistent_casing,
+    )
+
+    return {
+        "lexical_diversity": corpus_lexical_diversity(df, text_col),
+        "overused_tokens": redundant_tokens(df, text_col, min_count),
+        "casing_variants": inconsistent_casing(df, text_col),
+    }
+
+
+def analyze_text_complexity_overview(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """nlp_analyzer.py:542-574: per-document complexity metrics in ONE
+    projection (chars, words, mean word length, lexical diversity,
+    mean sentence words; textstat readability lives in
+    plans/udfs.perplexity_udf — model-backed, kept separate)."""
+    from data_quality_checker_spark.functions import text as X
+
+    sent = F.filter(
+        F.split(F.col(text_col), r"[.!?]+"),
+        lambda s: F.trim(s) != F.lit(""),
+    )
+    n_sent = F.size(sent)
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        X.char_count(text_col).alias("chars"),
+        X.word_count(text_col).alias("words"),
+        X.mean_word_length(text_col).alias("mean_word_len"),
+        X.lexical_diversity(text_col).alias("lexical_diversity"),
+        F.when(
+            n_sent > 0,
+            X.word_count(text_col).cast("double") / n_sent,
+        ).alias("mean_sentence_words"),
+    )
+
+
+def analyze_text_redundancy_structure(
+    df: DataFrame,
+    text_col: str = "text",
+    redundancy_threshold: int = 3,
+    ngram_n: int = 3,
+    top_ngrams_k: int = 20,
+) -> dict:
+    """nlp_analyzer.py:611-646: overused phrases + sentence structure +
+    common n-grams."""
+    return {
+        "redundant_phrases": redundant_tokens(
+            df, text_col, min_count=redundancy_threshold
+        ),
+        "sentence_structure": sentence_length_distribution(df, text_col),
+        "common_ngrams": top_ngrams(
+            df, text_col, n=ngram_n, top_k=top_ngrams_k
+        ),
+    }

@@ -166,3 +166,81 @@ def test_report_and_remaining_quality_ops(spark):
     assert Q.column_naming_violations(
         spark.createDataFrame([(1,)], "BadName long")
     ) == ["BadName"]
+
+
+def test_partition_column_completeness(spark):
+    from data_quality_checker_spark.operators import quality as Q
+
+    rows = [
+        ("p1", 1, "x"),
+        ("p1", 2, None),
+        ("p2", None, None),   # p2: val entirely null, tag entirely null
+        ("p2", None, None),
+        ("p3", 5, None),      # p3: tag entirely null
+    ]
+    df = spark.createDataFrame(rows, "part string, val int, tag string")
+    got = {
+        (r["partition"], r["column"])
+        for r in Q.partition_column_completeness(
+            df, "part", ["val", "tag"]
+        ).collect()
+    }
+    assert got == {("p2", "val"), ("p2", "tag"), ("p3", "tag")}
+
+
+def test_column_naming_violations(spark):
+    from data_quality_checker_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [(1, 2, 3, 4)], "good_name int, BadName int, `with space` int, ok int"
+    )
+    assert Q.column_naming_violations(df) == ["BadName", "with space"]
+    assert Q.column_naming_violations(df, pattern=r"^\w+$") == ["with space"]
+
+
+def test_composite_nlp_wrappers(spark):
+    from data_quality_checker_spark.operators import nlp as N
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat. the cat sat again! the end?"),
+            (1, "the cat sat on the mat. the cat sat again! the start?"),
+            (2, "spark engines shuffle data. The data the data the data."),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    red = N.analyze_text_redundancy_structure(
+        docs, redundancy_threshold=3, ngram_n=3, top_ngrams_k=5
+    )
+    assert set(red) == {
+        "redundant_phrases", "sentence_structure", "common_ngrams",
+    }
+    toks = {r["token"] for r in red["redundant_phrases"].collect()}
+    assert "the" in toks
+    assert red["common_ngrams"].count() == 5
+
+    sim = N.analyze_text_similarity(docs, similarity_threshold=0.3)
+    pairs = {(r["id_a"], r["id_b"]) for r in sim["similar_text_pairs"].collect()}
+    assert (0, 1) in pairs
+    assert sim["tfidf_top_terms"].count() > 0
+
+    deep = N.analyze_deep_linguistics(docs)
+    langs = {r["lang"]: r["n"] for r in deep["language_distribution"].collect()}
+    assert langs.get("en", 0) >= 2
+    assert 0 < deep["lexical_diversity"].first()["lexical_diversity"] < 1
+
+    var = N.detect_text_variability(docs, min_count=4)
+    assert {r["token"] for r in var["overused_tokens"].collect()} >= {"the"}
+    casing = {r["lower_value"] for r in var["casing_variants"].collect()}
+    assert casing == set()  # full-text casing collisions: none here
+
+    topics = N.analyze_topics_and_keywords(docs, n_topics=2, top_keywords=3)
+    assert topics["topics"].count() == 2 and len(topics["vocabulary"]) > 0
+    assert topics["keywords"].first()["token"] == "the"
+
+    overview = N.analyze_text_complexity_overview(docs).collect()
+    by_id = {r["doc_id"]: r for r in overview}
+    assert len(by_id) == 3  # null doc filtered
+    assert by_id[0]["words"] == 12
+    assert by_id[0]["mean_sentence_words"] == 4.0
