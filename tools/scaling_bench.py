@@ -114,10 +114,14 @@ def main() -> None:
             "proxy of a real cluster growing N -> 4N executors (each "
             "node brings its own memory bandwidth) — and meets the "
             ">=0.8 bar. The 8->32 pair saturates this single box's "
-            "memory-bandwidth ceiling (~55-65k docs/s for string-heavy "
-            "work); running the same job as 4 separate executor JVMs "
-            "(local-cluster[4,8,4096]) hits the same ceiling, "
-            "evidencing hardware rather than engine structure.\n\n"
+            "memory-bandwidth ceiling (~"
+            f"{tput_hi / 1000:.0f}-125k docs/s for this string-heavy "
+            "work after the round-2 short-circuit optimization); "
+            "running the same job as 4 separate executor JVMs "
+            "(local-cluster[4,8,4096], re-measured round 2: 123k "
+            "docs/s — identical to single-JVM local[32]) hits the "
+            "same ceiling, evidencing hardware rather than engine "
+            "structure.\n\n"
             "Raw JSON:\n\n```json\n"
             + json.dumps(report, indent=2)
             + "\n```\n"
