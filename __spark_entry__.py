@@ -1276,9 +1276,9 @@ def q_token_count_total(spark, sf):
 SQL_TOKEN_COUNT = r"""
 select
  sum(len(list_filter(string_split_regex(lower(text), '[\s[:punct:]]+'),
-     t -> t <> ''))) as total_subword_tokens,
+     t -> t <> '')))::bigint as total_subword_tokens,
  sum(len(list_filter(string_split_regex(lower(text), '\s+'),
-     t -> t <> ''))) as total_ws_tokens
+     t -> t <> '')))::bigint as total_ws_tokens
 from documents where text is not null
 """
 

@@ -79,11 +79,27 @@ def main():
         try:
             rel = con.sql(oracles[name])
             dcols = [c for c in rel.columns]
+            dtypes = [str(t).upper() for t in rel.types]
             drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e)[:200]}")
             n_fail += 1
             continue
+        # the driver's value-hasher distinguishes arrow-level types this
+        # stringify-normalizing checker doesn't: a DuckDB HUGEINT or
+        # DECIMAL column (e.g. sum(int)+1) hash-mismatches a Spark
+        # BIGINT even when every value is equal (round-1 sessionization
+        # failure). Surface the risk loudly so twins cast explicitly.
+        sfields = {f.name: f.dataType.simpleString() for f in sdf.schema}
+        for c, t in zip(dcols, dtypes):
+            risky = t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL")
+            if risky and not sfields.get(c, "").startswith("decimal"):
+                print(
+                    f"WARN  {name}: oracle column '{c}' is {t} but the "
+                    f"Spark side is {sfields.get(c)} — the DRIVER hash "
+                    "will mismatch; add an explicit ::BIGINT/::DOUBLE "
+                    "cast to the twin"
+                )
         problems = []
         if len(srows) != len(drows):
             problems.append(f"rowcount {len(srows)} vs {len(drows)}")
