@@ -32,6 +32,7 @@ __all__ = [
     "seasonal_strength",
     "ewma",
     "change_points",
+    "partial_autocorrelation",
 ]
 
 
@@ -638,3 +639,46 @@ def dickey_fuller_stat(
     return df.groupBy(series_col).applyInPandas(
         _adf, schema=f"series {series_type}, df_stat double, n long"
     )
+
+
+def partial_autocorrelation(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    max_lag: int = 5,
+    series_col: str | None = None,
+) -> list[tuple[int, float]]:
+    """PACF up to max_lag — the missing half of identify_seasonality
+    (ts_analyzer.py:502-526 computes ACF; statsmodels pacf was the
+    reference's companion). Distributed part: the ACF aggregate
+    (serial_correlation, one pass). Driver part: the Durbin-Levinson
+    recursion over those max_lag scalars — O(max_lag^2) arithmetic on
+    a handful of numbers, the prescribed sufficient-statistics split
+    (SURVEY.md §2.10). Returns [(lag, pacf)], lag 1..max_lag."""
+    acf_rows = serial_correlation(
+        df, value_col, ts_col, max_lag, series_col
+    ).collect()
+    rho = {r["lag"]: r["acf"] for r in acf_rows}
+    if any(rho.get(k) is None for k in range(1, max_lag + 1)):
+        return [(k, float("nan")) for k in range(1, max_lag + 1)]
+    # Durbin-Levinson: phi[k][k] is the lag-k partial autocorrelation
+    phi_prev: list[float] = []
+    out: list[tuple[int, float]] = []
+    for k in range(1, max_lag + 1):
+        if k == 1:
+            phi_kk = rho[1]
+        else:
+            num = rho[k] - sum(
+                phi_prev[j] * rho[k - 1 - j] for j in range(k - 1)
+            )
+            den = 1.0 - sum(
+                phi_prev[j] * rho[j + 1] for j in range(k - 1)
+            )
+            phi_kk = num / den if den else float("nan")
+        phi_k = [
+            phi_prev[j] - phi_kk * phi_prev[k - 2 - j]
+            for j in range(k - 1)
+        ] + [phi_kk]
+        phi_prev = phi_k
+        out.append((k, phi_kk))
+    return out

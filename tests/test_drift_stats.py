@@ -160,3 +160,21 @@ def test_multivariate_normality_flags(spark):
     ku = ((x - x.mean()) ** 4).mean() / x.std() ** 4 - 3
     want = n / 6 * (sk**2 + ku**2 / 4)
     assert out["norm"]["jb"] == pytest.approx(want, rel=1e-6)
+
+
+def test_pacf_ar1(spark):
+    """PACF of an AR(1) process: lag-1 ~ phi, higher lags ~ 0
+    (Durbin-Levinson over the distributed ACF)."""
+    from data_quality_checker_spark.operators import temporal as T
+
+    RNG = np.random.default_rng(9)
+    phi, n = 0.7, 4000
+    x = np.zeros(n)
+    for i in range(1, n):
+        x[i] = phi * x[i - 1] + RNG.normal()
+    rows = [(i, float(v)) for i, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "ts int, value double")
+    pacf = dict(T.partial_autocorrelation(df, "value", "ts", max_lag=4))
+    assert pacf[1] == pytest.approx(phi, abs=0.06)
+    for k in (2, 3, 4):
+        assert abs(pacf[k]) < 0.08
