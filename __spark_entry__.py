@@ -1501,6 +1501,31 @@ select * from ng
 """
 
 
+def q_dedup_clusters(spark, sf):
+    """Connected components over the md5-family LSH near-dup pairs —
+    the dedup endpoint (keep one doc per cluster). Spark: distributed
+    min-label propagation (dedup.duplicate_clusters); DuckDB twin: a
+    recursive CTE propagating origin labels along symmetrized edges
+    (min reachable id == min component member)."""
+    pairs = q_minhash_lsh_portable(spark, sf)
+    return DD.duplicate_clusters(pairs)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+with recursive
+pairs as ({SQL_MINHASH_LSH}),
+edges as (select id_a s, id_b d from pairs
+          union select id_b, id_a from pairs),
+walk(id, lab) as (
+  select distinct s, s from edges
+  union
+  select e.d, w.lab from walk w join edges e on e.s = w.id
+    where w.lab < e.d
+)
+select id, min(lab) as cluster_id from walk group by id
+"""
+
+
 def q_simhash_neardups(spark, sf):
     # xxhash64-based SimHash has no DuckDB twin -> rows-only check
     # (the same plan shape IS oracle-checked via q_simhash_portable)
@@ -1873,6 +1898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_subset": q_dedup_subset,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_portable": q_minhash_lsh_portable,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_neardups": q_minhash_neardups,
         "simhash_neardups": q_simhash_neardups,
         "simhash_portable": q_simhash_portable,
@@ -1949,6 +1975,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_subset": SQL_DEDUP_SUBSET,
         "minhash_signatures": SQL_MINHASH,
         "minhash_lsh_portable": SQL_MINHASH_LSH,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "simhash_portable": _sql_simhash_portable(),
         "perplexity": SQL_PERPLEXITY,
         # minhash_neardups / simhash_neardups: xxhash64-based, no

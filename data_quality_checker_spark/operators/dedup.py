@@ -34,6 +34,8 @@ __all__ = [
     "exact_duplicate_groups",
     "release_cache",
     "near_duplicates_minhash",
+    "duplicate_clusters",
+    "drop_near_duplicates",
     "simhash64_agg",
     "near_duplicates_simhash",
     "ngram_jaccard_pairs",
@@ -392,3 +394,81 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs -> one row per
+    member: (id, cluster_id) with cluster_id = min id in the component.
+
+    This is the dedup ENDPOINT the pair lists feed (keep one document
+    per cluster); the reference never clusters — its pair loop stops at
+    pairs (nlp_analyzer.py:720-743). Distributed min-label propagation:
+    each iteration joins labels across the (symmetrized) edge list and
+    takes the per-node min — one shuffle per hop, converging in
+    O(component diameter) iterations (near-dup graphs are star-like, so
+    typically 2-4). Lineage is truncated per iteration with
+    localCheckpoint so the plan stays flat; iteration stops early when
+    a cheap changed-count aggregate hits zero."""
+    e = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.withColumnsRenamed({"id": "src", "label": "_nl"}),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("_nl").alias("_nl"))
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("_nl", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "_new")
+            .join(labels, "id")
+            .filter(F.col("_new") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def drop_near_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep exactly one document per near-dup cluster (the canonical
+    member = min id); documents in no pair pass through untouched.
+    Anti-join on the non-canonical member set — never touches text."""
+    clusters = duplicate_clusters(pairs, id_a, id_b)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

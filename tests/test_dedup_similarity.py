@@ -268,3 +268,30 @@ def test_minhash_storage_path_matches_inmemory(spark, docs, tmp_path):
         not d.storageLevel.useMemory and not d.storageLevel.useDisk
         for d in inmem._cached_deps
     )
+
+
+def test_duplicate_clusters_and_drop(spark):
+    # components: chain 1-2-3-4 (diameter 3), star 10-{11,12,13},
+    # pair 20-21, singleton 30 (no edges -> passes through drop)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in D.duplicate_clusters(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20,
+    }
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 4, 10, 11, 20, 21, 30]],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"] for r in D.drop_near_duplicates(docs, pairs).collect()
+    }
+    # one canonical (min id) per cluster + untouched singleton
+    assert kept == {1, 10, 20, 30}
