@@ -53,31 +53,48 @@ def _r6(c):
 
 
 def q_pricing_summary(spark, sf):
-    """TPC-H Q1 shape over lineitem (scan -> single hash aggregate)."""
+    """TPC-H Q1 shape over lineitem (scan -> single hash aggregate).
+
+    Money/quantity aggregates run in DECIMAL: the source doubles are
+    exact 2-dp values, so decimal(18,2) recovers them exactly and the
+    sums are EXACT in both engines at any SF — a double sum of ~500k
+    values differs in the last ulp between Spark's partial-aggregate
+    order and DuckDB's, which flipped the 6-dp rounding at sf0.1.
+    Averages divide the exact decimal sum (as double) by the count, one
+    IEEE op on identical operands."""
     li = _t(spark, sf, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _r6(F.sum("l_quantity")).alias("sum_qty"),
-            _r6(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r6(F.sum(qty).cast("double")).alias("sum_qty"),
+            _r6(F.sum(price).cast("double")).alias("sum_base_price"),
             _r6(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                F.sum(
+                    price * (F.lit(1).cast("decimal(18,2)") - disc)
+                ).cast("double")
             ).alias("sum_disc_price"),
-            _r6(F.avg("l_quantity")).alias("avg_qty"),
-            _r6(F.avg("l_discount")).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            _r6(F.sum(qty).cast("double") / n).alias("avg_qty"),
+            _r6(F.sum(disc).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
 
 SQL_PRICING = """
 select l_returnflag, l_linestatus,
-  round(sum(l_quantity), 6) as sum_qty,
-  round(sum(l_extendedprice), 6) as sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 6) as sum_disc_price,
-  round(avg(l_quantity), 6) as avg_qty,
-  round(avg(l_discount), 6) as avg_disc,
+  round(sum(l_quantity::decimal(18,2))::double, 6) as sum_qty,
+  round(sum(l_extendedprice::decimal(18,2))::double, 6)
+    as sum_base_price,
+  round(sum(l_extendedprice::decimal(18,2)
+            * (1::decimal(18,2) - l_discount::decimal(18,2)))::double, 6)
+    as sum_disc_price,
+  round(sum(l_quantity::decimal(18,2))::double / count(*), 6) as avg_qty,
+  round(sum(l_discount::decimal(18,2))::double / count(*), 6) as avg_disc,
   count(*) as count_order
 from lineitem
 where l_shipdate <= date '1998-09-01'
@@ -993,9 +1010,13 @@ def q_multivariate_normality(spark, sf):
     li = _t(spark, sf, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     res = S.multivariate_normality(li, cols)
+    # scale-free jb/n: jb grows ~n while Spark's moment aggregates and
+    # the twin's explicit-moment SQL differ in the last ulps, so 6-dp
+    # rounding of raw jb flips at large SF; jb/n is O(1) with ~1e-11
+    # absolute error at any n
     return res.select(
         "column",
-        _r6(F.col("jb")).alias("jb"),
+        _r6(F.col("jb") / F.col("n")).alias("jb_per_row"),
         _r6(F.col("p_value")).alias("p_value"),
         "normal",
     )
@@ -1006,9 +1027,9 @@ def _sql_multinorm() -> str:
     for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]:
         blocks.append(f"""
 select '{c}' as "column",
- round(jb, 6) as jb, round(exp(-jb / 2), 6) as p_value,
+ round(jb / n, 6) as jb_per_row, round(exp(-jb / 2), 6) as p_value,
  exp(-jb / 2) > 0.05 as normal
-from (select n / 6.0 * (pow(m3 / pow(m2, 1.5), 2)
+from (select n, n / 6.0 * (pow(m3 / pow(m2, 1.5), 2)
                         + pow(m4 / pow(m2, 2) - 3, 2) / 4) jb
       from (select count({c})::double n,
                    avg(pow({c} - mu, 2)) m2,

@@ -50,23 +50,37 @@ def prefix_sums(
     """Exact global running sums of ``sum_cols`` in ``order_col`` order,
     WITHOUT a single-partition window.
 
-    Two-phase distributed scan: (1) range-partition by ``order_col`` and
-    sort within partitions; (2) aggregate per-partition totals — an
-    O(partitions)-row collect — and turn them into per-partition start
-    offsets; (3) one stateful mapInPandas pass adds ``cum_<c>`` columns
-    (double: counts stay exact to 2^53). Rows with NULL ``order_col``
-    must be filtered by the caller.
+    Two-phase distributed scan: (1) assign each row a DETERMINISTIC
+    range-bucket id from literal approxQuantile boundaries (NOT
+    repartitionByRange — its sampler is not stable across the two jobs
+    below, so offsets computed against one partitioning would be
+    applied to another; observed as a nondeterministically wrong KS
+    statistic at sf0.1); (2) aggregate per-bucket totals — an
+    O(partitions)-row collect — into per-bucket start offsets;
+    (3) shuffle whole buckets (hash on the bucket id — any placement of
+    complete buckets is correct since cumulative state is keyed by
+    bucket), sort within partitions by (bucket, order), and one
+    stateful mapInPandas pass adds ``cum_<c>`` columns (double: counts
+    stay exact to 2^53). Rows with NULL ``order_col`` must be filtered
+    by the caller; ``order_col`` must be numeric (approxQuantile).
 
-    At petabyte scale, persist/checkpoint ``df`` first: phases 1 and 3
+    At petabyte scale, persist/checkpoint ``df`` first: phases 2 and 3
     each scan it once.
     """
+    # deterministic bucket boundaries: Greenwald-Khanna is a
+    # deterministic streaming algorithm, so both downstream jobs see
+    # identical bucket ids for every row
+    probs = [i / partitions for i in range(1, partitions)]
+    bounds = df.approxQuantile(order_col, probs, 0.001)
+    barr = F.array(*[F.lit(float(b)) for b in bounds])
+    pid_expr = F.size(F.filter(barr, lambda b: b <= F.col(order_col)))
     d = (
-        df.repartitionByRange(partitions, F.col(order_col))
-        .sortWithinPartitions(order_col)
-        .withColumn("_pid", F.spark_partition_id())
+        df.withColumn("_pid", pid_expr)
+        .repartition(partitions, "_pid")
+        .sortWithinPartitions("_pid", order_col)
     )
     totals = {
-        r["_pid"]: [r[f"_t_{c}"] or 0 for c in sum_cols]
+        int(r["_pid"]): [r[f"_t_{c}"] or 0 for c in sum_cols]
         for r in d.groupBy("_pid")
         .agg(*[F.sum(c).alias(f"_t_{c}") for c in sum_cols])
         .collect()
@@ -85,17 +99,24 @@ def prefix_sums(
     )
 
     def cumulate(batches):
-        state: list[float] | None = None
+        import pandas as pd
+
+        state: dict[int, list[float]] = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if state is None:  # first batch of this partition
-                state = list(offsets[int(pdf["_pid"].iloc[0])])
-            for i, c in enumerate(sum_cols):
-                vals = pdf[c].fillna(0).astype("float64")
-                pdf[f"cum_{c}"] = vals.cumsum() + state[i]
-                state[i] += float(vals.sum())
-            yield pdf
+            pieces = []
+            # rows arrive sorted by (_pid, order): iterating groups in
+            # ascending pid order preserves the original row order
+            for pid, grp in pdf.groupby("_pid", sort=True):
+                st = state.setdefault(int(pid), list(offsets[int(pid)]))
+                grp = grp.copy()
+                for i, c in enumerate(sum_cols):
+                    vals = grp[c].fillna(0).astype("float64")
+                    grp[f"cum_{c}"] = vals.cumsum() + st[i]
+                    st[i] += float(vals.sum())
+                pieces.append(grp)
+            yield pd.concat(pieces)
 
     return d.mapInPandas(cumulate, schema=out_schema).drop("_pid")
 

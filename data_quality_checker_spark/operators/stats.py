@@ -589,15 +589,17 @@ def multivariate_normality(df: DataFrame, columns: list[str]) -> DataFrame:
                     + F.col(f"_ku_{c}") * F.col(f"_ku_{c}") / 4.0
                 )
             ).alias("jb"),
+            F.col(f"_n_{c}").cast("bigint").alias("n"),
         )
         for c in columns
     ]
     stacked = a.select(F.explode(F.array(*structs)).alias("s")).select(
-        "s.column", "s.jb"
+        "s.column", "s.jb", "s.n"
     )
     return stacked.select(
         "column",
         "jb",
+        "n",
         F.exp(-F.col("jb") / 2.0).alias("p_value"),
         (F.exp(-F.col("jb") / 2.0) > 0.05).alias("normal"),
     )
