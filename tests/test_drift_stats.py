@@ -178,3 +178,36 @@ def test_pacf_ar1(spark):
     assert pacf[1] == pytest.approx(phi, abs=0.06)
     for k in (2, 3, 4):
         assert abs(pacf[k]) < 0.08
+
+
+def test_prefix_sums_deterministic_across_runs(spark):
+    """Regression: repartitionByRange's sampler is not stable across
+    jobs, which once skewed the offsets (round-2 fix: deterministic
+    approxQuantile buckets). Two evaluations must agree exactly, and
+    match a single-partition-window reference."""
+    from pyspark.sql import Window
+
+    RNG = np.random.default_rng(11)
+    df = (
+        spark.createDataFrame(
+            [(float(v),) for v in RNG.normal(size=50_000)], "v double"
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    runs = []
+    for _ in range(2):
+        agg = (
+            DR.prefix_sums(df, "v", ["c"], partitions=16)
+            .agg(F.sum(F.col("v") * F.col("cum_c")).alias("chk"))
+            .first()["chk"]
+        )
+        runs.append(agg)
+    assert runs[0] == runs[1]
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ref = (
+        df.withColumn("cum_c", F.sum("c").over(w).cast("double"))
+        .agg(F.sum(F.col("v") * F.col("cum_c")).alias("chk"))
+        .first()["chk"]
+    )
+    assert runs[0] == pytest.approx(ref, rel=1e-12)
