@@ -229,3 +229,43 @@ def test_rule_drift_report(spark, pages, tmp_path_factory):
     }
     assert drift["too_short"]["abs_delta"] > 0.5  # nearly all docs now fail
     assert drift["toxicity"]["abs_delta"] < 1e-9  # untouched rule stable
+
+
+def test_extract_text_byte_identity_and_realistic_html(spark):
+    from data_quality_checker_spark.plans import synth
+    from data_quality_checker_spark.plans.extract import (
+        extract_text_expr,
+        with_extracted_text,
+    )
+
+    # synthetic corpus: markup merely wraps the text -> extraction must
+    # reproduce the stored text byte-for-byte on every row
+    pages = synth.pages_df(spark, 300, seed=21)
+    mism = (
+        with_extracted_text(pages, "html", "extracted")
+        .filter(
+            ~(
+                (F.col("extracted") == F.col("text"))
+                | (F.col("extracted").isNull() & F.col("text").isNull())
+            )
+        )
+        .count()
+    )
+    assert mism == 0
+
+    # realistic page: scripts/styles/comments dropped, entities decoded,
+    # tags become separators, whitespace normalized
+    html = (
+        b"<html><head><title>t</title></head><body>"
+        b"<script>var x = '<p>no</p>';</script>"
+        b"<style>p { color: red }</style>"
+        b"<!-- hidden -->"
+        b"<p>Tom &amp; Jerry</p><p>2 &lt; 3</p></body></html>"
+    )
+    df = spark.createDataFrame([(html,)], "html binary")
+    got = df.select(
+        extract_text_expr("html", sep=" ", normalize_whitespace=True).alias(
+            "t"
+        )
+    ).first()["t"]
+    assert got == "Tom & Jerry 2 < 3"
