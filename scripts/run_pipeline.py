@@ -36,6 +36,13 @@ def main() -> None:
         default="sql",
         help="heuristic Catalyst langid vs pandas-UDF (fastText-ready)",
     )
+    p.add_argument(
+        "--extract-from-html",
+        action="store_true",
+        help="derive the text column from the html BINARY column "
+        "(plans/extract.py) before scoring — for corpora shipping "
+        "markup only",
+    )
     args = p.parse_args()
 
     from data_quality_checker_spark.plans.pipeline import (
@@ -63,6 +70,15 @@ def main() -> None:
         if not args.input:
             p.error("--input required unless --synth is given")
         pages = spark.read.parquet(args.input)
+
+    if args.extract_from_html:
+        from data_quality_checker_spark.plans.extract import (
+            with_extracted_text,
+        )
+
+        pages = with_extracted_text(
+            pages, "html", "text", sep=" ", normalize_whitespace=True
+        )
 
     cfg = PipelineConfig(
         rules=RuleConfig(),
