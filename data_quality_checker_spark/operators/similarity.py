@@ -16,12 +16,22 @@ here."""
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_quality_checker_spark.operators.dedup import cosine_expr, sign_lsh_key
 
-__all__ = ["topk_bruteforce", "topk_lsh", "topk_ivf"]
+__all__ = [
+    "topk_bruteforce",
+    "topk_lsh",
+    "topk_ivf",
+    "IvfIndex",
+    "build_ivf_index",
+    "load_ivf_index",
+    "search_ivf",
+]
 
 
 def topk_bruteforce(
@@ -118,26 +128,73 @@ def topk_lsh(
     )
 
 
-def topk_ivf(
+@dataclass
+class IvfIndex:
+    """A built IVF index: the (tiny) coarse-quantizer centroids plus
+    the corpus-to-cell assignment relation (id, cv, cell). When built
+    with ``storage_path`` the assignment is a parquet table PARTITIONED
+    BY cell, so a search probing n_probe cells reads only those
+    partitions (partition pruning) — the disk layout IS the inverted
+    file."""
+
+    centroids: list[tuple[int, list[float]]]
+    assignments: DataFrame
+
+
+def _nearest_cells(
+    df: DataFrame,
+    ident: str,
+    vec: str,
+    probes: int,
+    centroids: list[tuple[int, list[float]]],
+) -> DataFrame:
+    """n-probe nearest centroid cells per vector as a PURE PROJECTION:
+    the centroid list is a compile-time literal, so each row computes
+    its (distance, cell) array, sorts it (struct order = dist asc,
+    cell asc — same tie-break a rank window would give), and explodes
+    the first `probes` entries. Zero shuffle — the previous
+    crossJoin + Window.partitionBy(_id) re-shuffled the entire
+    embedding corpus once per build."""
+
+    def sq_dist(center: list[float]):
+        return F.aggregate(
+            F.zip_with(
+                F.col("_v").cast("array<double>"),
+                F.lit(center),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dc = F.array(
+        *[
+            F.struct(sq_dist(center).alias("d"), F.lit(cell).alias("cell"))
+            for cell, center in centroids
+        ]
+    )
+    nearest = F.slice(F.array_sort(dc), 1, probes)
+    return (
+        df.select(F.col(ident).alias("_id"), F.col(vec).alias("_v"))
+        .select("_id", "_v", F.explode(nearest).alias("_dc"))
+        .select("_id", "_v", F.col("_dc.cell").alias("cell"))
+    )
+
+
+def build_ivf_index(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_centroids: int = 16,
-    n_probe: int = 4,
     sample_fraction: float = 1.0,
     seed: int = 42,
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: KMeans coarse quantizer
-    fit on a corpus sample, corpus assigned to its nearest centroid
-    once (reusable — persist/write the assignment at scale), each query
-    probes only its n_probe nearest centroid cells. Exact cosine + top-k
-    inside the probed cells.
-
-    Scale shape: the fit touches a sample; assignment is one map pass;
-    search reads ~n_probe/num_centroids of the corpus per query batch.
-    Recall rises with n_probe (n_probe == num_centroids -> exact)."""
+    storage_path: str | None = None,
+) -> IvfIndex:
+    """Fit the KMeans coarse quantizer (on a sample) and assign every
+    corpus vector to its nearest cell in one shuffle-free projection.
+    With ``storage_path``, the assignment is written as parquet
+    partitioned by cell (plus a ``centroids`` table) and read back —
+    build once, search many; :func:`load_ivf_index` reopens it."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -153,47 +210,51 @@ def topk_ivf(
         (int(i), [float(x) for x in c])
         for i, c in enumerate(km.clusterCenters())
     ]
-
-    def _cells(df: DataFrame, ident: str, vec: str, probes: int) -> DataFrame:
-        """n-probe nearest centroid cells per vector as a PURE PROJECTION:
-        the centroid list is a compile-time literal, so each row computes
-        its (distance, cell) array, sorts it (struct order = dist asc,
-        cell asc — same tie-break a rank window would give), and explodes
-        the first `probes` entries. Zero shuffle — the previous
-        crossJoin + Window.partitionBy(_id) re-shuffled the entire
-        embedding corpus once per build."""
-
-        def sq_dist(center: list[float]):
-            return F.aggregate(
-                F.zip_with(
-                    F.col("_v").cast("array<double>"),
-                    F.lit(center),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-
-        dc = F.array(
-            *[
-                F.struct(sq_dist(center).alias("d"), F.lit(cell).alias("cell"))
-                for cell, center in centroids
-            ]
+    assignments = _nearest_cells(
+        corpus, id_col, vec_col, 1, centroids
+    ).withColumnsRenamed({"_id": "id", "_v": "cv"})
+    if storage_path is not None:
+        spark = corpus.sparkSession
+        assignments.write.partitionBy("cell").mode("overwrite").parquet(
+            f"{storage_path}/assignments"
         )
-        nearest = F.slice(F.array_sort(dc), 1, probes)
-        return (
-            df.select(F.col(ident).alias("_id"), F.col(vec).alias("_v"))
-            .select("_id", "_v", F.explode(nearest).alias("_dc"))
-            .select("_id", "_v", F.col("_dc.cell").alias("cell"))
-        )
+        spark.createDataFrame(
+            centroids, "cell int, centroid array<double>"
+        ).write.mode("overwrite").parquet(f"{storage_path}/centroids")
+        assignments = spark.read.parquet(f"{storage_path}/assignments")
+    return IvfIndex(centroids=centroids, assignments=assignments)
 
-    corpus_cells = _cells(corpus, id_col, vec_col, 1).withColumnsRenamed(
-        {"_id": "id", "_v": "cv"}
+
+def load_ivf_index(spark, storage_path: str) -> IvfIndex:
+    """Reopen an index written by build_ivf_index(storage_path=...)."""
+    centroids = [
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in spark.read.parquet(f"{storage_path}/centroids")
+        .orderBy("cell")
+        .collect()
+    ]
+    return IvfIndex(
+        centroids=centroids,
+        assignments=spark.read.parquet(f"{storage_path}/assignments"),
     )
-    query_cells = _cells(queries, id_col, vec_col, n_probe).withColumnsRenamed(
-        {"_id": "query_id", "_v": "qv"}
-    )
-    cands = corpus_cells.join(
+
+
+def search_ivf(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k over the probed cells only: the (tiny) query-to-cells
+    relation broadcasts into the assignment join, so a disk-backed
+    index reads ~n_probe/num_centroids of the corpus (partition-pruned
+    when the assignment table is partitioned by cell)."""
+    query_cells = _nearest_cells(
+        queries, id_col, vec_col, n_probe, index.centroids
+    ).withColumnsRenamed({"_id": "query_id", "_v": "qv"})
+    cands = index.assignments.join(
         F.broadcast(query_cells), "cell"
     ).filter(F.col("id") != F.col("query_id"))
     scored = cands.select(
@@ -210,3 +271,23 @@ def topk_ivf(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    n_probe: int = 4,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """One-shot IVF approximate top-k (build + search; see
+    build_ivf_index/search_ivf for the build-once-search-many form).
+    Recall rises with n_probe (n_probe == num_centroids -> exact)."""
+    index = build_ivf_index(
+        corpus, id_col, vec_col, num_centroids, sample_fraction, seed
+    )
+    return search_ivf(index, queries, k, id_col, vec_col, n_probe)

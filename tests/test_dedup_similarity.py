@@ -295,3 +295,28 @@ def test_duplicate_clusters_and_drop(spark):
     }
     # one canonical (min id) per cluster + untouched singleton
     assert kept == {1, 10, 20, 30}
+
+
+def test_ivf_index_build_load_search(vectors, tmp_path, spark):
+    idx = SIM.build_ivf_index(
+        vectors, num_centroids=4, storage_path=str(tmp_path / "ivf")
+    )
+    # disk layout IS the inverted file: one partition dir per cell
+    import os
+
+    cells = [
+        d for d in os.listdir(str(tmp_path / "ivf" / "assignments"))
+        if d.startswith("cell=")
+    ]
+    assert 1 <= len(cells) <= 4
+    reopened = SIM.load_ivf_index(spark, str(tmp_path / "ivf"))
+    assert reopened.centroids == idx.centroids
+    queries = vectors.filter("vec_id = 0")
+    got = {
+        r["id"]
+        for r in SIM.search_ivf(reopened, queries, k=3, n_probe=4).collect()
+    }
+    exact = {
+        r["id"] for r in SIM.topk_bruteforce(vectors, queries, k=3).collect()
+    }
+    assert got == exact  # n_probe == num_centroids -> exhaustive
