@@ -50,6 +50,9 @@ HEADLINE = [
     "simhash_neardups",
     "ann_topk",
     "multimodal_features",
+    # round-2 additions (keys above keep round-over-round comparability)
+    "ks_drift",
+    "redundancy_structure",
 ]
 
 

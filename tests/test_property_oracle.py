@@ -2,10 +2,14 @@
 and scrub chain agree row-for-row with the pure-Python oracle on
 random documents.
 
-Alphabet restricted to ASCII printable + \\n\\t: the cross-engine
-tokenization contract is ASCII-whitespace (Java \\s vs Python \\s
-differ on unicode whitespace, documented in functions/text.py).
-Batched: hypothesis generates corpora, one Spark job per corpus."""
+Alphabet: ASCII printable + every Java-\\s whitespace except \\x0b
+(vertical tab is the one char outside the three-engine contract —
+RE2's \\s lacks it; functions/text.py documents the exclusion), plus
+non-ASCII probes (NBSP, superscript two, vulgar half, accented and CJK
+letters) — the round-1 ADVICE divergences (CRLF line trimming, Unicode
+category drift in symbol ratio) were exactly the chars this alphabet
+used to omit. Batched: hypothesis generates corpora, one Spark job per
+corpus."""
 
 from __future__ import annotations
 
@@ -24,7 +28,11 @@ from data_quality_checker_spark.plans.verdict import (
 from data_quality_checker_spark.plans.scrub import with_scrub
 
 _ALPHABET = (
-    string.ascii_letters + string.digits + string.punctuation + " \n\t"
+    string.ascii_letters
+    + string.digits
+    + string.punctuation
+    + " \n\t\r\f"
+    + " ²½é漢"
 )
 
 _texts = st.lists(
