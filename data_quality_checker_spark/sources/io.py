@@ -87,3 +87,29 @@ def read_table_by_name(
     if path is None:
         raise ValueError("path required for the parquet fallback")
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Spark-native bucketed managed table — the executable stand-in
+    for Iceberg's bucket(N, key) when the Iceberg runtime is absent.
+    Tables co-bucketed on the same key join/aggregate WITHOUT an
+    Exchange (the scan's output partitioning already satisfies the
+    join's distribution requirement); sortBy additionally removes the
+    per-task Sort from sort-merge joins. This is the co-located-join
+    discipline for repeated large-fact joins at 100 TB."""
+    writer = df.write.bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.mode("overwrite").format("parquet").saveAsTable(table_name)
+
+
+def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
+    """Read a bucketed managed table (bucket metadata comes from the
+    catalog, so the scan reports the bucketed output partitioning)."""
+    return spark.table(table_name)

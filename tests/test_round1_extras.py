@@ -8,6 +8,7 @@ import math
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from data_quality_checker_spark.operators import quality as Q
 from data_quality_checker_spark.operators import stats as S
@@ -112,3 +113,38 @@ def test_write_table_parquet_fallback(spark, tmp_path_factory):
     assert IO.read_table_by_name(spark, "t1", path=d).count() == 2
     with pytest.raises(ValueError):
         IO.write_table(df, "t1")
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Co-bucketed managed tables must join with ZERO Exchange: the
+    bucketed scans already satisfy the join distribution (the Iceberg
+    bucket(N, key) co-location discipline, io.write_bucketed)."""
+    from data_quality_checker_spark.sources import io
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    io.write_bucketed(
+        orders, "t_orders_b", ["o_orderkey"], 4, sort_cols=["o_orderkey"]
+    )
+    io.write_bucketed(
+        lineitem, "t_lineitem_b", ["l_orderkey"], 4,
+        sort_cols=["l_orderkey"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = io.read_bucketed(spark, "t_orders_b").join(
+            io.read_bucketed(spark, "t_lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        n = j.count()
+        assert n > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("drop table if exists t_orders_b")
+        spark.sql("drop table if exists t_lineitem_b")
