@@ -1471,6 +1471,43 @@ select id_a, id_b, round(j, 6) as jaccard from v where j >= 0.6
 """
 
 
+def q_rake_keywords(spark, sf):
+    """RAKE keyword extraction (nlp_analyzer.py:351-381 'rake' branch)
+    over the documents corpus; ranking on the 6-dp-rounded score with
+    phrase tie-break so both engines order identically."""
+    docs = _t(spark, sf, "documents").filter("doc_id < 300")
+    return N.rake_keywords(docs, top_k=15, score_round=6)
+
+
+def _sql_rake() -> str:
+    sw = duck.sql_list(STOPWORDS["en"])
+    return rf"""
+with src as (select regexp_replace(lower(text),
+               '[^\p{{L}}\p{{N}}\s]+', ' ¦ ', 'g') s
+             from documents where doc_id < 300 and text is not null),
+tk as (select list_filter(string_split_regex(s, '\s+'), t -> t <> '')
+         toks from src),
+marked as (select array_to_string(list_transform(toks,
+             t -> case when list_contains({sw}, t) or t = '¦'
+                  then '¦' else t end), ' ') j from tk),
+ph as (select trim(regexp_replace(u.p, '\s+', ' ', 'g')) phrase
+       from marked, unnest(string_split(j, '¦')) u(p)
+       where trim(regexp_replace(u.p, '\s+', ' ', 'g')) <> ''),
+pw as (select phrase, len(string_split(phrase, ' ')) plen,
+              unnest(string_split(phrase, ' ')) w from ph),
+ws as (select w, sum(plen)::double / count(*) wscore
+       from pw group by w),
+dp as (select phrase, unnest(string_split(phrase, ' ')) w
+       from (select distinct phrase from ph)),
+scored as (select phrase, round(sum(ws.wscore), 6) score
+           from dp join ws using (w) group by phrase)
+select phrase, score,
+ row_number() over (order by score desc, phrase) as rank
+from scored
+qualify rank <= 15
+"""
+
+
 def q_redundancy_structure(spark, sf):
     """Representative composite analyzer
     (nlp.analyze_text_redundancy_structure, nlp_analyzer.py:611-646):
@@ -1915,6 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_total": q_token_count_total,
         "doc_fingerprint": q_doc_fingerprint,
         "redundancy_structure": q_redundancy_structure,
+        "rake_keywords": q_rake_keywords,
         # dedup
         "dedup_subset": q_dedup_subset,
         "minhash_signatures": q_minhash_signatures,
@@ -1993,6 +2031,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count_total": SQL_TOKEN_COUNT,
         "doc_fingerprint": SQL_FINGERPRINT,
         "redundancy_structure": SQL_REDUNDANCY_STRUCTURE,
+        "rake_keywords": _sql_rake(),
         "dedup_subset": SQL_DEDUP_SUBSET,
         "minhash_signatures": SQL_MINHASH,
         "minhash_lsh_portable": SQL_MINHASH_LSH,

@@ -32,6 +32,8 @@ __all__ = [
     "detect_text_variability",
     "analyze_text_complexity_overview",
     "analyze_text_redundancy_structure",
+    "rake_phrases",
+    "rake_keywords",
 ]
 
 
@@ -368,3 +370,94 @@ def analyze_text_redundancy_structure(
             df, text_col, n=ngram_n, top_k=top_ngrams_k
         ),
     }
+
+
+def rake_phrases(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Candidate keyword phrases per RAKE (Rose et al. 2010): maximal
+    runs of tokens between stopwords/punctuation. One row per phrase
+    INSTANCE (duplicates kept — word statistics count occurrences).
+
+    Construction is deliberately list-based (punctuation -> a break
+    marker, stopword tokens -> the marker, join, split on the marker)
+    rather than a lookahead alternation regex, so the DuckDB oracle
+    twin (RE2: no lookahead) can reproduce it token-for-token."""
+    from data_quality_checker_spark.functions.text import tokens
+    from data_quality_checker_spark.functions.wordlists import STOPWORDS
+
+    sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS["en"])])
+    s = F.regexp_replace(
+        F.lower(F.col(text_col)), r"[^\p{L}\p{N}\s]+", " ¦ "
+    )
+    marked = F.transform(
+        tokens(s, lowercase=False),
+        lambda t: F.when(
+            F.array_contains(sw, t) | (t == F.lit("¦")),
+            F.lit("¦"),
+        ).otherwise(t),
+    )
+    phrase = F.filter(
+        F.transform(
+            F.split(F.array_join(marked, " "), "¦"),
+            lambda p: F.trim(F.regexp_replace(p, r"\s+", " ")),
+        ),
+        lambda p: p != F.lit(""),
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(phrase).alias("phrase"))
+    )
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+    stopwords: tuple[str, ...] | None = None,
+    score_round: int | None = None,
+) -> DataFrame:
+    """RAKE keyword extraction (nlp_analyzer.py:351-381 'rake' branch,
+    which calls rake_nltk — reimplemented here as three aggregates, no
+    library): word score = degree/frequency over all phrase instances
+    (degree = sum of containing-phrase lengths), phrase score = sum of
+    member word scores, deduplicated phrases ranked by score. Fully
+    distributed: explode phrases -> explode words -> one groupBy for
+    word stats -> broadcast-join scores back -> phrase aggregate ->
+    top-k."""
+    ph = rake_phrases(df, text_col, stopwords)
+    # word statistics over ALL phrase instances
+    pw = ph.select(
+        "phrase",
+        F.size(F.split(F.col("phrase"), " ")).alias("_plen"),
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"),
+    )
+    wstats = pw.groupBy("w").agg(
+        (F.sum("_plen").cast("double") / F.count(F.lit(1))).alias(
+            "_wscore"
+        )  # degree / frequency
+    )
+    # score each DISTINCT phrase once, over its word multiset
+    dp = ph.distinct().select(
+        "phrase", F.explode(F.split(F.col("phrase"), " ")).alias("w")
+    )
+    scored = (
+        dp.join(F.broadcast(wstats), "w")
+        .groupBy("phrase")
+        .agg(F.sum("_wscore").alias("score"))
+    )
+    # score_round: rank on the ROUNDED score so cross-engine last-ulp
+    # float differences can't flip tie-adjacent ranks (oracle queries
+    # pass 6; interactive use keeps full precision)
+    if score_round is not None:
+        scored = scored.withColumn(
+            "score", F.round(F.col("score"), score_round)
+        )
+    w = Window.orderBy(F.col("score").desc(), F.col("phrase"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("phrase", "score", "rank")
+    )

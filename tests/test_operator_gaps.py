@@ -244,3 +244,46 @@ def test_composite_nlp_wrappers(spark):
     assert len(by_id) == 3  # null doc filtered
     assert by_id[0]["words"] == 12
     assert by_id[0]["mean_sentence_words"] == 4.0
+
+
+def test_rake_keywords_hand_computed(spark):
+    """RAKE on a tiny corpus vs hand-computed degree/frequency scores
+    (stopword set reduced to make the arithmetic checkable)."""
+    from data_quality_checker_spark.operators import nlp as N
+
+    # stopwords: {the, of, and}. Text yields phrase instances:
+    #  "deep learning" x2, "systems", "quality", "data" x1 ... verify
+    docs = spark.createDataFrame(
+        [
+            (0, "deep learning and the quality of deep learning systems"),
+            (1, "data, and deep systems!"),
+        ],
+        "doc_id long, text string",
+    )
+    sw = ("the", "of", "and")
+    phrases = [
+        r["phrase"]
+        for r in N.rake_phrases(docs, stopwords=sw).collect()
+    ]
+    assert sorted(phrases) == sorted(
+        ["deep learning", "quality", "deep learning systems",
+         "data", "deep systems"]
+    )
+    # word stats over instances:
+    # deep: freq 3 (dl, dls, ds), degree 2+3+2=7 -> 7/3
+    # learning: freq 2, degree 2+3=5 -> 5/2
+    # systems: freq 2, degree 3+2=5 -> 5/2
+    # quality: 1/1=1 ; data: 1/1=1
+    got = {
+        r["phrase"]: r["score"]
+        for r in N.rake_keywords(
+            docs, top_k=10, stopwords=sw
+        ).collect()
+    }
+    import pytest as _pt
+
+    assert got["deep learning systems"] == _pt.approx(7 / 3 + 5 / 2 + 5 / 2)
+    assert got["deep learning"] == _pt.approx(7 / 3 + 5 / 2)
+    assert got["deep systems"] == _pt.approx(7 / 3 + 5 / 2)
+    assert got["quality"] == _pt.approx(1.0)
+    assert got["data"] == _pt.approx(1.0)
