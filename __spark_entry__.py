@@ -885,6 +885,46 @@ from j
 """
 
 
+def q_bootstrap_means(spark, sf):
+    """Poisson-bootstrap resampled means of events.value (50
+    replicates): the per-row Poisson(1) weights derive from md5 hex
+    prefixes compared against inverse-CDF thresholds as fixed-width
+    strings, so BOTH engines draw byte-identical weights."""
+    ev = _t(spark, sf, "events")
+    return S.bootstrap_means(ev, "value", "event_id", n_boot=50).select(
+        "boot", _r6(F.col("boot_mean")).alias("boot_mean")
+    )
+
+
+def _sql_bootstrap(n_boot: int = 50) -> str:
+    from data_quality_checker_spark.operators.stats import (
+        POISSON1_HEX_THRESHOLDS,
+    )
+
+    def w(b: int) -> str:
+        h = f"substr(md5(event_id::varchar || '|0.{b}'), 1, 13)"
+        expr = "8"
+        for k in reversed(range(len(POISSON1_HEX_THRESHOLDS))):
+            expr = (
+                f"case when {h} < '{POISSON1_HEX_THRESHOLDS[k]}' "
+                f"then {k} else {expr} end"
+            )
+        return expr
+
+    sums = ", ".join(
+        f"sum(({w(b)})::double * value) s{b}, sum(({w(b)})::double) c{b}"
+        for b in range(n_boot)
+    )
+    structs = ", ".join(
+        f"{{'boot': {b}, 'm': s{b} / c{b}}}" for b in range(n_boot)
+    )
+    return f"""
+with a as (select {sums} from events where value is not null)
+select u.r.boot as boot, round(u.r.m, 6) as boot_mean
+from a, unnest([{structs}]) u(r)
+"""
+
+
 def q_ks_drift(spark, sf):
     """Two-sample KS drift (stat_analyzer.py:48-52): baseline = first
     half of the month, current = second half. The Spark plan computes
@@ -1932,6 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohens_d": q_cohens_d,
         "confidence_interval": q_confidence_interval,
         "conditional_probability": q_conditional_probability,
+        "bootstrap_means": q_bootstrap_means,
         "ks_drift": q_ks_drift,
         "uniformity_ks": q_uniformity_ks,
         "uniformity_chi2": q_uniformity_chi2,
@@ -2012,6 +2053,7 @@ def oracle_sql() -> dict[str, str]:
         "cohens_d": SQL_COHENS,
         "confidence_interval": SQL_CI,
         "conditional_probability": SQL_COND_P,
+        "bootstrap_means": _sql_bootstrap(50),
         "ks_drift": SQL_KS_DRIFT,
         "uniformity_ks": SQL_UNIFORM_KS,
         "uniformity_chi2": SQL_UNIFORM_CHI2,

@@ -35,6 +35,9 @@ __all__ = [
     "levene_statistic",
     "levene_test",
     "multivariate_normality",
+    "vif",
+    "bootstrap_means",
+    "bootstrap_mean_ci",
 ]
 
 
@@ -603,3 +606,131 @@ def multivariate_normality(df: DataFrame, columns: list[str]) -> DataFrame:
         F.exp(-F.col("jb") / 2.0).alias("p_value"),
         (F.exp(-F.col("jb") / 2.0) > 0.05).alias("normal"),
     )
+
+
+def vif(df: DataFrame, cols: list[str] | None = None) -> dict[str, float]:
+    """Variance inflation factors (check_multicollinearity,
+    stat_analyzer.py — the reference loops statsmodels OLS per column;
+    scoped out in round 1, closed here via the linear-algebra identity
+    VIF_j = diag(inv(R))_j where R is the correlation matrix). One
+    distributed scan (the same k(k-1)/2 corr aggregate as
+    correlation_pairs), then a k x k inversion on the driver — the
+    sufficient-statistics split prescribed in SURVEY.md §2.10. Raises
+    on a singular correlation matrix (perfectly collinear columns have
+    infinite VIF)."""
+    import numpy as np
+
+    cols = _numeric_cols(df, cols)
+    pairs = list(combinations(cols, 2))
+    row = df.agg(
+        *[F.corr(a, b).alias(f"c_{i}") for i, (a, b) in enumerate(pairs)]
+    ).collect()[0]
+    k = len(cols)
+    r = np.eye(k)
+    for i, (a, b) in enumerate(pairs):
+        ia, ib = cols.index(a), cols.index(b)
+        r[ia, ib] = r[ib, ia] = row[f"c_{i}"]
+    inv = np.linalg.inv(r)
+    return {c: float(inv[i, i]) for i, c in enumerate(cols)}
+
+
+# cumulative Poisson(1) inverse-CDF thresholds as 13-hex-char strings:
+# a fixed-width hex prefix of md5 compares lexicographically exactly as
+# the 52-bit integer it encodes, so `hex13 < threshold` is a pure
+# string comparison ANY engine reproduces byte-for-byte (no portable
+# 64-bit hash-to-int needed).
+_POISSON1_CDF = (
+    0.36787944117144233,  # P(X <= 0)
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+)
+POISSON1_HEX_THRESHOLDS = tuple(
+    format(int(p * (1 << 52)), "013x") for p in _POISSON1_CDF
+)
+
+
+def _poisson1_weight(hex13):
+    """Poisson(1) draw from a 13-hex-char uniform (inverse CDF; capped
+    at 8 — P(X > 8) ~ 1e-6, negligible for resampling weights)."""
+    w = F.lit(8)
+    for k in reversed(range(len(POISSON1_HEX_THRESHOLDS))):
+        w = F.when(hex13 < F.lit(POISSON1_HEX_THRESHOLDS[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def bootstrap_means(
+    df: DataFrame,
+    column: str,
+    id_col: str,
+    n_boot: int = 100,
+    seed: int = 0,
+) -> DataFrame:
+    """Poisson bootstrap (bootstrap_sampling_analysis,
+    stat_analyzer.py — the reference resamples with pandas .sample in a
+    driver loop; scoped out in round 1, closed here with the standard
+    distributed form): replicate b gives each row weight
+    Poisson(1) ~ md5(id|seed|b), so ALL n_boot resampled means come out
+    of ONE scan as 2*n_boot aggregate expressions — no data movement,
+    no per-replicate pass, deterministic under task retry (hash-seeded,
+    not rand()). Returns (boot, boot_mean), one row per replicate."""
+    x = F.col(column)
+    sums = []
+    for b in range(n_boot):
+        h = F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.col(id_col).cast("string"), F.lit(f"{seed}.{b}")
+                )
+            ),
+            1,
+            13,
+        )
+        w = _poisson1_weight(h).cast("double")
+        sums += [
+            F.sum(w * x).alias(f"_s{b}"),
+            F.sum(w).alias(f"_c{b}"),
+        ]
+    agg = df.filter(x.isNotNull()).agg(*sums)
+    structs = [
+        F.struct(
+            F.lit(b).alias("boot"),
+            (F.col(f"_s{b}") / F.col(f"_c{b}")).alias("boot_mean"),
+        )
+        for b in range(n_boot)
+    ]
+    return agg.select(F.explode(F.array(*structs)).alias("r")).select(
+        "r.boot", "r.boot_mean"
+    )
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    column: str,
+    id_col: str,
+    n_boot: int = 200,
+    alpha: float = 0.05,
+    seed: int = 0,
+) -> dict:
+    """Percentile bootstrap CI for the mean: the n_boot replicate means
+    (tiny) come to the driver, the percentile is taken there."""
+    means = sorted(
+        r["boot_mean"]
+        for r in bootstrap_means(df, column, id_col, n_boot, seed).collect()
+    )
+
+    def q(p: float) -> float:
+        i = p * (len(means) - 1)
+        lo, hi = int(i), min(int(i) + 1, len(means) - 1)
+        return means[lo] + (i - lo) * (means[hi] - means[lo])
+
+    return {
+        "mean": sum(means) / len(means),
+        "lo": q(alpha / 2),
+        "hi": q(1 - alpha / 2),
+        "n_boot": n_boot,
+    }

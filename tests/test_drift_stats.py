@@ -211,3 +211,50 @@ def test_prefix_sums_deterministic_across_runs(spark):
         .first()["chk"]
     )
     assert runs[0] == pytest.approx(ref, rel=1e-12)
+
+
+def test_vif_matches_regression_r2(spark):
+    """VIF via inv(corr-matrix) diagonal must equal 1/(1-R^2) of the
+    per-column OLS regression (recomputed in numpy)."""
+    RNG = np.random.default_rng(12)
+    n = 2000
+    x1 = RNG.normal(size=n)
+    x2 = 0.8 * x1 + 0.6 * RNG.normal(size=n)   # correlated with x1
+    x3 = RNG.normal(size=n)                      # independent
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x1, x2, x3)],
+        "x1 double, x2 double, x3 double",
+    )
+    got = S.vif(df, ["x1", "x2", "x3"])
+
+    X = np.column_stack([x1, x2, x3])
+    for j, c in enumerate(["x1", "x2", "x3"]):
+        y = X[:, j]
+        others = np.delete(X, j, axis=1)
+        A = np.column_stack([np.ones(n), others])
+        beta, *_ = np.linalg.lstsq(A, y, rcond=None)
+        resid = y - A @ beta
+        r2 = 1 - resid.var() / y.var()
+        assert got[c] == pytest.approx(1.0 / (1.0 - r2), rel=1e-6)
+    assert got["x3"] == pytest.approx(1.0, abs=0.05)
+    assert got["x1"] > 1.5 and got["x2"] > 1.5
+
+
+def test_bootstrap_ci_covers_true_mean_and_is_deterministic(spark):
+    RNG = np.random.default_rng(13)
+    xs = RNG.normal(50.0, 5.0, 3000)
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(xs)], "id long, v double"
+    )
+    ci1 = S.bootstrap_mean_ci(df, "v", "id", n_boot=80)
+    ci2 = S.bootstrap_mean_ci(df, "v", "id", n_boot=80)
+    assert ci1 == ci2  # hash-seeded: identical across runs
+    assert ci1["lo"] < 50.0 < ci1["hi"]
+    # CI width ~ 2 * 1.96 * 5/sqrt(3000) ~ 0.72
+    assert 0.2 < ci1["hi"] - ci1["lo"] < 1.5
+    # replicate weights really are Poisson(1): mean weight ~ 1
+    means = [
+        r["boot_mean"]
+        for r in S.bootstrap_means(df, "v", "id", n_boot=20).collect()
+    ]
+    assert len(means) == 20 and all(45 < m < 55 for m in means)
