@@ -120,7 +120,12 @@ def rule_flags_sql(cfg: RuleConfig | None = None, col: str = "text") -> dict[str
     w = wc(col)
     allowed = ", ".join(f"'{lang}'" for lang in cfg.allowed_langs)
     return {
-        "empty": f"({col} is null or trim({col}) = '')",
+        # explicit Java-\s charset: bare trim strips spaces only, and a
+        # '\n'/'\r'/'\t'-only doc must count as empty in all 3 engines
+        "empty": (
+            f"({col} is null or trim({col}, ' ' || chr(9) || chr(10) || "
+            f"chr(11) || chr(12) || chr(13)) = '')"
+        ),
         "too_short": f"({col} is not null and length({col}) < {cfg.min_chars})",
         "too_long": f"({col} is not null and length({col}) > {cfg.max_chars})",
         "too_few_words": (

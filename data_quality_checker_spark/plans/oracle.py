@@ -67,7 +67,7 @@ def detect_lang(text: str) -> str:
 def fired_rules(text: str | None, cfg: RuleConfig) -> list[str]:
     """Rule names violated by this document, in plans/rules.py order."""
     fired: list[str] = []
-    if text is None or text.strip() == "":
+    if text is None or text.strip(_JAVA_WS) == "":
         fired.append("empty")
     if text is None:
         return fired

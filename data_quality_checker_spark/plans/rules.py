@@ -136,7 +136,10 @@ def rule_exprs_from_stats(
     t = F.col(text_col)
     wc = F.col("_wc")
     return {
-        "empty": t.isNull() | (F.length(F.trim(t)) == 0),
+        # whitespace-ONLY docs are empty: rlike stops at the first
+        # non-ws char (cheap for real docs); F.trim strips spaces
+        # only, so '\n'/'\r'/'\t'-only docs would slip through
+        "empty": t.isNull() | ~t.rlike(r"\S"),
         "too_short": t.isNotNull() & (F.length(t) < cfg.min_chars),
         "too_long": t.isNotNull() & (F.length(t) > cfg.max_chars),
         "too_few_words": t.isNotNull() & (wc > 0) & (wc < cfg.min_words),
@@ -169,7 +172,10 @@ def rule_exprs(cfg: RuleConfig, text_col: str = "text") -> dict[str, Column]:
     wc = X.word_count(t)
     return {
         # dq_checker.py:291-304 (null %) + empty-string gate
-        "empty": t.isNull() | (F.length(F.trim(t)) == 0),
+        # whitespace-ONLY docs are empty: rlike stops at the first
+        # non-ws char (cheap for real docs); F.trim strips spaces
+        # only, so '\n'/'\r'/'\t'-only docs would slip through
+        "empty": t.isNull() | ~t.rlike(r"\S"),
         # nlp_analyzer.py:87-88; dq_checker.py:619-634
         "too_short": t.isNotNull() & (F.length(t) < cfg.min_chars),
         "too_long": t.isNotNull() & (F.length(t) > cfg.max_chars),
