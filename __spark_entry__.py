@@ -1511,6 +1511,50 @@ select id_a, id_b, round(j, 6) as jaccard from v where j >= 0.6
 """
 
 
+def q_perplexity_lm(spark, sf):
+    """REAL trained trigram-LM perplexity (plans/lm.py): counts from
+    the doc_id < 100 slice, add-one-smoothed scoring of the 100..299
+    slice — training AND scoring fully reproduced by the DuckDB twin.
+    (q_perplexity keeps covering the hash-trigram Arrow-UDF path.)"""
+    from data_quality_checker_spark.plans import lm as LM
+
+    docs = _t(spark, sf, "documents")
+    tri, bi, v = LM.train_trigram_counts(docs.filter("doc_id < 100"))
+    score = docs.filter("doc_id >= 100 and doc_id < 300")
+    return LM.perplexity_df(score, tri, bi, v).select(
+        F.col("id").alias("doc_id"),
+        _r6(F.col("perplexity")).alias("perplexity"),
+    )
+
+
+SQL_PERPLEXITY_LM = f"""
+with tr as (select {duck.toks("text")} tk from documents
+            where doc_id < 100 and text is not null),
+tri as (select array_to_string(tk[i:i+2], ' ') gram, count(*) n
+        from tr, unnest(generate_series(1, len(tk) - 2)) u(i)
+        where len(tk) >= 3 group by 1),
+bi as (select array_to_string(tk[i:i+1], ' ') gram, count(*) n
+       from tr, unnest(generate_series(1, len(tk) - 1)) u(i)
+       where len(tk) >= 2 group by 1),
+v as (select count(distinct t) v
+      from (select unnest(tk) t from tr)),
+sc as (select doc_id, {duck.toks("text")} tk from documents
+       where doc_id >= 100 and doc_id < 300 and text is not null),
+g as (select doc_id, array_to_string(tk[i:i+2], ' ') gram,
+             array_to_string(tk[i:i+1], ' ') prefix
+      from sc, unnest(generate_series(1, len(tk) - 2)) u(i)
+      where len(tk) >= 3),
+p as (select doc_id,
+        ln((coalesce(tri.n, 0) + 1)::double
+           / (coalesce(bi.n, 0) + v.v)) lp
+      from g left join tri on g.gram = tri.gram
+             left join bi on g.prefix = bi.gram, v)
+select sc.doc_id, round(exp(-avg(p.lp)), 6) as perplexity
+from sc left join p on p.doc_id = sc.doc_id
+group by sc.doc_id
+"""
+
+
 def q_rake_keywords(spark, sf):
     """RAKE keyword extraction (nlp_analyzer.py:351-381 'rake' branch)
     over the documents corpus; ranking on the 6-dp-rounded score with
@@ -1994,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "redundancy_structure": q_redundancy_structure,
         "rake_keywords": q_rake_keywords,
+        "perplexity_lm": q_perplexity_lm,
         # dedup
         "dedup_subset": q_dedup_subset,
         "minhash_signatures": q_minhash_signatures,
@@ -2074,6 +2119,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": SQL_FINGERPRINT,
         "redundancy_structure": SQL_REDUNDANCY_STRUCTURE,
         "rake_keywords": _sql_rake(),
+        "perplexity_lm": SQL_PERPLEXITY_LM,
         "dedup_subset": SQL_DEDUP_SUBSET,
         "minhash_signatures": SQL_MINHASH,
         "minhash_lsh_portable": SQL_MINHASH_LSH,

@@ -129,13 +129,27 @@ def langid_udf(col, model_path: str | None = None):
     return _UDF_CACHE[cache_key](col)
 
 
-def perplexity_udf(col):
-    if "ppl" not in _UDF_CACHE:
+def perplexity_udf(col, model_path: str | None = None):
+    """Iterator pandas UDF. With ``model_path`` (or
+    $SPARK_DQC_TRIGRAM_LM), a trained trigram LM artifact
+    (plans/lm.py — real counts, KenLM deployment shape) is loaded once
+    per worker via SparkFiles; otherwise the deterministic hash-trigram
+    fallback scores (same plumbing)."""
+    lm_path = model_path or os.environ.get("SPARK_DQC_TRIGRAM_LM")
+    cache_key = ("ppl", lm_path)
+    if cache_key not in _UDF_CACHE:
 
         @pandas_udf("double")
         def _ppl(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-            for batch in batches:
-                yield batch.map(perplexity_python)
+            scorer = perplexity_python
+            if lm_path:
+                from data_quality_checker_spark.plans import lm, models
 
-        _UDF_CACHE["ppl"] = _ppl
-    return _UDF_CACHE["ppl"](col)
+                local = models.resolve_artifact(lm_path)
+                if local:
+                    scorer = lm.load_trigram_lm(local).perplexity
+            for batch in batches:
+                yield batch.map(scorer)
+
+        _UDF_CACHE[cache_key] = _ppl
+    return _UDF_CACHE[cache_key](col)

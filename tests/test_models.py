@@ -68,3 +68,48 @@ def test_langid_custom_weights_actually_drive_predictions(spark, tmp_path):
     ]
     # zz outweighs the 5:1 -> 'xx'; two 'the' beat one zz? no: zz=5.0
     assert got == ["xx", "xx", "und"]
+
+
+def test_trigram_lm_artifact_parity_with_dataframe_scorer(
+    spark, sf_dir, tmp_path
+):
+    """The artifact/UDF scoring path must agree row-for-row with the
+    DataFrame scoring path (same trained counts, same smoothing)."""
+    import pytest as _pt
+
+    from data_quality_checker_spark.plans import lm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tri, bi, v = lm.train_trigram_counts(docs.filter("doc_id < 100"))
+    path = lm.write_trigram_lm(str(tmp_path / "tri.lm.gz"), tri, bi, v)
+    spark.sparkContext.addFile(path)
+
+    score = docs.filter("doc_id >= 100 and doc_id < 200")
+    df_scores = {
+        r["id"]: r["perplexity"]
+        for r in lm.perplexity_df(score, tri, bi, v).collect()
+    }
+    got = {
+        r["doc_id"]: r["ppl"]
+        for r in score.select(
+            "doc_id", udfs.perplexity_udf(F.col("text"), path).alias("ppl")
+        ).collect()
+    }
+    assert set(got) == set(df_scores) and len(got) == 100
+    for k, val in df_scores.items():
+        if val is None:
+            assert got[k] is None
+        else:
+            assert got[k] == _pt.approx(val, rel=1e-9), k
+
+    # the loaded model is deliberately non-picklable (KenLM semantics)
+    import pickle
+
+    m = lm.load_trigram_lm(path)
+    with pytest.raises(TypeError, match="not picklable"):
+        pickle.dumps(m)
+    # in-domain text scores lower perplexity than out-of-domain gibberish
+    sample = docs.filter("doc_id < 5 and text is not null").first()["text"]
+    assert m.perplexity(sample) < m.perplexity(
+        "zzq qqz xqx " * 20
+    )
