@@ -23,6 +23,7 @@ __all__ = [
     "MEDIA_SCHEMA",
     "attach_fake_media",
     "extract_media_features",
+    "header_decode",
     "sample_video_frames",
 ]
 
@@ -68,10 +69,48 @@ def _fake_decode(payload: bytes, kind: str) -> dict:
     }
 
 
+def header_decode(payload: bytes, kind: str) -> dict:
+    """REAL, dependency-free metadata decode for the container formats
+    whose headers are trivially parseable — PNG, BMP, GIF (width/
+    height) and canonical RIFF/WAVE (duration from byte rate + data
+    size). Full pixel/sample decode still needs PIL/ffmpeg (the
+    NotImplementedError hook below); unknown formats yield Nones
+    rather than fake values. Pass as ``decoder=header_decode``."""
+    p = payload or b""
+    out: dict = {"width": None, "height": None, "duration_ms": None}
+    try:
+        if p[:8] == b"\x89PNG\r\n\x1a\n" and len(p) >= 24:
+            out["width"] = int.from_bytes(p[16:20], "big")
+            out["height"] = int.from_bytes(p[20:24], "big")
+        elif p[:2] == b"BM" and len(p) >= 26:
+            out["width"] = int.from_bytes(p[18:22], "little", signed=True)
+            out["height"] = abs(
+                int.from_bytes(p[22:26], "little", signed=True)
+            )
+        elif p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 10:
+            out["width"] = int.from_bytes(p[6:8], "little")
+            out["height"] = int.from_bytes(p[8:10], "little")
+        elif (
+            p[:4] == b"RIFF"
+            and p[8:12] == b"WAVE"
+            and p[12:16] == b"fmt "
+            and len(p) >= 44
+            and p[36:40] == b"data"
+        ):
+            byte_rate = int.from_bytes(p[28:32], "little")
+            data_size = int.from_bytes(p[40:44], "little")
+            if byte_rate:
+                out["duration_ms"] = int(data_size * 1000 / byte_rate)
+    except Exception:  # malformed header -> metadata unknown, not a crash
+        pass
+    return out
+
+
 def _real_decode(payload: bytes, kind: str) -> dict:  # pragma: no cover
     raise NotImplementedError(
-        "real media decoding needs PIL/torchaudio/ffmpeg — not present "
-        "in this environment; pass decoder=_fake_decode or your own"
+        "full pixel/sample decoding needs PIL/torchaudio/ffmpeg — not "
+        "present in this environment; header_decode covers PNG/BMP/GIF/"
+        "WAV metadata, _fake_decode gives deterministic stand-ins"
     )
 
 
