@@ -148,3 +148,43 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("drop table if exists t_orders_b")
         spark.sql("drop table if exists t_lineitem_b")
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The session's AQE skew-join handling must actually fire: a
+    sort-merge join against a pathologically hot key gets its skewed
+    shuffle partition split at runtime (SortMergeJoin(skew=true) +
+    'AQEShuffleRead ... skewed' in the finalized plan) — the runtime
+    complement to the pipeline's static host-salting."""
+    hot = spark.range(3_000_000).select(
+        F.lit(0).alias("k"), F.col("id").alias("v")
+    )
+    cold = spark.range(5_000).select(
+        (F.col("id") % 50 + 1).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.range(51).select(
+        F.col("id").alias("k"), F.lit("d").alias("tag")
+    )
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        j = hot.union(cold).join(dim, "k").select(
+            F.spark_partition_id().alias("p")
+        )
+        n = j.count()
+        j.collect()  # finalize the adaptive plan
+        assert n == 3_005_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
