@@ -188,3 +188,34 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_py_files_zip_is_importable(tmp_path):
+    """scripts/package.py must produce a zip a fresh interpreter can
+    import the full package from (the spark-submit --py-files path)."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "/root/repo/scripts/package.py"],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+    )
+    zip_path = out.stdout.strip().splitlines()[-1]
+    check = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import sys; sys.path.insert(0, sys.argv[1]); "
+            "import data_quality_checker_spark as d; "
+            "from data_quality_checker_spark.plans.rules import RuleConfig; "
+            "from data_quality_checker_spark.operators import drift, dedup; "
+            "print('IMPORT_OK', RuleConfig().min_chars)",
+            zip_path,
+        ],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),  # NOT the repo: the zip must be self-sufficient
+    )
+    assert "IMPORT_OK 80" in check.stdout, (check.stdout, check.stderr)
