@@ -63,3 +63,50 @@ def test_running_stats_state_survives_restart(spark, tmp_path_factory):
     assert second["1"]["running_mean"] == 20.0
     assert second["1"]["ewma"] == 0.5 * 30.0 + 0.5 * 15.0
     assert "2" not in second  # update mode: untouched keys not re-emitted
+
+
+def test_ewma_sorted_by_event_time_within_batch(spark, tmp_path_factory):
+    """The ts-ordered fold: rows land in the micro-batch in scrambled
+    file/shuffle order, but the EWMA must equal the event-time-ordered
+    recurrence (the pre-fix fold used Arrow arrival order)."""
+    import datetime as dt
+
+    in_dir = str(tmp_path_factory.mktemp("ewt_in"))
+    ckpt = str(tmp_path_factory.mktemp("ewt_ckpt"))
+    out = str(tmp_path_factory.mktemp("ewt_out"))
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [3.0, 9.0, 1.0, 7.0, 5.0]
+    rows = [
+        (1, base + dt.timedelta(seconds=i), v) for i, v in enumerate(vals)
+    ]
+    # write in REVERSED event-time order, one file per row: the batch
+    # assembles them in arbitrary (non-ts) order
+    for r in reversed(rows):
+        spark.createDataFrame(
+            [r], "user_id long, ts timestamp, value double"
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(in_dir)
+    res = running_stats_stream(stream, "user_id", "value", alpha=0.5)
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        res.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out).orderBy(F.desc("n_events")).first()
+
+    want = None
+    for v in vals:  # ts order
+        want = v if want is None else 0.5 * v + 0.5 * want
+    assert got["n_events"] == 5
+    assert abs(got["ewma"] - want) < 1e-12
