@@ -219,3 +219,37 @@ def test_py_files_zip_is_importable(tmp_path):
         cwd=str(tmp_path),  # NOT the repo: the zip must be self-sufficient
     )
     assert "IMPORT_OK 80" in check.stdout, (check.stdout, check.stderr)
+
+
+def test_isolation_forest_finds_planted_outliers(spark):
+    """Real iForest (Liu et al. 2008): sample-trained driver-side by
+    design, scored distributed via the iterator pandas UDF. Planted
+    far-out points must rank in the global top-10 with scores well
+    above the inlier mean (~0.5 per the paper's normalization)."""
+    from data_quality_checker_spark.operators import ml as ML
+
+    rng = np.random.default_rng(3)
+    inliers = rng.normal(0, 1, (3000, 2))
+    outliers = [(8.0, 8.0), (-9.0, 7.5), (10.0, -10.0)]
+    rows = [
+        (i, float(a), float(b))
+        for i, (a, b) in enumerate(list(map(tuple, inliers)) + outliers)
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    forest = ML.fit_isolation_forest(
+        df, ["x", "y"], n_trees=50, sample_size=128
+    )
+    scored = ML.score_anomalies(df, forest)
+    top10 = {
+        r["id"]
+        for r in scored.orderBy(F.desc("anomaly_score")).limit(10).collect()
+    }
+    assert {3000, 3001, 3002} <= top10
+    mean_in = scored.filter("id < 3000").agg(
+        F.avg("anomaly_score")
+    ).first()[0]
+    mean_out = scored.filter("id >= 3000").agg(
+        F.avg("anomaly_score")
+    ).first()[0]
+    assert mean_out > mean_in + 0.15
+    assert 0.3 < mean_in < 0.6
