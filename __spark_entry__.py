@@ -1511,6 +1511,45 @@ select id_a, id_b, round(j, 6) as jaccard from v where j >= 0.6
 """
 
 
+def q_sentiment(spark, sf):
+    """Wordlist sentiment (TextBlob-family reframing,
+    nlp_analyzer.py:931-952): per-doc polar hit counts + polarity +
+    tone bucket; the twin counts token membership list-based (RE2 has
+    no lookahead, and the equivalence of the two counting forms is the
+    same contract the stopword rules pin)."""
+    docs = _t(spark, sf, "documents")
+    res = N.sentiment_scores(docs)
+    return res.select(
+        "doc_id",
+        "pos_hits",
+        "neg_hits",
+        _r6(F.col("polarity")).alias("polarity"),
+        "tone",
+    )
+
+
+def _sql_sentiment() -> str:
+    from data_quality_checker_spark.functions.wordlists import (
+        NEGATIVE_WORDS,
+        POSITIVE_WORDS,
+    )
+
+    pos = duck.stop_count("text", POSITIVE_WORDS)
+    neg = duck.stop_count("text", NEGATIVE_WORDS)
+    return f"""
+with h as (select doc_id, {pos} p, {neg} n
+           from documents where text is not null),
+s as (select doc_id, p as pos_hits, n as neg_hits,
+        case when p + n > 0
+             then (p - n)::double / (p + n) end as pol from h)
+select doc_id, pos_hits, neg_hits, round(pol, 6) as polarity,
+ case when pol > 0.2 then 'positive'
+      when pol < -0.2 then 'negative'
+      when pol is not null then 'neutral' end as tone
+from s
+"""
+
+
 def q_perplexity_lm(spark, sf):
     """REAL trained trigram-LM perplexity (plans/lm.py): counts from
     the doc_id < 100 slice, add-one-smoothed scoring of the 100..299
@@ -2039,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redundancy_structure": q_redundancy_structure,
         "rake_keywords": q_rake_keywords,
         "perplexity_lm": q_perplexity_lm,
+        "sentiment": q_sentiment,
         # dedup
         "dedup_subset": q_dedup_subset,
         "minhash_signatures": q_minhash_signatures,
@@ -2120,6 +2160,7 @@ def oracle_sql() -> dict[str, str]:
         "redundancy_structure": SQL_REDUNDANCY_STRUCTURE,
         "rake_keywords": _sql_rake(),
         "perplexity_lm": SQL_PERPLEXITY_LM,
+        "sentiment": _sql_sentiment(),
         "dedup_subset": SQL_DEDUP_SUBSET,
         "minhash_signatures": SQL_MINHASH,
         "minhash_lsh_portable": SQL_MINHASH_LSH,

@@ -58,3 +58,21 @@ QUALITY_STOPWORDS: tuple[str, ...] = STOPWORDS["en"]
 TOXIC_WORDS: tuple[str, ...] = (
     "toxic_slur_a", "toxic_slur_b", "toxic_slur_c", "badword1", "badword2",
 )
+
+
+# AFINN-style polarity heads (unit weights): the wordlist stand-in for
+# the reference's TextBlob sentiment/subjectivity/emotional-tone family
+# (nlp_analyzer.py:931-952, :954-, :686-718) — same reframing as the
+# toxicity rule: deterministic, dependency-free, engine-portable.
+POSITIVE_WORDS: tuple[str, ...] = (
+    "good", "great", "excellent", "amazing", "wonderful", "best",
+    "love", "happy", "fantastic", "perfect", "awesome", "brilliant",
+    "delightful", "superb", "positive", "beautiful", "enjoy", "helpful",
+    "impressive", "outstanding",
+)
+NEGATIVE_WORDS: tuple[str, ...] = (
+    "bad", "terrible", "awful", "horrible", "worst", "hate", "sad",
+    "poor", "disappointing", "negative", "ugly", "broken", "useless",
+    "failure", "wrong", "angry", "annoying", "dreadful", "painful",
+    "boring",
+)

@@ -34,6 +34,7 @@ __all__ = [
     "analyze_text_redundancy_structure",
     "rake_phrases",
     "rake_keywords",
+    "sentiment_scores",
 ]
 
 
@@ -460,4 +461,45 @@ def rake_keywords(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
         .select("phrase", "score", "rank")
+    )
+
+
+def sentiment_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Wordlist sentiment (the dependency-free reframing of the
+    reference's TextBlob _sentiment_analysis / analyze_emotional_tone,
+    nlp_analyzer.py:931-952, :686-718 — same move as the toxicity
+    rule): per-doc positive/negative hit counts via the codegen'd
+    alternation scan, polarity = (pos - neg) / (pos + neg) in [-1, 1]
+    (NULL when no polar word occurs), verdict column per the
+    reference's pos/neg/neutral buckets."""
+    from data_quality_checker_spark.functions.wordlists import (
+        NEGATIVE_WORDS,
+        POSITIVE_WORDS,
+    )
+    from data_quality_checker_spark.plans.rules import word_alt_pattern
+
+    lower = F.lower(F.col(text_col))
+    pos = F.regexp_count(lower, F.lit(word_alt_pattern(POSITIVE_WORDS)))
+    neg = F.regexp_count(lower, F.lit(word_alt_pattern(NEGATIVE_WORDS)))
+    d = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), pos.alias("pos_hits"), neg.alias("neg_hits")
+    )
+    total = F.col("pos_hits") + F.col("neg_hits")
+    polarity = F.when(
+        total > 0,
+        (F.col("pos_hits") - F.col("neg_hits")).cast("double") / total,
+    )
+    return d.select(
+        id_col,
+        "pos_hits",
+        "neg_hits",
+        polarity.alias("polarity"),
+        F.when(polarity > 0.2, F.lit("positive"))
+        .when(polarity < -0.2, F.lit("negative"))
+        .when(polarity.isNotNull(), F.lit("neutral"))
+        .alias("tone"),
     )

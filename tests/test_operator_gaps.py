@@ -287,3 +287,24 @@ def test_rake_keywords_hand_computed(spark):
     assert got["deep systems"] == _pt.approx(7 / 3 + 5 / 2)
     assert got["quality"] == _pt.approx(1.0)
     assert got["data"] == _pt.approx(1.0)
+
+
+def test_sentiment_scores_buckets(spark):
+    from data_quality_checker_spark.operators import nlp as N
+
+    docs = spark.createDataFrame(
+        [
+            (0, "this is a great and wonderful thing, i love it"),
+            (1, "terrible awful broken useless junk"),
+            (2, "good but also bad"),
+            (3, "nothing polar here at all"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in N.sentiment_scores(docs).collect()}
+    assert got[0]["tone"] == "positive" and got[0]["polarity"] == 1.0
+    assert got[1]["tone"] == "negative" and got[1]["polarity"] == -1.0
+    assert got[2]["tone"] == "neutral" and got[2]["polarity"] == 0.0
+    assert got[3]["polarity"] is None and got[3]["tone"] is None
+    assert 4 not in got  # null text filtered
