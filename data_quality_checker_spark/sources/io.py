@@ -113,3 +113,68 @@ def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     """Read a bucketed managed table (bucket metadata comes from the
     catalog, so the scan reports the bucketed output partitioning)."""
     return spark.table(table_name)
+
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    keep_corrupt: bool = True,
+) -> DataFrame:
+    """JSONL ingest with explicit schema and PERMISSIVE corrupt-record
+    capture: malformed lines land whole in ``_corrupt_record`` instead
+    of silently vanishing (mode=DROPMALFORMED) or killing the job
+    (FAILFAST) — at crawl scale a bad shard must be measurable, not
+    fatal. Pair with :func:`corrupt_record_stats`."""
+    full = f"{schema}, {CORRUPT_COL} string" if keep_corrupt else schema
+    reader = spark.read.schema(full).option("mode", "PERMISSIVE")
+    if keep_corrupt:
+        reader = reader.option("columnNameOfCorruptRecord", CORRUPT_COL)
+    return reader.json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+    keep_corrupt: bool = True,
+) -> DataFrame:
+    """CSV ingest, same corrupt-record discipline as read_jsonl.
+    Note: the CSV parser flags STRUCTURAL malformation (wrong field
+    count, unclosed quotes); a type-coercion failure nulls the field
+    silently — catch those with quality.cast_failures downstream."""
+    full = f"{schema}, {CORRUPT_COL} string" if keep_corrupt else schema
+    reader = (
+        spark.read.schema(full)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+    )
+    if keep_corrupt:
+        reader = reader.option("columnNameOfCorruptRecord", CORRUPT_COL)
+    return reader.csv(path)
+
+
+def corrupt_record_stats(df: DataFrame) -> DataFrame:
+    """One row: (n_rows, n_corrupt, corrupt_frac) — the ingest-quality
+    gate a pipeline checks before scoring a shard (generalizes the
+    reference's type-consistency checks to the ingest boundary).
+
+    Materializes the parsed batch first (localCheckpoint) — Spark's
+    documented requirement: plans over raw JSON/CSV that effectively
+    reference only the internal corrupt column are refused
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN; count(struct(cols)) gets folded
+    to count(*) so expression tricks don't survive the optimizer), and
+    the CSV parser only detects extra-token malformation for columns it
+    actually parses, so a pruned scan also UNDER-COUNTS corrupt rows.
+    An ingest gate materializes the shard it is gating anyway."""
+    n = F.count(F.lit(1))
+    bad = F.sum(F.col(CORRUPT_COL).isNotNull().cast("long"))
+    return df.localCheckpoint().agg(
+        n.alias("n_rows"),
+        bad.alias("n_corrupt"),
+        (bad.cast("double") / n).alias("corrupt_frac"),
+    )

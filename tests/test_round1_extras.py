@@ -253,3 +253,29 @@ def test_isolation_forest_finds_planted_outliers(spark):
     ).first()[0]
     assert mean_out > mean_in + 0.15
     assert 0.3 < mean_in < 0.6
+
+
+def test_jsonl_and_csv_ingest_with_corrupt_records(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("ingest")
+    jl = d / "docs.jsonl"
+    jl.write_text(
+        '{"doc_id": 1, "text": "ok one"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "ok two"}\n'
+        '{"doc_id": "not-a-number", "text": 3}\n'
+    )
+    df = IO.read_jsonl(spark, str(jl), "doc_id long, text string")
+    # caching required by Spark for corrupt-record queries that select
+    # only the corrupt column; stats selects all -> fine
+    stats = IO.corrupt_record_stats(df).first()
+    assert stats["n_rows"] == 4 and stats["n_corrupt"] == 2
+    good = df.filter(F.col(IO.CORRUPT_COL).isNull())
+    assert {r["doc_id"] for r in good.collect()} == {1, 2}
+
+    cv = d / "docs.csv"
+    # structural malformation (wrong field count) flags _corrupt_record;
+    # pure type-coercion failures null the field silently in Spark 4 CSV
+    cv.write_text("doc_id,n\n1,10\n2,20,EXTRA,FIELDS\n3,30\n")
+    cdf = IO.read_csv(spark, str(cv), "doc_id long, n int")
+    cstats = IO.corrupt_record_stats(cdf).first()
+    assert cstats["n_rows"] == 3 and cstats["n_corrupt"] == 1
