@@ -41,6 +41,11 @@ class PipelineConfig:
     # (fastText-ready). Both produce the same labels in this sandbox.
     langid_impl: str = "sql"
     with_perplexity: bool = False
+    # optional MinHash near-dup stage over kept docs (run_pipeline /
+    # with_near_dup_verdict; NOT part of the lazy score_pages DAG —
+    # clustering is iterative)
+    near_dedup: bool = False
+    near_dedup_threshold: float = 0.85
 
 
 def score_pages(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
@@ -75,6 +80,46 @@ def score_pages(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
         out = out.withColumn("perplexity", perplexity_udf("text"))
     out = with_verdict(out, cfg.rules)
     return with_scrub(out, "text")
+
+
+def with_near_dup_verdict(
+    scored: DataFrame, cfg: PipelineConfig | None = None
+) -> DataFrame:
+    """Corpus-level near-duplicate stage over the KEPT documents:
+    MinHash-LSH pairs -> connected components -> every non-canonical
+    cluster member gets ``near_dup_of`` (the canonical url, min of the
+    component) and ``keep_final`` = keep AND not a near-dup loser.
+    Non-destructive: rule verdicts and metrics columns are untouched;
+    rows already dropped by rules never pay for sketching. Runs as its
+    own jobs (clustering is iterative) — called by run_pipeline when
+    cfg.near_dedup, after scoring."""
+    from data_quality_checker_spark.operators.dedup import (
+        duplicate_clusters,
+        near_duplicates_minhash,
+        release_cache,
+    )
+
+    cfg = cfg or PipelineConfig()
+    kept = scored.filter("keep").select("url", "text")
+    pairs = near_duplicates_minhash(
+        kept,
+        id_col="url",
+        text_col="text",
+        threshold=cfg.near_dedup_threshold,
+    )
+    losers = (
+        duplicate_clusters(pairs)
+        .filter(F.col("id") != F.col("cluster_id"))
+        .select(
+            F.col("id").alias("url"),
+            F.col("cluster_id").alias("near_dup_of"),
+        )
+    )
+    out = scored.join(losers, "url", "left").withColumn(
+        "keep_final", F.col("keep") & F.col("near_dup_of").isNull()
+    )
+    release_cache(pairs)
+    return out
 
 
 def partition_metrics(scored: DataFrame, run_id: str) -> DataFrame:
@@ -150,6 +195,8 @@ def run_pipeline(
         bucket_id("url", cfg.num_buckets).isin(todo)
     )
     scored = score_pages(subset, cfg)
+    if cfg.near_dedup:
+        scored = with_near_dup_verdict(scored, cfg)
     write_partitioned(scored, scored_path, "partition_id")
 
     metrics = partition_metrics(

@@ -269,3 +269,39 @@ def test_extract_text_byte_identity_and_realistic_html(spark):
         )
     ).first()["t"]
     assert got == "Tom & Jerry 2 < 3"
+
+
+def test_near_dup_pipeline_stage(spark):
+    from data_quality_checker_spark.plans.pipeline import (
+        PipelineConfig,
+        score_pages,
+        with_near_dup_verdict,
+    )
+    from data_quality_checker_spark.plans import synth
+
+    base = synth.pages_df(spark, 120, seed=31)
+    # plant near-dup captures of one page under three distinct urls
+    src = base.filter("text is not null").orderBy("url").first()
+    dup_rows = [
+        (f"https://dup{i}.example.com/x", src["warc_ts"], src["html"],
+         src["text"] + f" tail{i}", src["lang"])
+        for i in range(3)
+    ]
+    pages = base.unionByName(
+        spark.createDataFrame(dup_rows, base.schema)
+    )
+    cfg = PipelineConfig(near_dedup=True, near_dedup_threshold=0.7)
+    out = with_near_dup_verdict(score_pages(pages, cfg), cfg)
+    assert {"near_dup_of", "keep_final"} <= set(out.columns)
+    dups = out.filter(F.col("url").like("https://dup%")).collect()
+    flagged = [r for r in dups if r["near_dup_of"] is not None]
+    if any(r["keep"] for r in dups):  # only kept docs participate
+        # of the near-identical cluster, every member but the canonical
+        # min-url is flagged and keep_final goes false for losers
+        kept_dups = [r for r in dups if r["keep"]]
+        assert len(flagged) >= len(kept_dups) - 1
+        for r in flagged:
+            assert r["keep_final"] is False and r["keep"] is True
+    # untouched docs: keep_final == keep
+    clean = out.filter(F.col("near_dup_of").isNull())
+    assert clean.filter(F.col("keep_final") != F.col("keep")).count() == 0
