@@ -43,6 +43,12 @@ def main() -> None:
         "(plans/extract.py) before scoring — for corpora shipping "
         "markup only",
     )
+    p.add_argument(
+        "--near-dedup",
+        action="store_true",
+        help="MinHash near-dup clustering over kept docs: adds "
+        "near_dup_of + keep_final columns",
+    )
     args = p.parse_args()
 
     from data_quality_checker_spark.plans.pipeline import (
@@ -84,6 +90,7 @@ def main() -> None:
         rules=RuleConfig(),
         num_buckets=args.buckets,
         langid_impl=args.langid,
+        near_dedup=args.near_dedup,
     )
     result = run_pipeline(
         spark, pages, args.output, cfg, run_id=args.run_id
