@@ -1415,9 +1415,11 @@ from sh where len(sg) > 0
 
 def q_minhash_lsh_portable(spark, sf):
     """Full LSH near-dup pipeline (signature -> banded candidate join
-    -> exact-Jaccard verify) in the md5-string hash family, so the
-    ENTIRE sketch path has a DuckDB twin. Production uses the xxhash64
-    variant (dedup.near_duplicates_minhash); same plan shape."""
+    -> estimated-Jaccard pre-filter -> exact-Jaccard verify) in the
+    md5-string hash family, so the ENTIRE sketch path — including the
+    signature-agreement pre-filter that guards the array verify join —
+    has a DuckDB twin. Production uses the xxhash64 variant
+    (dedup.near_duplicates_minhash); same plan shape."""
     from data_quality_checker_spark.functions.hashing import (
         jaccard,
         minhash_signature_md5,
@@ -1463,6 +1465,20 @@ def q_minhash_lsh_portable(spark, sf):
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # signature-agreement pre-filter (dedup.py prefilter_margin twin):
+    # est = matches/8 >= threshold(0.6) - margin(0.15)
+    est_matches = sum(
+        (F.col("sa").getItem(j) == F.col("sb").getItem(j)).cast("int")
+        for j in range(8)
+    )
+    cands = (
+        cands.join(
+            sig.withColumnsRenamed({"id": "id_a", "s": "sa"}), "id_a"
+        )
+        .join(sig.withColumnsRenamed({"id": "id_b", "s": "sb"}), "id_b")
+        .filter(est_matches / 8 >= F.lit(0.45))
+        .select("id_a", "id_b")
+    )
     return (
         cands.join(
             base.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a"
@@ -1500,8 +1516,16 @@ bands as (select doc_id, unnest([
   'b1:' || md5(s[3] || ',' || s[4]),
   'b2:' || md5(s[5] || ',' || s[6]),
   'b3:' || md5(s[7] || ',' || s[8])]) bk from sig),
-cand as (select distinct a.doc_id id_a, b.doc_id id_b
-         from bands a join bands b using (bk) where a.doc_id < b.doc_id),
+cand0 as (select distinct a.doc_id id_a, b.doc_id id_b
+          from bands a join bands b using (bk) where a.doc_id < b.doc_id),
+cand as (select id_a, id_b from cand0
+         join sig sa on sa.doc_id = id_a
+         join sig sb on sb.doc_id = id_b
+         where ((sa.s[1] = sb.s[1])::int + (sa.s[2] = sb.s[2])::int +
+                (sa.s[3] = sb.s[3])::int + (sa.s[4] = sb.s[4])::int +
+                (sa.s[5] = sb.s[5])::int + (sa.s[6] = sb.s[6])::int +
+                (sa.s[7] = sb.s[7])::int + (sa.s[8] = sb.s[8])::int
+               ) / 8 >= 0.45),
 v as (select id_a, id_b,
   len(list_intersect(list_distinct(x.sg), list_distinct(y.sg)))::double /
   (len(list_distinct(x.sg)) + len(list_distinct(y.sg)) -

@@ -98,6 +98,11 @@ def fit_isolation_forest(
         .limit(need)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "fit_isolation_forest: no training rows — the DataFrame "
+            f"is empty or every row has a null in {cols}"
+        )
     x = np.array([[float(r[c]) for c in cols] for r in rows])
     rng = random.Random(seed)
     height = math.ceil(math.log2(max(sample_size, 2)))

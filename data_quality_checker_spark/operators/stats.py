@@ -628,8 +628,18 @@ def vif(df: DataFrame, cols: list[str] | None = None) -> dict[str, float]:
     k = len(cols)
     r = np.eye(k)
     for i, (a, b) in enumerate(pairs):
+        v = row[f"c_{i}"]
+        if v is None:
+            # F.corr returns NULL for a zero-variance (or all-null)
+            # column; assigning None into float64 raises an opaque
+            # TypeError — name the offending pair instead.
+            raise ValueError(
+                f"vif: correlation({a}, {b}) is NULL — one of the "
+                f"columns is constant or has no non-null rows; drop "
+                f"it before computing VIF"
+            )
         ia, ib = cols.index(a), cols.index(b)
-        r[ia, ib] = r[ib, ia] = row[f"c_{i}"]
+        r[ia, ib] = r[ib, ia] = v
     inv = np.linalg.inv(r)
     return {c: float(inv[i, i]) for i, c in enumerate(cols)}
 

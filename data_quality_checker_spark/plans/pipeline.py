@@ -83,7 +83,9 @@ def score_pages(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
 
 
 def with_near_dup_verdict(
-    scored: DataFrame, cfg: PipelineConfig | None = None
+    scored: DataFrame,
+    cfg: PipelineConfig | None = None,
+    storage_path: str | None = None,
 ) -> DataFrame:
     """Corpus-level near-duplicate stage over the KEPT documents:
     MinHash-LSH pairs -> connected components -> every non-canonical
@@ -92,7 +94,17 @@ def with_near_dup_verdict(
     Non-destructive: rule verdicts and metrics columns are untouched;
     rows already dropped by rules never pay for sketching. Runs as its
     own jobs (clustering is iterative) — called by run_pipeline when
-    cfg.near_dedup, after scoring."""
+    cfg.near_dedup, after scoring.
+
+    The left join back is on ``url``, so the sketch input is deduped on
+    url first (score_pages with dedup_latest_capture already guarantees
+    uniqueness; standalone callers may not) — otherwise a repeated url
+    would fan out scored rows and mislabel distinct documents.
+
+    ``storage_path`` is forwarded to the MinHash sketcher: when set the
+    shingle/signature intermediates are written as parquet (resumable,
+    no executor-cache footprint — the crawl-scale form); when None they
+    are persist()ed and released here after clustering."""
     from data_quality_checker_spark.operators.dedup import (
         duplicate_clusters,
         near_duplicates_minhash,
@@ -100,12 +112,17 @@ def with_near_dup_verdict(
     )
 
     cfg = cfg or PipelineConfig()
-    kept = scored.filter("keep").select("url", "text")
+    kept = (
+        scored.filter("keep")
+        .select("url", "text")
+        .dropDuplicates(["url"])
+    )
     pairs = near_duplicates_minhash(
         kept,
         id_col="url",
         text_col="text",
         threshold=cfg.near_dedup_threshold,
+        storage_path=storage_path,
     )
     losers = (
         duplicate_clusters(pairs)
@@ -196,7 +213,11 @@ def run_pipeline(
     )
     scored = score_pages(subset, cfg)
     if cfg.near_dedup:
-        scored = with_near_dup_verdict(scored, cfg)
+        # parquet-materialized sketch tables under the run's own out_dir:
+        # resumable, inspectable, and no cached RDDs outlive the run
+        scored = with_near_dup_verdict(
+            scored, cfg, storage_path=f"{out_dir}/near_dedup"
+        )
     write_partitioned(scored, scored_path, "partition_id")
 
     metrics = partition_metrics(

@@ -47,11 +47,14 @@ def running_stats_stream(
     generalization of temporal.ewma. `events` must be a streaming
     DataFrame; output mode "update" emits one row per key per batch.
 
-    Each Arrow batch is sorted by ``ts_col`` before the EWMA fold so the
-    order-sensitive value is deterministic across shuffles/retries
-    WITHIN a micro-batch (matching temporal.ewma's sort-by-ts);
-    cross-batch ordering still relies on the source delivering batches
-    in event-time order, as micro-batch streaming inherently does."""
+    A key's micro-batch rows may span several Arrow chunks (~10k rows
+    each), so the fold buffers ALL chunks for the key and sorts ONCE by
+    ``ts_col`` — the EWMA is then deterministic across shuffles/retries
+    within a micro-batch regardless of chunk-arrival order (matching
+    temporal.ewma's sort-by-ts). Cross-batch ordering still relies on
+    the source delivering batches in event-time order, as micro-batch
+    streaming inherently does. The buffered state is one key's rows for
+    one micro-batch — bounded by the trigger interval, not the stream."""
 
     def update(key, batches, state: GroupState):
         import pandas as pd
@@ -60,7 +63,9 @@ def running_stats_stream(
             n, total, ewma = state.get
         else:
             n, total, ewma = 0, 0.0, None
-        for pdf in batches:
+        frames = [pdf for pdf in batches if len(pdf)]
+        if frames:
+            pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
             if ts_col in pdf.columns:
                 pdf = pdf.sort_values(ts_col, kind="mergesort")
             vals = pdf[value_col].dropna()
