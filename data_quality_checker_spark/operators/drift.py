@@ -38,7 +38,11 @@ __all__ = [
     "ks_two_sample",
     "ks_uniformity",
     "chi2_uniformity",
+    "release_cache",
 ]
+
+# shared helper (reads the _cached_deps handle this module also sets)
+from data_quality_checker_spark.operators.dedup import release_cache  # noqa: E402
 
 
 def prefix_sums(
@@ -46,6 +50,7 @@ def prefix_sums(
     order_col: str,
     sum_cols: list[str],
     partitions: int = 32,
+    persist: bool = True,
 ) -> DataFrame:
     """Exact global running sums of ``sum_cols`` in ``order_col`` order,
     WITHOUT a single-partition window.
@@ -64,8 +69,13 @@ def prefix_sums(
     stay exact to 2^53). Rows with NULL ``order_col`` must be filtered
     by the caller; ``order_col`` must be numeric (approxQuantile).
 
-    At petabyte scale, persist/checkpoint ``df`` first: phases 2 and 3
-    each scan it once.
+    Phases 2 and 3 each scan the bucketed input once, so with
+    ``persist`` (default) it is cached across them — the source is
+    then scanned once per call instead of twice. The cache handle is
+    attached to the result as ``_cached_deps``; call
+    :func:`release_cache` once the result is consumed (ks_two_sample /
+    ks_uniformity propagate the handle on their one-row outputs). Pass
+    ``persist=False`` if the caller already checkpointed ``df``.
     """
     # deterministic bucket boundaries: Greenwald-Khanna is a
     # deterministic streaming algorithm, so both downstream jobs see
@@ -79,6 +89,8 @@ def prefix_sums(
         .repartition(partitions, "_pid")
         .sortWithinPartitions("_pid", order_col)
     )
+    if persist:
+        d = d.persist()  # materialized by the totals collect below
     totals = {
         int(r["_pid"]): [r[f"_t_{c}"] or 0 for c in sum_cols]
         for r in d.groupBy("_pid")
@@ -118,7 +130,9 @@ def prefix_sums(
                 pieces.append(grp)
             yield pd.concat(pieces)
 
-    return d.mapInPandas(cumulate, schema=out_schema).drop("_pid")
+    out = d.mapInPandas(cumulate, schema=out_schema).drop("_pid")
+    out._cached_deps = (d,) if persist else ()
+    return out
 
 
 def _kolmogorov_p(d: Column, ne: Column, terms: int = 100) -> Column:
@@ -175,12 +189,14 @@ def ks_two_sample(
         F.first("_n_base").alias("nb"),
     )
     ne = F.col("nc") * F.col("nb") / (F.col("nc") + F.col("nb"))
-    return agg.select(
+    out = agg.select(
         F.col("d"),
         F.col("nb").cast("bigint").alias("n_baseline"),
         F.col("nc").cast("bigint").alias("n_current"),
         _kolmogorov_p(F.col("d"), ne).alias("p_value"),
     )
+    out._cached_deps = getattr(cum, "_cached_deps", ())
+    return out
 
 
 def ks_uniformity(
@@ -213,11 +229,13 @@ def ks_uniformity(
             F.first("_n").alias("n"),
         )
     )
-    return agg.select(
+    out = agg.select(
         F.col("d"),
         F.col("n").cast("bigint").alias("n"),
         _kolmogorov_p(F.col("d"), F.col("n")).alias("p_value"),
     )
+    out._cached_deps = getattr(cum, "_cached_deps", ())
+    return out
 
 
 def chi2_uniformity(df: DataFrame, col: str) -> DataFrame:

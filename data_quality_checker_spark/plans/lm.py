@@ -148,11 +148,41 @@ class TrigramLM:
 
 
 def write_trigram_lm(
-    path: str, tri: DataFrame, bi: DataFrame, vocab_size: int
+    path: str,
+    tri: DataFrame,
+    bi: DataFrame,
+    vocab_size: int,
+    min_count: int = 1,
+    max_rows: int = 5_000_000,
 ) -> str:
-    """Serialize trained counts as a gzip json artifact. Collects the
-    count tables — intended for bounded vocabularies (prune with a
-    min-count filter upstream for large corpora, as KenLM does)."""
+    """Serialize trained counts as a gzip json artifact.
+
+    This is the one deliberate driver collect in the LM path (the
+    artifact must exist as a single file for addFile distribution), so
+    it is bounded two ways, KenLM-style:
+
+    - ``min_count`` prunes grams with count < min_count BEFORE the
+      collect (KenLM's --prune semantics). Pruned grams score as
+      unseen at inference — they fall back to the add-one smoothing
+      mass — so a pruned artifact is an approximation of the exact
+      DataFrame scorer (perplexity_df), which never collects and
+      needs no pruning. At crawl scale the trigram table is billions
+      of rows; min_count=2 typically drops the hapax-legomena tail
+      (~80% of distinct grams) with negligible score movement.
+    - ``max_rows`` fails fast if the post-prune tables would still
+      blow the driver, instead of OOMing mid-collect.
+    """
+    if min_count > 1:
+        tri = tri.filter(F.col("n") >= min_count)
+        bi = bi.filter(F.col("n") >= min_count)
+    n_rows = tri.count() + bi.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"write_trigram_lm: {n_rows} count rows after "
+            f"min_count={min_count} pruning exceed max_rows={max_rows} "
+            f"— raise min_count (KenLM-style pruning) or max_rows if "
+            f"the driver can hold them"
+        )
     payload = {
         "format": FORMAT,
         "vocab_size": vocab_size,

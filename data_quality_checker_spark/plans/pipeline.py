@@ -185,6 +185,17 @@ def run_pipeline(
     only the first k incomplete partitions — the test harness uses it
     to simulate a killed run; production never sets it.
 
+    Near-dedup scope on resume: cfg.near_dedup runs the MinHash stage
+    over the partitions processed in THIS invocation (its sketch
+    tables land under ``{out_dir}/near_dedup``). A run that was killed
+    and resumed therefore never compared documents across the
+    invocation boundary — after the last partition completes, re-run
+    the stage corpus-wide over the scored table:
+    ``with_near_dup_verdict(spark.read.parquet(f"{out_dir}/scored")
+    .drop("near_dup_of", "keep_final"), cfg, storage_path=...)``
+    (tests/test_pipeline.py pins that this reproduces the
+    uninterrupted run's verdict exactly).
+
     Returns {"processed_partitions": [...], "skipped": n}."""
     cfg = cfg or PipelineConfig()
     scored_path = f"{out_dir}/scored"

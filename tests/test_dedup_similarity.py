@@ -411,3 +411,34 @@ def test_header_decode_real_formats(spark):
 
     png = rows[1][2]
     assert _z.decompress(png[8 + 25 + 8 : -12 - 4]) is not None
+
+
+def test_minhash_prefilter_equivalence_and_liveness(docs):
+    """The signature-agreement pre-filter must not change results on a
+    corpus whose true pairs sit well above the bar (margin 0.15 keeps
+    est-jaccard slack), and must actually prune when the bar is raised
+    to 1.0 (negative margin): only the all-components-match exact dup
+    survives, proving the filter is in the plan, not dead code."""
+    def pairset(**kw):
+        df = D.near_duplicates_minhash(docs, threshold=0.5, k_shingle=2, **kw)
+        out = {(r["id_a"], r["id_b"]) for r in df.collect()}
+        D.release_cache(df)
+        return out
+
+    assert pairset() == pairset(prefilter_margin=None)
+    # bar = 0.5 - (-0.5) = 1.0 -> only signature-identical pairs pass
+    assert pairset(prefilter_margin=-0.5) == {(0, 1)}
+
+
+def test_duplicate_clusters_raises_on_nonconvergence(spark):
+    """A chain of diameter > max_iter must fail loudly (wrong labels
+    would silently split the cluster otherwise)."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.duplicate_clusters(chain, max_iter=2)
+    # and converges fine when max_iter covers the diameter
+    labs = {r["id"]: r["cluster_id"]
+            for r in D.duplicate_clusters(chain, max_iter=10).collect()}
+    assert set(labs.values()) == {0}

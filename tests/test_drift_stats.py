@@ -258,3 +258,27 @@ def test_bootstrap_ci_covers_true_mean_and_is_deterministic(spark):
         for r in S.bootstrap_means(df, "v", "id", n_boot=20).collect()
     ]
     assert len(means) == 20 and all(45 < m < 55 for m in means)
+
+
+def test_prefix_sums_persist_handle_and_release(spark):
+    """prefix_sums(persist=True) caches the bucketed input across its
+    two downstream scans and hands the cache out via _cached_deps;
+    ks_two_sample propagates the handle so callers can release it."""
+    from data_quality_checker_spark.operators import drift as DR
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 97).cast("double").alias("v"),
+        (F.col("id") % 2 == 0).alias("cur"),
+    )
+    res = DR.ks_two_sample(df, "v", F.col("cur"))
+    row = res.collect()[0]
+    assert row["n_baseline"] == 1000 and row["n_current"] == 1000
+    deps = getattr(res, "_cached_deps", ())
+    assert len(deps) == 1 and deps[0].is_cached
+    DR.release_cache(res)
+    assert not deps[0].is_cached
+    # persist=False -> no handle
+    g = df.groupBy("v").agg(F.count("*").alias("_c"))
+    res2 = DR.prefix_sums(g, "v", ["_c"], persist=False)
+    assert getattr(res2, "_cached_deps", ()) == ()

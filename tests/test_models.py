@@ -113,3 +113,36 @@ def test_trigram_lm_artifact_parity_with_dataframe_scorer(
     assert m.perplexity(sample) < m.perplexity(
         "zzq qqz xqx " * 20
     )
+
+
+def test_write_trigram_lm_min_count_prunes_and_guards(spark, tmp_path):
+    """min_count prunes singleton grams pre-collect (KenLM --prune
+    semantics: pruned grams score as unseen); max_rows fails fast
+    instead of OOMing the driver mid-collect."""
+    from data_quality_checker_spark.plans import lm
+
+    corpus = spark.createDataFrame(
+        [("a b c a b c a b c",), ("x y z",)], "text string"
+    )
+    tri, bi, v = lm.train_trigram_counts(corpus)
+    pruned_path = lm.write_trigram_lm(
+        str(tmp_path / "pruned.lm.gz"), tri, bi, v, min_count=2
+    )
+    m = lm.load_trigram_lm(pruned_path)
+    assert "a b c" in m.tri            # count 3 survives
+    assert "x y z" not in m.tri        # singleton pruned
+    assert all(n >= 2 for n in m.tri.values())
+    assert all(n >= 2 for n in m.bi.values())
+    # pruned grams fall back to the add-one mass -> the pruned model
+    # scores 'x y z' strictly worse than the unpruned model
+    full = lm.load_trigram_lm(
+        lm.write_trigram_lm(str(tmp_path / "full.lm.gz"), tri, bi, v)
+    )
+    assert m.perplexity("x y z") > full.perplexity("x y z")
+    assert m.perplexity("a b c a b c") == full.perplexity("a b c a b c")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_rows"):
+        lm.write_trigram_lm(
+            str(tmp_path / "guard.lm.gz"), tri, bi, v, max_rows=1
+        )

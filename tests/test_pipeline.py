@@ -305,3 +305,45 @@ def test_near_dup_pipeline_stage(spark):
     # untouched docs: keep_final == keep
     clean = out.filter(F.col("near_dup_of").isNull())
     assert clean.filter(F.col("keep_final") != F.col("keep")).count() == 0
+
+
+def test_near_dup_resume_and_corpus_wide_replay(spark, pages, tmp_path_factory):
+    """Kill between scoring legs with near_dedup on, resume, then run
+    the documented corpus-wide near-dedup replay over the read-back
+    scored table: its verdict must equal the uninterrupted run's, and
+    the sketch tables must exist as parquet under out_dir (resumable,
+    nothing cached)."""
+    import os
+
+    from data_quality_checker_spark.plans.pipeline import with_near_dup_verdict
+
+    full_dir = str(tmp_path_factory.mktemp("nd_full"))
+    resumed_dir = str(tmp_path_factory.mktemp("nd_resumed"))
+    cfg = PipelineConfig(num_buckets=8, near_dedup=True,
+                         near_dedup_threshold=0.7)
+
+    run_pipeline(spark, pages, full_dir, cfg, run_id="full")
+    assert os.path.exists(f"{full_dir}/near_dedup/signatures")
+
+    r1 = run_pipeline(spark, pages, resumed_dir, cfg, run_id="p1",
+                      limit_partitions=3)
+    r2 = run_pipeline(spark, pages, resumed_dir, cfg, run_id="p2")
+    assert set(r1["processed_partitions"]).isdisjoint(r2["processed_partitions"])
+
+    # corpus-wide replay over the resumed dir's scored table
+    scored = spark.read.parquet(f"{resumed_dir}/scored").drop(
+        "near_dup_of", "keep_final"
+    )
+    replay = with_near_dup_verdict(
+        scored, cfg, storage_path=f"{resumed_dir}/near_dedup_corpus"
+    )
+    want = {
+        r["url"]: (r["near_dup_of"], r["keep_final"])
+        for r in spark.read.parquet(f"{full_dir}/scored")
+        .select("url", "near_dup_of", "keep_final").collect()
+    }
+    got = {
+        r["url"]: (r["near_dup_of"], r["keep_final"])
+        for r in replay.select("url", "near_dup_of", "keep_final").collect()
+    }
+    assert got == want
