@@ -1536,19 +1536,24 @@ select id_a, id_b, round(j, 6) as jaccard from v where j >= 0.6
 
 
 def q_sentiment(spark, sf):
-    """Wordlist sentiment (TextBlob-family reframing,
-    nlp_analyzer.py:931-952): per-doc polar hit counts + polarity +
-    tone bucket; the twin counts token membership list-based (RE2 has
-    no lookahead, and the equivalence of the two counting forms is the
-    same contract the stopword rules pin)."""
+    """Wordlist sentiment + subjectivity (TextBlob-family reframing,
+    nlp_analyzer.py:931-952 polarity, :954-967 subjectivity,
+    :686-718 emotional tone): per-doc polar/subjective hit counts +
+    polarity + tone bucket + subjectivity in [0,1] + label; the twin
+    counts token membership list-based (RE2 has no lookahead, and the
+    equivalence of the two counting forms is the same contract the
+    stopword rules pin)."""
     docs = _t(spark, sf, "documents")
     res = N.sentiment_scores(docs)
     return res.select(
         "doc_id",
         "pos_hits",
         "neg_hits",
+        "subj_hits",
         _r6(F.col("polarity")).alias("polarity"),
         "tone",
+        _r6(F.col("subjectivity")).alias("subjectivity"),
+        "subjectivity_label",
     )
 
 
@@ -1556,21 +1561,156 @@ def _sql_sentiment() -> str:
     from data_quality_checker_spark.functions.wordlists import (
         NEGATIVE_WORDS,
         POSITIVE_WORDS,
+        SUBJECTIVE_WORDS,
     )
 
     pos = duck.stop_count("text", POSITIVE_WORDS)
     neg = duck.stop_count("text", NEGATIVE_WORDS)
+    subj = duck.stop_count("text", SUBJECTIVE_WORDS)
+    nt = duck.wc("text")
     return f"""
-with h as (select doc_id, {pos} p, {neg} n
+with h as (select doc_id, {pos} p, {neg} n, {subj} sj, {nt} ntok
            from documents where text is not null),
-s as (select doc_id, p as pos_hits, n as neg_hits,
+s as (select doc_id, p as pos_hits, n as neg_hits, sj as subj_hits,
         case when p + n > 0
-             then (p - n)::double / (p + n) end as pol from h)
-select doc_id, pos_hits, neg_hits, round(pol, 6) as polarity,
+             then (p - n)::double / (p + n) end as pol,
+        case when ntok > 0
+             then least(1.0, (p + n + sj)::double / ntok) end as sub
+      from h)
+select doc_id, pos_hits, neg_hits, subj_hits,
+ round(pol, 6) as polarity,
  case when pol > 0.2 then 'positive'
       when pol < -0.2 then 'negative'
-      when pol is not null then 'neutral' end as tone
+      when pol is not null then 'neutral' end as tone,
+ round(sub, 6) as subjectivity,
+ case when sub > 0.05 then 'subjective'
+      when sub is not null then 'objective' end as subjectivity_label
 from s
+"""
+
+
+def q_category_interaction(spark, sf):
+    """Per-category describe() of a numeric column
+    (category_feature_interaction, nlp_analyzer.py:90-97) over the
+    documents corpus: lang x n_chars — count/mean/stddev/min/median/
+    max in one grouped aggregate (the reference loops
+    groupby().describe() in pandas)."""
+    docs = _t(spark, sf, "documents")
+    res = N.category_feature_interaction(docs, "lang", "n_chars")
+    return res.select(
+        "category",
+        "n",
+        _r6(F.col("mean")).alias("mean"),
+        _r6(F.col("stddev")).alias("stddev"),
+        F.col("min").cast("bigint").alias("min"),
+        _r6(F.col("median")).alias("median"),
+        F.col("max").cast("bigint").alias("max"),
+    )
+
+
+SQL_CATEGORY_INTERACTION = """
+select lang as category, count(n_chars) as n,
+ round(avg(n_chars), 6) as mean,
+ round(stddev_samp(n_chars), 6) as stddev,
+ min(n_chars)::bigint as min,
+ round(quantile_cont(n_chars, 0.5), 6) as median,
+ max(n_chars)::bigint as max
+from documents group by lang
+"""
+
+
+_HOLIDAYS = ("2024-01-01", "2024-01-15")
+
+
+def q_holiday_weekend_effects(spark, sf):
+    """The holiday-calendar leg of check_weekend_holiday_effects
+    (ts_analyzer.py:669-700): off-day = weekend OR a date in the fixed
+    two-holiday January calendar (the calendar is the literal/broadcast
+    dim a production holiday table would be)."""
+    ev = _t(spark, sf, "events")
+    return T.holiday_weekend_effects(ev, "ts", "value", _HOLIDAYS).select(
+        "is_offday",
+        _r6(F.col("mean_value")).alias("mean_value"),
+        "n",
+    )
+
+
+SQL_HOLIDAY_WEEKEND = f"""
+select (dayofweek(ts) in (0, 6)
+        or cast(ts as date)::varchar in
+           ('{_HOLIDAYS[0]}', '{_HOLIDAYS[1]}')) as is_offday,
+ round(avg(value), 6) as mean_value, count(*) as n
+from events group by 1
+"""
+
+
+def q_phone_validity(spark, sf):
+    """Region-aware E.164 validity predicate
+    (check_phone_number_validity, dq_checker.py:135-154 — the
+    phonenumbers lib reframed as public ITU numbering-plan facts) over
+    deterministic per-doc phone strings: five format variants
+    (valid +1 / valid +44 / unknown cc / too short / not-a-phone)
+    exercise normalization, prefix-free cc resolution and
+    national-length bounds; the twin re-derives the same strings and
+    the same E164_CODES table as CASE expressions."""
+    docs = _t(spark, sf, "documents").select("doc_id")
+    four = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    phone = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("+1 (415) 555-"), four),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("+44 20 7946 "), four),
+        )
+        .when(F.col("doc_id") % 5 == 2, F.lit("+999 1234567"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("+1 555 01"))
+        .otherwise(F.lit("call me maybe"))
+    )
+    res = Q.phone_validity(docs.withColumn("phone", phone))
+    return res.select(
+        "doc_id", "phone", "phone_e164", "phone_cc", "phone_valid"
+    )
+
+
+def _sql_phone_validity() -> str:
+    from data_quality_checker_spark.operators.quality import E164_CODES
+
+    cc = " ".join(
+        f"when substr(e164, 1, {len(c)}) = '{c}' then '{c}'"
+        for c, _, _ in E164_CODES
+    )
+    mn = " ".join(
+        f"when substr(e164, 1, {len(c)}) = '{c}' then {lo}"
+        for c, lo, _ in E164_CODES
+    )
+    mx = " ".join(
+        f"when substr(e164, 1, {len(c)}) = '{c}' then {hi}"
+        for c, _, hi in E164_CODES
+    )
+    return rf"""
+with p as (select doc_id,
+  case when doc_id % 5 = 0
+         then '+1 (415) 555-' || lpad((doc_id % 10000)::varchar, 4, '0')
+       when doc_id % 5 = 1
+         then '+44 20 7946 ' || lpad((doc_id % 10000)::varchar, 4, '0')
+       when doc_id % 5 = 2 then '+999 1234567'
+       when doc_id % 5 = 3 then '+1 555 01'
+       else 'call me maybe' end as phone
+  from documents),
+d as (select doc_id, phone,
+        regexp_replace(phone, '[\s().\-]', '', 'g') dg from p),
+e as (select doc_id, phone,
+  case when regexp_matches(dg, '^\+[0-9]{{8,15}}$')
+       then substr(dg, 2, 15) end e164 from d),
+m as (select doc_id, phone, e164,
+  case {cc} end cc, case {mn} end mn, case {mx} end mx from e)
+select doc_id, phone, e164 as phone_e164, cc as phone_cc,
+ coalesce(e164 is not null and cc is not null
+          and len(e164) - len(cc) between mn and mx, false)
+   as phone_valid
+from m
 """
 
 
@@ -2191,6 +2331,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keywords": q_rake_keywords,
         "perplexity_lm": q_perplexity_lm,
         "sentiment": q_sentiment,
+        "category_interaction": q_category_interaction,
+        "holiday_weekend_effects": q_holiday_weekend_effects,
+        "phone_validity": q_phone_validity,
         # dedup
         "dedup_subset": q_dedup_subset,
         "minhash_signatures": q_minhash_signatures,
@@ -2273,6 +2416,9 @@ def oracle_sql() -> dict[str, str]:
         "rake_keywords": _sql_rake(),
         "perplexity_lm": SQL_PERPLEXITY_LM,
         "sentiment": _sql_sentiment(),
+        "category_interaction": SQL_CATEGORY_INTERACTION,
+        "holiday_weekend_effects": SQL_HOLIDAY_WEEKEND,
+        "phone_validity": _sql_phone_validity(),
         "dedup_subset": SQL_DEDUP_SUBSET,
         "minhash_signatures": SQL_MINHASH,
         "minhash_lsh_portable": SQL_MINHASH_LSH,

@@ -76,3 +76,15 @@ NEGATIVE_WORDS: tuple[str, ...] = (
     "failure", "wrong", "angry", "annoying", "dreadful", "painful",
     "boring",
 )
+
+# Opinion/hedge markers (the subjectivity axis of TextBlob's
+# (polarity, subjectivity) pair, nlp_analyzer.py:954-967): words that
+# signal stance or uncertainty rather than fact. Polar words are
+# inherently subjective too — sentiment_scores counts both families.
+SUBJECTIVE_WORDS: tuple[str, ...] = (
+    "think", "believe", "feel", "feels", "seems", "seem", "probably",
+    "maybe", "perhaps", "really", "very", "definitely", "certainly",
+    "opinion", "personally", "honestly", "arguably", "likely",
+    "apparently", "surely", "clearly", "obviously", "suppose",
+    "guess", "hope", "wish", "prefer", "favorite", "should", "must",
+)

@@ -35,6 +35,7 @@ __all__ = [
     "rake_phrases",
     "rake_keywords",
     "sentiment_scores",
+    "analyze_emotional_tone",
 ]
 
 
@@ -475,31 +476,73 @@ def sentiment_scores(
     rule): per-doc positive/negative hit counts via the codegen'd
     alternation scan, polarity = (pos - neg) / (pos + neg) in [-1, 1]
     (NULL when no polar word occurs), verdict column per the
-    reference's pos/neg/neutral buckets."""
+    reference's pos/neg/neutral buckets.
+
+    Round 3 adds the SUBJECTIVITY axis (nlp_analyzer.py:954-967 and
+    the subjectivity leg of analyze_emotional_tone, :686-718):
+    subj_hits counts opinion/hedge markers (SUBJECTIVE_WORDS), and
+    subjectivity = min(1, (pos + neg + subj hits) / tokens) in [0, 1]
+    — polar words are inherently subjective, so both families count;
+    NULL for token-less docs."""
+    from data_quality_checker_spark.functions.text import tokens
     from data_quality_checker_spark.functions.wordlists import (
         NEGATIVE_WORDS,
         POSITIVE_WORDS,
+        SUBJECTIVE_WORDS,
     )
     from data_quality_checker_spark.plans.rules import word_alt_pattern
 
     lower = F.lower(F.col(text_col))
     pos = F.regexp_count(lower, F.lit(word_alt_pattern(POSITIVE_WORDS)))
     neg = F.regexp_count(lower, F.lit(word_alt_pattern(NEGATIVE_WORDS)))
+    subj = F.regexp_count(lower, F.lit(word_alt_pattern(SUBJECTIVE_WORDS)))
     d = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col), pos.alias("pos_hits"), neg.alias("neg_hits")
+        F.col(id_col),
+        pos.alias("pos_hits"),
+        neg.alias("neg_hits"),
+        subj.alias("subj_hits"),
+        F.size(tokens(text_col)).alias("_n_tok"),
     )
     total = F.col("pos_hits") + F.col("neg_hits")
     polarity = F.when(
         total > 0,
         (F.col("pos_hits") - F.col("neg_hits")).cast("double") / total,
     )
+    subjectivity = F.when(
+        F.col("_n_tok") > 0,
+        F.least(
+            F.lit(1.0),
+            (total + F.col("subj_hits")).cast("double") / F.col("_n_tok"),
+        ),
+    )
     return d.select(
         id_col,
         "pos_hits",
         "neg_hits",
+        "subj_hits",
         polarity.alias("polarity"),
         F.when(polarity > 0.2, F.lit("positive"))
         .when(polarity < -0.2, F.lit("negative"))
         .when(polarity.isNotNull(), F.lit("neutral"))
         .alias("tone"),
+        subjectivity.alias("subjectivity"),
+        F.when(subjectivity > 0.05, F.lit("subjective"))
+        .when(subjectivity.isNotNull(), F.lit("objective"))
+        .alias("subjectivity_label"),
+    )
+
+
+def analyze_emotional_tone(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Composite emotional-tone profile (analyze_emotional_tone,
+    nlp_analyzer.py:686-718): the reference averages TextBlob polarity
+    + subjectivity per document and buckets the tone; here both axes
+    come from :func:`sentiment_scores`' single wordlist projection —
+    one scan, no UDF. Completes the TextBlob family
+    (_sentiment_analysis + _subjectivity_analysis)."""
+    return sentiment_scores(df, id_col, text_col).select(
+        id_col, "polarity", "tone", "subjectivity", "subjectivity_label"
     )

@@ -49,8 +49,26 @@ __all__ = [
     "mojibake_rows",
     "cast_failure_counts",
     "column_naming_violations",
+    "phone_validity",
+    "E164_CODES",
     "report",
 ]
+
+# (country code, min national digits, max national digits) for the
+# major public E.164 numbering plans (ITU facts; total cc+national
+# <= 15 by the standard). E.164 country codes are PREFIX-FREE by ITU
+# design — at most one of a number's 1/2/3-digit prefixes is a code —
+# which is what lets phone_validity resolve the code with three
+# broadcast left-joins instead of a longest-prefix aggregation.
+E164_CODES: tuple[tuple[str, int, int], ...] = (
+    ("1", 10, 10), ("7", 10, 10),
+    ("20", 8, 9), ("27", 9, 9), ("30", 10, 10), ("31", 9, 9),
+    ("33", 9, 9), ("34", 9, 9), ("39", 8, 11), ("41", 9, 9),
+    ("44", 9, 10), ("46", 7, 9), ("48", 9, 9), ("49", 6, 11),
+    ("52", 10, 10), ("55", 10, 11), ("61", 9, 9), ("81", 9, 10),
+    ("82", 8, 10), ("86", 10, 11), ("90", 10, 10), ("91", 10, 10),
+    ("971", 8, 9), ("972", 8, 9),
+)
 
 
 def _numeric_cols(df: DataFrame, cols: list[str] | None = None) -> list[str]:
@@ -555,3 +573,61 @@ def validate_schema(df: DataFrame, schema_json: dict) -> dict:
         "type_mismatches": mismatched,
         "valid": not missing and not mismatched,
     }
+
+
+def phone_validity(
+    df: DataFrame, col: str = "phone", default_region: str | None = None
+) -> DataFrame:
+    """Region-aware E.164 phone validity (check_phone_number_validity,
+    dq_checker.py:135-154 — the reference calls the phonenumbers lib,
+    absent here by design; this is the numbering-plan subset that is
+    public ITU fact: valid country code + national length in range).
+
+    Adds three columns: ``phone_e164`` (digits, normalized, NULL if
+    not +-prefixed E.164 shape), ``phone_cc`` (matched country code)
+    and ``phone_valid``. The code table is a broadcast dim; because
+    E.164 codes are prefix-free, the 1/2/3-digit prefixes are matched
+    with three broadcast LEFT joins (zero shuffle) and coalesced —
+    never a longest-prefix window.
+
+    ``default_region="US"`` additionally accepts bare 10-digit NANP
+    numbers (area code 2-9xx) without the + prefix."""
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        list(E164_CODES), "cc string, nmin int, nmax int"
+    )
+    digits = F.regexp_replace(F.col(col), r"[\s().\-]", "")
+    out = df.withColumn(
+        "phone_e164",
+        F.when(
+            digits.rlike(r"^\+[0-9]{8,15}$"), F.substring(digits, 2, 15)
+        ),
+    )
+    for n in (1, 2, 3):
+        d_n = dim.filter(F.length("cc") == n).withColumnsRenamed(
+            {"cc": f"_cc{n}", "nmin": f"_mn{n}", "nmax": f"_mx{n}"}
+        )
+        out = out.join(
+            F.broadcast(d_n),
+            F.substring(F.col("phone_e164"), 1, n) == F.col(f"_cc{n}"),
+            "left",
+        )
+    cc = F.coalesce("_cc3", "_cc2", "_cc1")
+    nmin = F.coalesce("_mn3", "_mn2", "_mn1")
+    nmax = F.coalesce("_mx3", "_mx2", "_mx1")
+    nat_len = F.length("phone_e164") - F.length(cc)
+    valid = (
+        F.col("phone_e164").isNotNull()
+        & cc.isNotNull()
+        & (nat_len >= nmin)
+        & (nat_len <= nmax)
+    )
+    if default_region == "US":
+        nanp = digits.rlike(r"^[2-9][0-9]{9}$")
+        valid = valid | nanp
+        cc = F.when(nanp & F.col("phone_e164").isNull(), F.lit("1")).otherwise(cc)
+    return (
+        out.withColumn("phone_cc", cc)
+        .withColumn("phone_valid", F.coalesce(valid, F.lit(False)))
+        .drop(*[f"_{p}{n}" for p in ("cc", "mn", "mx") for n in (1, 2, 3)])
+    )

@@ -38,6 +38,7 @@ __all__ = [
     "vif",
     "bootstrap_means",
     "bootstrap_mean_ci",
+    "shapiro_wilk",
 ]
 
 
@@ -424,6 +425,102 @@ def jarque_bera(df: DataFrame, column: str) -> dict:
     ).collect()[0]
     jb = n / 6.0 * (sk**2 + ku**2 / 4.0)
     return {"jb": jb, "p_value": math.exp(-jb / 2.0), "n": n}
+
+
+def _swilk(x) -> tuple[float, float]:
+    """Shapiro-Wilk W and p-value — Royston's AS R94 approximation
+    (Royston 1995, the same published algorithm scipy wraps), in pure
+    numpy + stdlib statistics.NormalDist (no scipy here): normal-score
+    weights from Blom plotting positions with polynomial-corrected
+    tail coefficients; p from the lognormal (n<=11) / normal (n>=12)
+    transform of W."""
+    import numpy as np
+    from statistics import NormalDist
+
+    nd = NormalDist()
+    x = np.sort(np.asarray(x, dtype="float64"))
+    n = len(x)
+    if n < 3:
+        raise ValueError("shapiro_wilk: need n >= 3")
+    if x[0] == x[-1]:
+        raise ValueError("shapiro_wilk: all sampled values identical")
+    m = np.array(
+        [nd.inv_cdf((i - 0.375) / (n + 0.25)) for i in range(1, n + 1)]
+    )
+    mm = float(m @ m)
+    u = 1.0 / math.sqrt(n)
+    a = np.empty(n)
+    if n == 3:
+        a = np.array([-math.sqrt(0.5), 0.0, math.sqrt(0.5)])
+    else:
+        cn = m[-1] / math.sqrt(mm)
+        an = (
+            -2.706056 * u**5 + 4.434685 * u**4 - 2.071190 * u**3
+            - 0.147981 * u**2 + 0.221157 * u + cn
+        )
+        if n > 5:
+            cn1 = m[-2] / math.sqrt(mm)
+            an1 = (
+                -3.582633 * u**5 + 5.682633 * u**4 - 1.752461 * u**3
+                - 0.293762 * u**2 + 0.042981 * u + cn1
+            )
+            phi = (mm - 2 * m[-1] ** 2 - 2 * m[-2] ** 2) / (
+                1 - 2 * an**2 - 2 * an1**2
+            )
+            a[2:-2] = m[2:-2] / math.sqrt(phi)
+            a[1], a[-2] = -an1, an1
+        else:
+            phi = (mm - 2 * m[-1] ** 2) / (1 - 2 * an**2)
+            a[1:-1] = m[1:-1] / math.sqrt(phi)
+        a[0], a[-1] = -an, an
+    xc = x - x.mean()
+    w = float((a @ x) ** 2 / (xc @ xc))
+    if w >= 1.0:
+        return 1.0, 1.0
+    if n == 3:
+        p = (6.0 / math.pi) * (
+            math.asin(math.sqrt(w)) - math.asin(math.sqrt(0.75))
+        )
+        return w, min(max(p, 0.0), 1.0)
+    if n <= 11:
+        g = -2.273 + 0.459 * n
+        mu = 0.5440 - 0.39978 * n + 0.025054 * n**2 - 0.0006714 * n**3
+        sig = math.exp(
+            1.3822 - 0.77857 * n + 0.062767 * n**2 - 0.0020322 * n**3
+        )
+        arg = g - math.log(1.0 - w)
+        if arg <= 0:
+            return w, 0.0
+        z = (-math.log(arg) - mu) / sig
+    else:
+        ln = math.log(n)
+        mu = 0.0038915 * ln**3 - 0.083751 * ln**2 - 0.31082 * ln - 1.5861
+        sig = math.exp(0.0030302 * ln**2 - 0.082676 * ln - 0.4803)
+        z = (math.log(1.0 - w) - mu) / sig
+    return w, min(max(1.0 - nd.cdf(z), 0.0), 1.0)
+
+
+def shapiro_wilk(
+    df: DataFrame, column: str, max_n: int = 5000, seed: int = 42
+) -> dict:
+    """The reference's check_normality Shapiro branch
+    (stat_analyzer.py:375-403). Shapiro-Wilk is sample-size bound BY
+    DESIGN (~5k cap in the reference too — its p-approximation
+    degrades beyond that), so this is the one legitimately
+    driver-side test: a bounded SEEDED sample -> Royston AS R94 on
+    the driver. For unbounded data use :func:`jarque_bera`, the
+    distributive moment test. Returns {"w", "p_value", "n"}."""
+    src = df.select(column).na.drop()
+    total = src.count()
+    frac = min(1.0, (max_n * 1.2) / max(total, 1))
+    vals = [
+        r[0]
+        for r in src.sample(fraction=frac, seed=seed)
+        .limit(max_n)
+        .collect()
+    ]
+    w, p = _swilk(vals)
+    return {"w": w, "p_value": p, "n": len(vals)}
 
 
 def bartlett_test(df: DataFrame, group: str, value: str) -> dict:

@@ -28,6 +28,7 @@ __all__ = [
     "serial_correlation",
     "cross_correlation",
     "weekend_effects",
+    "holiday_weekend_effects",
     "forecast_accuracy",
     "seasonal_strength",
     "ewma",
@@ -682,3 +683,33 @@ def partial_autocorrelation(
         phi_prev = phi_k
         out.append((k, phi_kk))
     return out
+
+
+def holiday_weekend_effects(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    holidays: tuple[str, ...] = (),
+) -> DataFrame:
+    """weekend_effects with a holiday calendar (the broadcast-dim leg
+    of check_weekend_holiday_effects, ts_analyzer.py:669-700): a day
+    is an off-day when it is a weekend OR its date is in ``holidays``
+    (ISO date strings — the calendar is a tiny literal/broadcast dim,
+    exactly how a real holiday table joins at scale). Returns
+    (is_offday, mean_value, n)."""
+    date = F.to_date(ts_col)
+    if holidays:
+        hol = F.array(*[F.lit(h) for h in holidays])
+        is_off = F.dayofweek(ts_col).isin(1, 7) | F.array_contains(
+            hol, date.cast("string")
+        )
+    else:
+        is_off = F.dayofweek(ts_col).isin(1, 7)
+    return (
+        df.withColumn("is_offday", is_off)
+        .groupBy("is_offday")
+        .agg(
+            F.avg(value_col).alias("mean_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -308,3 +308,67 @@ def test_sentiment_scores_buckets(spark):
     assert got[2]["tone"] == "neutral" and got[2]["polarity"] == 0.0
     assert got[3]["polarity"] is None and got[3]["tone"] is None
     assert 4 not in got  # null text filtered
+
+
+def test_subjectivity_axis_and_emotional_tone(spark):
+    from data_quality_checker_spark.operators import nlp as N
+
+    docs = spark.createDataFrame(
+        [
+            (0, "i think this is really great and i definitely love it"),
+            (1, "the train departs at noon from platform four"),
+            (2, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in N.sentiment_scores(docs).collect()}
+    # doc 0: think/really/definitely + great/love -> strongly subjective
+    assert got[0]["subj_hits"] >= 3
+    assert got[0]["subjectivity"] > 0.3
+    assert got[0]["subjectivity_label"] == "subjective"
+    # doc 1: plain factual text -> no markers
+    assert got[1]["subj_hits"] == 0 and got[1]["subjectivity"] == 0.0
+    assert got[1]["subjectivity_label"] == "objective"
+    tone = {r["doc_id"]: r for r in N.analyze_emotional_tone(docs).collect()}
+    assert set(tone[0].asDict()) == {
+        "doc_id", "polarity", "tone", "subjectivity", "subjectivity_label"
+    }
+    assert tone[0]["tone"] == "positive"
+    assert tone[0]["subjectivity"] == got[0]["subjectivity"]
+
+
+def test_phone_validity_predicate(spark):
+    from data_quality_checker_spark.operators import quality as Q
+
+    rows = [
+        (0, "+1 (415) 555-0123"),   # valid NANP via +1
+        (1, "+44 20 7946 0958"),    # valid UK, 10 national
+        (2, "+44 20 79"),           # too short for UK
+        (3, "+999 12345678"),       # unknown country code
+        (4, "415-555-0123"),        # bare NANP, no +
+        (5, "hello world"),
+        (6, None),
+        (7, "+971 4 123 4567"),     # 3-digit cc (UAE), 8 national
+    ]
+    df = spark.createDataFrame(rows, "id long, phone string")
+    strict = {r["id"]: r for r in Q.phone_validity(df).collect()}
+    assert strict[0]["phone_valid"] and strict[0]["phone_cc"] == "1"
+    assert strict[1]["phone_valid"] and strict[1]["phone_cc"] == "44"
+    assert not strict[2]["phone_valid"]
+    assert not strict[3]["phone_valid"] and strict[3]["phone_cc"] is None
+    assert not strict[4]["phone_valid"]  # strict E.164 needs the +
+    assert not strict[5]["phone_valid"] and not strict[6]["phone_valid"]
+    assert strict[7]["phone_valid"] and strict[7]["phone_cc"] == "971"
+    # default_region US accepts bare 10-digit NANP
+    us = {r["id"]: r for r in Q.phone_validity(df, default_region="US").collect()}
+    assert us[4]["phone_valid"] and us[4]["phone_cc"] == "1"
+    assert not us[5]["phone_valid"]
+    # zero-shuffle claim: broadcast joins only, no Exchange in the plan
+    plan = (
+        Q.phone_validity(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+    assert not re.search(r"Exchange (hash|range)partitioning", plan), plan

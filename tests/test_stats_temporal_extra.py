@@ -97,3 +97,64 @@ def test_fourier_top_frequencies(spark):
     df = spark.createDataFrame(rows, "ts timestamp, v double, k string")
     top = T.fourier_top_frequencies(df, "v", "ts", "k", top_k=1).collect()
     assert top[0]["freq_idx"] == n // period  # bin 8 = the sine frequency
+
+
+def test_shapiro_wilk_royston(spark):
+    """Royston AS R94: exact W=1 for the symmetric n=3 case, accepts a
+    seeded normal sample, rejects an exponential one (the reference's
+    check_normality Shapiro branch, stat_analyzer.py:375-403)."""
+    import numpy as np
+
+    from data_quality_checker_spark.operators import stats as S
+
+    w, p = S._swilk([1.0, 2.0, 3.0])
+    assert w == 1.0 and p == 1.0
+    # scipy reference value for [1,2,3,4,5]: W=0.986766, p=0.967414
+    w5, p5 = S._swilk([1.0, 2.0, 3.0, 4.0, 5.0])
+    assert abs(w5 - 0.986766) < 5e-4 and abs(p5 - 0.9674) < 5e-3
+
+    rng = np.random.RandomState(11)
+    norm = spark.createDataFrame(
+        [(float(v),) for v in rng.normal(50, 5, 3000)], "v double"
+    )
+    expo = spark.createDataFrame(
+        [(float(v),) for v in rng.exponential(2.0, 3000)], "v double"
+    )
+    rn = S.shapiro_wilk(norm, "v")
+    re_ = S.shapiro_wilk(expo, "v")
+    assert rn["w"] > 0.99 and rn["p_value"] > 0.05
+    assert re_["w"] < 0.95 and re_["p_value"] < 1e-6
+    assert rn["n"] <= 5000 and re_["n"] <= 5000
+    # bounded: max_n caps the driver collect
+    capped = S.shapiro_wilk(norm, "v", max_n=100)
+    assert capped["n"] <= 100
+
+
+def test_holiday_weekend_effects(spark):
+    from pyspark.sql import functions as F
+
+    from data_quality_checker_spark.operators import temporal as T
+
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 10:00:00", 100.0),  # Monday, holiday
+            ("2024-01-02 10:00:00", 1.0),    # Tuesday
+            ("2024-01-06 10:00:00", 50.0),   # Saturday
+            ("2024-01-03 10:00:00", 3.0),    # Wednesday
+        ],
+        "ts_s string, value double",
+    ).select(F.to_timestamp("ts_s").alias("ts"), "value")
+    got = {
+        r["is_offday"]: r
+        for r in T.holiday_weekend_effects(
+            df, "ts", "value", ("2024-01-01",)
+        ).collect()
+    }
+    assert got[True]["n"] == 2 and got[True]["mean_value"] == 75.0
+    assert got[False]["n"] == 2 and got[False]["mean_value"] == 2.0
+    # without the calendar the holiday Monday is a weekday
+    plain = {
+        r["is_offday"]: r
+        for r in T.holiday_weekend_effects(df, "ts", "value").collect()
+    }
+    assert plain[False]["n"] == 3
