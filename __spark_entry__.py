@@ -1714,6 +1714,77 @@ from m
 """
 
 
+def q_spelling_suggestions(spark, sf):
+    """SymSpell-as-a-join spelling suggester (the non-destructive
+    reframing of correct_spelling — see operators/spelling.py) over
+    the documents corpus with deterministic injected typos (appended
+    per doc_id so both engines tokenize identical text). Suspects are
+    sub-min_freq tokens; suggestions are their edit-distance-1
+    vocabulary neighbors found via the delete-key equi-join, ranked by
+    vocabulary frequency. The twin reproduces delete-neighborhood
+    generation, the join, and the levenshtein bound in SQL."""
+    from data_quality_checker_spark.operators import spelling as SP
+
+    docs = _t(spark, sf, "documents").filter(
+        "doc_id < 300 and text is not null"
+    )
+    typo = (
+        F.when(F.col("doc_id") % 100 == 0, F.lit(" tha"))
+        .when(F.col("doc_id") % 100 == 1, F.lit(" tabel"))
+        .when(F.col("doc_id") % 100 == 2, F.lit(" fitler"))
+        .when(F.col("doc_id") % 100 == 3, F.lit(" qurey"))
+        .otherwise(F.lit(""))
+    )
+    corrupted = docs.select(
+        F.concat(F.col("text"), typo).alias("text")
+    )
+    return SP.spelling_suggestions(corrupted, min_freq=20).select(
+        "token",
+        "freq",
+        "suggestion",
+        "suggestion_freq",
+        F.col("distance").cast("bigint").alias("distance"),
+    )
+
+
+def _sql_spelling() -> str:
+    dels = (
+        "list_distinct(list_concat([{t}], "
+        "list_transform(generate_series(1, len({t})), "
+        "i -> substr({t}, 1, i - 1) || substr({t}, i + 1, 20))))"
+    )
+    return f"""
+with docs as (select
+  text || case when doc_id % 100 = 0 then ' tha'
+               when doc_id % 100 = 1 then ' tabel'
+               when doc_id % 100 = 2 then ' fitler'
+               when doc_id % 100 = 3 then ' qurey'
+               else '' end as text
+  from documents where doc_id < 300 and text is not null),
+tf as (select unnest({duck.toks('text')}) as token from docs),
+freqs as (select token, count(*) freq from tf group by 1),
+vocab as (select token vword, freq vfreq from freqs
+          where freq >= 20 and len(token) <= 20),
+susp as (select f.token, f.freq from freqs f
+         anti join vocab v on f.token = v.vword
+         where len(f.token) between 3 and 20),
+sd as (select token, freq, unnest({dels.format(t='token')}) dk from susp),
+vd as (select vword, vfreq, unnest({dels.format(t='vword')}) dk
+       from vocab),
+cand as (select distinct token, freq, vword, vfreq,
+                levenshtein(token, vword) as distance
+         from sd join vd using (dk)
+         where levenshtein(token, vword) <= 2),
+ranked as (select *, row_number() over
+             (partition by token order by distance, vfreq desc, vword)
+             rn
+           from cand)
+select token, freq, vword as suggestion, vfreq as suggestion_freq,
+ distance
+from ranked where rn = 1
+"""
+
+
 def q_perplexity_lm(spark, sf):
     """REAL trained trigram-LM perplexity (plans/lm.py): counts from
     the doc_id < 100 slice, add-one-smoothed scoring of the 100..299
@@ -2334,6 +2405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "category_interaction": q_category_interaction,
         "holiday_weekend_effects": q_holiday_weekend_effects,
         "phone_validity": q_phone_validity,
+        "spelling_suggestions": q_spelling_suggestions,
         # dedup
         "dedup_subset": q_dedup_subset,
         "minhash_signatures": q_minhash_signatures,
@@ -2419,6 +2491,7 @@ def oracle_sql() -> dict[str, str]:
         "category_interaction": SQL_CATEGORY_INTERACTION,
         "holiday_weekend_effects": SQL_HOLIDAY_WEEKEND,
         "phone_validity": _sql_phone_validity(),
+        "spelling_suggestions": _sql_spelling(),
         "dedup_subset": SQL_DEDUP_SUBSET,
         "minhash_signatures": SQL_MINHASH,
         "minhash_lsh_portable": SQL_MINHASH_LSH,

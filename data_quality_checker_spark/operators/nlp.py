@@ -36,6 +36,7 @@ __all__ = [
     "rake_keywords",
     "sentiment_scores",
     "analyze_emotional_tone",
+    "word2vec_doc_similarity",
 ]
 
 
@@ -546,3 +547,48 @@ def analyze_emotional_tone(
     return sentiment_scores(df, id_col, text_col).select(
         id_col, "polarity", "tone", "subjectivity", "subjectivity_label"
     )
+
+
+def word2vec_doc_similarity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vector_size: int = 32,
+    min_count: int = 2,
+    top_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """_compute_text_similarity's word2vec leg (nlp_analyzer.py:779-817
+    — the reference loads a pre-trained gensim Word2Vec and loops
+    pairwise similarities):
+    Spark ML Word2Vec trained on the tokenized corpus (distributed
+    skip-gram), document vector = mean of word vectors (the
+    transform's own semantics), then top-k cosine neighbors per doc
+    via the broadcast brute-force ranking. numPartitions=1 + fixed
+    seed keep training deterministic per corpus in local mode; at
+    crawl scale swap the brute-force ranking for similarity.topk_lsh /
+    topk_ivf over the same vectors. Returns
+    (query_id, id, cosine, rank)."""
+    from pyspark.ml.feature import Word2Vec
+    from pyspark.ml.functions import vector_to_array
+
+    from data_quality_checker_spark.operators.similarity import (
+        topk_bruteforce,
+    )
+
+    tok_df = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("vec_id"), tokens(text_col).alias("words")
+    )
+    w2v = Word2Vec(
+        vectorSize=vector_size,
+        minCount=min_count,
+        seed=seed,
+        numPartitions=1,
+        inputCol="words",
+        outputCol="_vec",
+    )
+    model = w2v.fit(tok_df)
+    emb = model.transform(tok_df).select(
+        "vec_id", vector_to_array("_vec").alias("embedding")
+    )
+    return topk_bruteforce(emb, emb, k=top_k)

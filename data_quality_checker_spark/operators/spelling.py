@@ -1,0 +1,128 @@
+"""Distributed spelling suggestion — the Spark-first reframing of the
+reference's correct_spelling (nlp_analyzer.py:39-54, TextBlob
+``.correct()``),
+which mutates text row-by-row through a Python library. Mutation breaks
+this engine's byte-identity invariant (scrubbed text must be
+reproducible byte-for-byte), so the operator is NON-destructive: it
+returns a (token -> suggestion) mapping that callers may apply, audit,
+or ignore.
+
+The algorithm is SymSpell's delete-neighborhood trick (public domain,
+Garbe 2012) expressed as DataFrame joins:
+
+  two words share a member of their {word + all single-character
+  deletions} sets iff one is reachable from the other by one
+  insert/delete/substitute OR an adjacent transposition (plus a thin
+  tail of other Levenshtein-2 pairs) — i.e. the shared key bounds
+  plain Levenshtein at 2 and covers exactly the Damerau-1 typo family,
+
+so candidate generation is an EQUI-JOIN on the delete key — never a
+cross join, never a per-row dictionary lookup UDF. Candidates are
+filtered to ``F.levenshtein <= 2`` (JVM, codegen; the provable bound
+for a shared key) and the suggestion ranks by (levenshtein ASC,
+vocabulary frequency DESC, word) — a distance-1 neighbor always beats
+a transposition, which beats nothing. Both sides of the join are
+vocabulary-sized (distinct tokens), not corpus-sized; the explode
+factor is the token length, capped by ``max_token_len``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_quality_checker_spark.functions.text import tokens
+
+__all__ = ["token_frequencies", "spelling_suggestions"]
+
+
+def token_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(token, freq) over the corpus — one explode + groupBy
+    (map-side combined)."""
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _deletes(col, max_token_len: int):
+    """token + every single-character deletion of it, as an array
+    column (pure Catalyst: substring arithmetic over a 1..len
+    sequence)."""
+    t = col
+    dels = F.transform(
+        F.sequence(F.lit(1), F.least(F.length(t), F.lit(max_token_len))),
+        lambda i: F.concat(
+            F.substring(t, F.lit(1), (i - 1).cast("int")),
+            t.substr(i + 1, F.lit(max_token_len)),
+        ),
+    )
+    return F.array_union(F.array(t), dels)
+
+
+def spelling_suggestions(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
+    min_freq: int = 5,
+    max_token_len: int = 20,
+) -> DataFrame:
+    """(token, freq, suggestion, suggestion_freq) for every corpus
+    token NOT in the vocabulary that has a vocabulary word within edit
+    distance 1.
+
+    ``vocab``: optional (token, freq) DataFrame of known-good words;
+    when None it is derived from the corpus itself — tokens with
+    freq >= ``min_freq`` (misspellings are rare by definition; the
+    same self-corpus heuristic SymSpell deployments use when no
+    dictionary ships). Tokens longer than ``max_token_len`` are left
+    alone (URLs, hashes, identifiers — correcting those is noise).
+    """
+    freqs = token_frequencies(df, text_col)
+    if vocab is None:
+        vocab = freqs.filter(F.col("freq") >= min_freq)
+    vocab = vocab.select(
+        F.col("token").alias("vword"), F.col("freq").alias("vfreq")
+    ).filter(F.length("vword") <= max_token_len)
+
+    suspects = (
+        freqs.join(
+            vocab.select(F.col("vword").alias("token")), "token", "anti"
+        )
+        .filter(F.length("token") <= max_token_len)
+        .filter(F.length("token") >= 3)  # 1-2 char tokens: no signal
+    )
+
+    s_keys = suspects.select(
+        "token",
+        "freq",
+        F.explode(_deletes(F.col("token"), max_token_len)).alias("dk"),
+    )
+    v_keys = vocab.select(
+        "vword",
+        "vfreq",
+        F.explode(_deletes(F.col("vword"), max_token_len)).alias("dk"),
+    )
+    cands = (
+        s_keys.join(v_keys, "dk")
+        .drop("dk")
+        .distinct()  # same pair can meet on several delete keys
+        .withColumn("distance", F.levenshtein("token", "vword"))
+        .filter(F.col("distance") <= 2)
+    )
+    w = Window.partitionBy("token").orderBy(
+        "distance", F.col("vfreq").desc(), F.col("vword")
+    )
+    return (
+        cands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "token",
+            "freq",
+            F.col("vword").alias("suggestion"),
+            F.col("vfreq").alias("suggestion_freq"),
+            "distance",
+        )
+    )

@@ -442,3 +442,51 @@ def test_duplicate_clusters_raises_on_nonconvergence(spark):
     labs = {r["id"]: r["cluster_id"]
             for r in D.duplicate_clusters(chain, max_iter=10).collect()}
     assert set(labs.values()) == {0}
+
+
+def test_spelling_suggestions_symspell_join(spark):
+    """SymSpell delete-neighborhood as an equi-join: injected typos
+    resolve to their edit-distance-1 vocabulary neighbors, clean and
+    distant tokens are untouched."""
+    from data_quality_checker_spark.operators import spelling as SP
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base) for i in range(10)]
+    rows.append((10, base + " teh quik zzzzz xylophone"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["token"]: r
+        for r in SP.spelling_suggestions(df, min_freq=5).collect()
+    }
+    assert got["teh"]["suggestion"] == "the"
+    assert got["quik"]["suggestion"] == "quick"
+    # 'zzzzz' has no edit-1 vocab neighbor -> absent
+    assert "zzzzz" not in got
+    # vocabulary words are never suspects
+    assert "the" not in got and "quick" not in got
+    # suggestion ranks by vocab frequency: 'the' (freq 22) beats any
+    # lower-frequency neighbor
+    assert got["teh"]["suggestion_freq"] >= 20
+
+
+def test_word2vec_doc_similarity(spark):
+    """Spark ML Word2Vec doc similarity: identical docs are mutual
+    rank-1 neighbors with cosine ~1."""
+    a = ("spark query engines shuffle data across partitions for joins "
+         "and aggregations every day") * 2
+    rows = [
+        (0, a),
+        (1, a),  # identical -> cosine 1
+        (2, "completely different words about cooking pasta dinner "
+            "tomato basil garlic sauce recipe kitchen"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["query_id"], r["rank"]): r
+        for r in N.word2vec_doc_similarity(
+            df, top_k=2, min_count=1
+        ).collect()
+    }
+    assert got[(0, 1)]["id"] == 1 and got[(0, 1)]["cosine"] > 0.999
+    assert got[(1, 1)]["id"] == 0 and got[(1, 1)]["cosine"] > 0.999
+    assert got[(2, 1)]["cosine"] < 0.999
