@@ -1785,6 +1785,275 @@ from ranked where rn = 1
 """
 
 
+def q_ecdf_value(spark, sf):
+    """plot_cdf reframed as data (stats.ecdf_table): the exact
+    empirical CDF over events.value — one row per distinct value,
+    cumulative counts from the two-phase distributed prefix-sum scan
+    (never a single-partition window). Counts are integers in doubles,
+    so the cumulative sums are exact and engine-identical."""
+    ev = _t(spark, sf, "events")
+    return S.ecdf_table(ev, "value").select(
+        _r6(F.col("value")).alias("value"), _r6(F.col("cdf")).alias("cdf")
+    )
+
+
+SQL_ECDF = """
+with c as (select value::double as v, count(*)::double as cnt
+           from events where value is not null group by 1)
+select round(v, 6) as value,
+       round(sum(cnt) over (order by v) / (select sum(cnt) from c), 6)
+         as cdf
+from c
+"""
+
+
+def q_correlation_heatmap(spark, sf):
+    """plot_correlation_heatmap reframed as data
+    (stats.correlation_matrix): the full symmetric matrix incl. unit
+    diagonal, long form, one scan."""
+    li = _t(spark, sf, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    return S.correlation_matrix(li.select(*cols)).select(
+        "col_x", "col_y", _r6(F.col("corr")).alias("corr")
+    )
+
+
+def _sql_corr_matrix():
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    parts = []
+    for a in cols:
+        for b in cols:
+            if a == b:
+                parts.append(
+                    f"select '{a}' as col_x, '{b}' as col_y, 1.0 as corr"
+                )
+            else:
+                parts.append(
+                    f"select '{a}' as col_x, '{b}' as col_y, "
+                    f"round(corr({a}, {b}), 6) as corr from lineitem"
+                )
+    return " union all ".join(parts)
+
+
+def q_target_boxstats(spark, sf):
+    """target_feature_relationship reframed as data
+    (stats.target_feature_boxstats): per-event_type boxplot five-number
+    summary + mean/count of value, ONE grouped aggregate with exact
+    interpolated percentiles (F.percentile == quantile_cont)."""
+    ev = _t(spark, sf, "events")
+    out = S.target_feature_boxstats(ev, "event_type", ["value"])
+    return out.select(
+        "target",
+        "feature",
+        "n",
+        _r6(F.col("min_v")).alias("min_v"),
+        _r6(F.col("q1")).alias("q1"),
+        _r6(F.col("median")).alias("median"),
+        _r6(F.col("q3")).alias("q3"),
+        _r6(F.col("max_v")).alias("max_v"),
+        _r6(F.col("mean")).alias("mean"),
+    )
+
+
+SQL_TARGET_BOXSTATS = """
+select event_type as target, 'value' as feature,
+ count(value) as n,
+ round(min(value), 6) as min_v,
+ round(quantile_cont(value, 0.25), 6) as q1,
+ round(quantile_cont(value, 0.5), 6) as median,
+ round(quantile_cont(value, 0.75), 6) as q3,
+ round(max(value), 6) as max_v,
+ round(avg(value), 6) as mean
+from events group by 1
+"""
+
+
+def q_date_granularity(spark, sf):
+    """detect_date_granularity_inconsistencies — the reference's own
+    body is dead logic (it normalizes through strftime('%Y-%m-%d')
+    first, dq_checker.py:952-967); quality.date_granularity_
+    inconsistencies implements the documented intent over raw strings.
+    Mixed-granularity strings are synthesized deterministically from
+    o_orderdate (month for o_orderkey%10==0, bare year for %10==1,
+    full date otherwise), so 'day' is modal and the ~20% minority rows
+    come back."""
+    od = (
+        _t(spark, sf, "orders")
+        .filter("o_orderkey < 5000")
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 10 == 0,
+                F.date_format("o_orderdate", "yyyy-MM"),
+            )
+            .when(
+                F.col("o_orderkey") % 10 == 1,
+                F.date_format("o_orderdate", "yyyy"),
+            )
+            .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+            .alias("date_str"),
+        )
+    )
+    return Q.date_granularity_inconsistencies(od, "date_str").select(
+        "o_orderkey", "date_str", "granularity", "modal_granularity"
+    )
+
+
+SQL_DATE_GRANULARITY = """
+with od as (select o_orderkey,
+  case when o_orderkey % 10 = 0 then strftime(o_orderdate, '%Y-%m')
+       when o_orderkey % 10 = 1 then strftime(o_orderdate, '%Y')
+       else strftime(o_orderdate, '%Y-%m-%d') end as date_str
+  from orders where o_orderkey < 5000),
+cl as (select *,
+  case when regexp_matches(trim(date_str), '^[0-9]{4}$') then 'year'
+       when regexp_matches(trim(date_str), '^[0-9]{4}-[0-9]{2}$')
+         then 'month'
+       when regexp_matches(trim(date_str),
+                           '^[0-9]{4}-[0-9]{2}-[0-9]{2}$') then 'day'
+       else 'other' end as granularity
+  from od where date_str is not null),
+m as (select granularity as modal_granularity from cl
+      group by 1 order by count(*) desc, granularity limit 1)
+select o_orderkey, date_str, granularity, modal_granularity
+from cl cross join m where granularity <> modal_granularity
+"""
+
+
+_NER_PATTERN = r"[A-Z][A-Za-z]+(?: [A-Z][A-Za-z]+)+|\b[A-Z]{2,}\b"
+
+
+def _ner_corpus(spark, sf):
+    """documents with deterministic capitalized entity mentions
+    appended (the base corpus is all-lowercase by construction, so
+    every extracted entity is injected and both engines see identical
+    text)."""
+    docs = _t(spark, sf, "documents").filter(
+        "doc_id < 200 and text is not null"
+    )
+    mention = (
+        F.when(F.col("doc_id") % 10 == 0, F.lit(" Acme Corp said so."))
+        .when(F.col("doc_id") % 10 == 1, F.lit(" ACME CORP announced."))
+        .when(F.col("doc_id") % 10 == 2, F.lit(" visit New York City"))
+        .when(F.col("doc_id") % 10 == 3, F.lit(" NASA launched it"))
+        .when(F.col("doc_id") % 10 == 4, F.lit(" IBM and Acme Corp met"))
+        .otherwise(F.lit(""))
+    )
+    return docs.select(
+        "doc_id", F.concat(F.col("text"), mention).alias("text")
+    )
+
+
+_SQL_NER_CORPUS = """
+select doc_id, text ||
+  case when doc_id % 10 = 0 then ' Acme Corp said so.'
+       when doc_id % 10 = 1 then ' ACME CORP announced.'
+       when doc_id % 10 = 2 then ' visit New York City'
+       when doc_id % 10 = 3 then ' NASA launched it'
+       when doc_id % 10 = 4 then ' IBM and Acme Corp met'
+       else '' end as text
+from documents where doc_id < 200 and text is not null
+"""
+
+
+def q_ner_entities(spark, sf):
+    """named_entity_analysis(return_frequency=True) via the heuristic
+    orthographic extractor (operators/entities.py — spaCy absent by
+    design; extract -> explode -> hash-agg, the same plan a model-UDF
+    scorer would use)."""
+    from data_quality_checker_spark.operators import entities as E
+
+    return E.entity_frequencies(_ner_corpus(spark, sf)).select(
+        "entity", "n_mentions", "n_docs"
+    )
+
+
+def _sql_ner_entities() -> str:
+    return f"""
+with corpus as ({_SQL_NER_CORPUS}),
+m as (select doc_id,
+             unnest(regexp_extract_all(text, '{_NER_PATTERN}')) as entity
+      from corpus)
+select entity, count(*) as n_mentions,
+       count(distinct doc_id) as n_docs
+from m group by 1
+"""
+
+
+def q_ner_consistency(spark, sf):
+    """_named_entity_consistency: case-insensitive surface-form
+    collisions among extracted entities ('Acme Corp' vs 'ACME CORP'),
+    variants '|'-joined in sorted order for a deterministic row."""
+    from data_quality_checker_spark.operators import entities as E
+
+    return E.entity_consistency(_ner_corpus(spark, sf)).select(
+        "entity_norm", "n_variants", "variants"
+    )
+
+
+def _sql_ner_consistency() -> str:
+    return f"""
+with corpus as ({_SQL_NER_CORPUS}),
+m as (select doc_id,
+             unnest(regexp_extract_all(text, '{_NER_PATTERN}')) as entity
+      from corpus),
+g as (select lower(entity) as entity_norm,
+             list_sort(list_distinct(list(entity))) as v
+      from m group by 1)
+select entity_norm, len(v) as n_variants,
+       array_to_string(v, '|') as variants
+from g where len(v) > 1
+"""
+
+
+def q_pos_distribution(spark, sf):
+    """_pos_distribution via the closed-class + suffix heuristic
+    tagger (operators/entities.py) — one CASE over the exploded token
+    stream, corpus-wide counts."""
+    from data_quality_checker_spark.operators import entities as E
+
+    docs = _t(spark, sf, "documents").filter(
+        "doc_id < 300 and text is not null"
+    )
+    # the synthetic corpus is lowercase with a narrow word-shape range
+    # (only DET + NOUN fire); append a class-diverse tail so every
+    # heuristic branch is exercised in both engines
+    tail = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit(" He quickly joined the Powerful table with 42 rows"),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.lit(" they are running slowly through Spark and 3.5 files"),
+        )
+        .otherwise(F.lit(" it was a flexible scan over every usable batch"))
+    )
+    return E.pos_distribution(
+        docs.select(F.concat("text", tail).alias("text"))
+    ).select("pos", "n", _r6(F.col("pct")).alias("pct"))
+
+
+def _sql_pos_distribution() -> str:
+    return f"""
+with docs as (select text ||
+  case when doc_id % 3 = 0
+         then ' He quickly joined the Powerful table with 42 rows'
+       when doc_id % 3 = 1
+         then ' they are running slowly through Spark and 3.5 files'
+       else ' it was a flexible scan over every usable batch'
+       end as text
+  from documents where doc_id < 300 and text is not null),
+toks as (select unnest(regexp_split_to_array(text,
+                '[^A-Za-z0-9]+')) as token
+              from docs),
+tagged as (select {duck.pos_case('token')} as pos
+           from toks where token <> ''),
+c as (select pos, count(*) as n from tagged group by 1)
+select pos, n, round(n / (select sum(n) from c), 6) as pct from c
+"""
+
+
 def q_perplexity_lm(spark, sf):
     """REAL trained trigram-LM perplexity (plans/lm.py): counts from
     the doc_id < 100 slice, add-one-smoothed scoring of the 100..299
@@ -2406,6 +2675,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holiday_weekend_effects": q_holiday_weekend_effects,
         "phone_validity": q_phone_validity,
         "spelling_suggestions": q_spelling_suggestions,
+        "ecdf_value": q_ecdf_value,
+        "correlation_heatmap": q_correlation_heatmap,
+        "target_boxstats": q_target_boxstats,
+        "date_granularity": q_date_granularity,
+        "ner_entities": q_ner_entities,
+        "ner_consistency": q_ner_consistency,
+        "pos_distribution": q_pos_distribution,
         # dedup
         "dedup_subset": q_dedup_subset,
         "minhash_signatures": q_minhash_signatures,
@@ -2492,6 +2768,13 @@ def oracle_sql() -> dict[str, str]:
         "holiday_weekend_effects": SQL_HOLIDAY_WEEKEND,
         "phone_validity": _sql_phone_validity(),
         "spelling_suggestions": _sql_spelling(),
+        "ecdf_value": SQL_ECDF,
+        "correlation_heatmap": _sql_corr_matrix(),
+        "target_boxstats": SQL_TARGET_BOXSTATS,
+        "date_granularity": SQL_DATE_GRANULARITY,
+        "ner_entities": _sql_ner_entities(),
+        "ner_consistency": _sql_ner_consistency(),
+        "pos_distribution": _sql_pos_distribution(),
         "dedup_subset": SQL_DEDUP_SUBSET,
         "minhash_signatures": SQL_MINHASH,
         "minhash_lsh_portable": SQL_MINHASH_LSH,

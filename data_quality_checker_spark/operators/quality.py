@@ -23,6 +23,7 @@ from pyspark.sql import types as SqlT
 
 __all__ = [
     "missing_values",
+    "date_granularity_inconsistencies",
     "numeric_out_of_range",
     "pattern_mismatch",
     "invalid_emails",
@@ -630,4 +631,55 @@ def phone_validity(
         out.withColumn("phone_cc", cc)
         .withColumn("phone_valid", F.coalesce(valid, F.lit(False)))
         .drop(*[f"_{p}{n}" for p in ("cc", "mn", "mx") for n in (1, 2, 3)])
+    )
+
+
+GRANULARITY_PATTERNS = (
+    ("year", r"^[0-9]{4}$"),
+    ("month", r"^[0-9]{4}-[0-9]{2}$"),
+    ("day", r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$"),
+    ("timestamp",
+     r"^[0-9]{4}-[0-9]{2}-[0-9]{2}[ T][0-9]{2}:[0-9]{2}(:[0-9]{2}(\.[0-9]+)?)?$"),
+)
+
+
+def date_granularity_expr(col):
+    """CASE expression classifying a raw date STRING's granularity
+    (year / month / day / timestamp / other)."""
+    expr = None
+    trimmed = F.trim(col)
+    for name, pat in GRANULARITY_PATTERNS:
+        cond = trimmed.rlike(pat)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    return expr.otherwise(F.lit("other"))
+
+
+def date_granularity_inconsistencies(
+    df: DataFrame, column: str
+) -> DataFrame:
+    """Rows whose raw date-string granularity differs from the corpus
+    mode — detect_date_granularity_inconsistencies
+    (dq_checker.py:952-967). The reference normalizes through
+    pd.to_datetime + strftime('%Y-%m-%d') first, which makes every
+    surviving value 3-part and the check vacuous (dead logic, noted in
+    SURVEY §2); this implements the documented INTENT over the raw
+    strings: classify granularity by shape, find the modal class with
+    one tiny aggregate (count desc, name asc tie-break — deterministic),
+    broadcast the 1-row mode, and return the minority rows. Two
+    scans of a projection, one O(#classes) aggregate; no row-count
+    shuffle."""
+    classified = df.filter(F.col(column).isNotNull()).withColumn(
+        "granularity", date_granularity_expr(F.col(column))
+    )
+    mode = (
+        classified.groupBy("granularity")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("granularity"))
+        .limit(1)
+        .select(F.col("granularity").alias("modal_granularity"))
+    )
+    return classified.crossJoin(F.broadcast(mode)).filter(
+        F.col("granularity") != F.col("modal_granularity")
     )

@@ -39,6 +39,9 @@ __all__ = [
     "bootstrap_means",
     "bootstrap_mean_ci",
     "shapiro_wilk",
+    "ecdf_table",
+    "correlation_matrix",
+    "target_feature_boxstats",
 ]
 
 
@@ -841,3 +844,134 @@ def bootstrap_mean_ci(
         "hi": q(1 - alpha / 2),
         "n_boot": n_boot,
     }
+
+
+def ecdf_table(
+    df: DataFrame, column: str, partitions: int = 32
+) -> DataFrame:
+    """(value, cdf) — the empirical CDF itself, i.e. plot_cdf
+    (stat_analyzer.py:18-28) minus the matplotlib render (viz scoped
+    out; the sorted-data/cdf arrays the reference plots ARE this
+    table). One row per DISTINCT value, so the output is bounded by
+    value cardinality, not row count, and the cumulative counts come
+    from drift.prefix_sums' two-phase distributed scan — never a
+    single-partition global window. Call drift.release_cache(result)
+    when consumed (the prefix_sums cache handle is propagated)."""
+    from data_quality_checker_spark.operators.drift import prefix_sums
+
+    counts = (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(F.col(column).cast("double").alias("value"))
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    cum = prefix_sums(counts, "value", ["cnt"], partitions=partitions)
+    total = cum.agg(F.sum("cnt").alias("_n"))
+    out = cum.crossJoin(F.broadcast(total)).select(
+        "value", (F.col("cum_cnt") / F.col("_n")).alias("cdf")
+    )
+    out._cached_deps = getattr(cum, "_cached_deps", [])  # noqa: SLF001
+    return out
+
+
+def correlation_matrix(
+    df: DataFrame, cols: list[str] | None = None
+) -> DataFrame:
+    """Full symmetric Pearson correlation matrix in long form
+    (col_x, col_y, corr) including the unit diagonal — the data behind
+    plot_correlation_heatmap (stat_analyzer.py:30-35), render scoped
+    out. Single scan: the k(k-1)/2 upper-triangle corr aggregates run
+    in ONE job (correlation_pairs' plan), then the mirror and diagonal
+    are pure projections of that 1-row aggregate. A constant column
+    yields NULL corr (matching pandas' NaN)."""
+    cols = _numeric_cols(df, cols)
+    pairs = list(combinations(cols, 2))
+    agg = df.agg(
+        *[F.corr(a, b).alias(f"c_{i}") for i, (a, b) in enumerate(pairs)]
+    )
+    cells = [
+        F.struct(
+            F.lit(a).alias("col_x"),
+            F.lit(b).alias("col_y"),
+            F.col(f"c_{i}").alias("corr"),
+        )
+        for i, (a, b) in enumerate(pairs)
+    ] + [
+        F.struct(
+            F.lit(b).alias("col_x"),
+            F.lit(a).alias("col_y"),
+            F.col(f"c_{i}").alias("corr"),
+        )
+        for i, (a, b) in enumerate(pairs)
+    ] + [
+        F.struct(
+            F.lit(c).alias("col_x"),
+            F.lit(c).alias("col_y"),
+            F.lit(1.0).alias("corr"),
+        )
+        for c in cols
+    ]
+    return agg.select(F.explode(F.array(*cells)).alias("s")).select("s.*")
+
+
+def target_feature_boxstats(
+    df: DataFrame,
+    target_col: str,
+    feature_cols: list[str],
+    exact: bool = True,
+) -> DataFrame:
+    """Per-target-class five-number summary + mean/count for each
+    feature — the boxplot data behind target_feature_relationship
+    (dq_checker.py:178-198; sns.boxplot per feature), render scoped
+    out. ONE grouped aggregate computes every feature's stats
+    (exact percentiles via F.percentile — linear interpolation, the
+    same definition DuckDB's quantile_cont and numpy's default use),
+    then the wide row unpivots to (target, feature, ...) long form via
+    a pure projection. Missing feature columns are skipped like the
+    reference's print-and-continue.
+
+    ``exact=True`` buffers each group's values in the aggregate —
+    correct for the bounded class-count groups this is meant for, but
+    at crawl scale with huge groups pass ``exact=False`` to use
+    percentile_approx (Greenwald-Khanna sketch, constant memory)."""
+    feats = [c for c in feature_cols if c in df.columns]
+
+    def pct(c, p):
+        if exact:
+            return F.percentile(c, F.lit(p))
+        return F.percentile_approx(c, F.lit(p), F.lit(10000)).cast("double")
+
+    agg = df.groupBy(F.col(target_col).alias("target")).agg(
+        *[
+            a
+            for c in feats
+            for a in (
+                F.count(c).alias(f"n_{c}"),
+                F.min(c).cast("double").alias(f"min_{c}"),
+                pct(c, 0.25).alias(f"q1_{c}"),
+                pct(c, 0.5).alias(f"med_{c}"),
+                pct(c, 0.75).alias(f"q3_{c}"),
+                F.max(c).cast("double").alias(f"max_{c}"),
+                F.avg(c).alias(f"mean_{c}"),
+            )
+        ]
+    )
+    return agg.select(
+        "target",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("feature"),
+                        F.col(f"n_{c}").alias("n"),
+                        F.col(f"min_{c}").alias("min_v"),
+                        F.col(f"q1_{c}").alias("q1"),
+                        F.col(f"med_{c}").alias("median"),
+                        F.col(f"q3_{c}").alias("q3"),
+                        F.col(f"max_{c}").alias("max_v"),
+                        F.col(f"mean_{c}").alias("mean"),
+                    )
+                    for c in feats
+                ]
+            )
+        ).alias("s"),
+    ).select("target", "s.*")

@@ -173,3 +173,30 @@ def scrub_sql(col: str = "text") -> str:
         pat_sql = pat.replace("'", "''")
         expr = f"regexp_replace({expr}, '{pat_sql}', '{repl}', 'g')"
     return expr
+
+
+def pos_case(tok: str = "token") -> str:
+    """CASE classifying a token into the heuristic POS classes —
+    generated from the SAME constants operators/entities.py compiles
+    into the Catalyst expression, in the same evaluation order."""
+    from data_quality_checker_spark.operators.entities import (
+        POS_SUFFIX_RULES,
+        POS_WORD_CLASSES,
+    )
+
+    parts = ["case"]
+    for tag, words in POS_WORD_CLASSES.items():
+        parts.append(
+            f"when list_contains({sql_list(words)}, lower({tok})) "
+            f"then '{tag}'"
+        )
+    parts.append(
+        f"when regexp_matches({tok}, '^[0-9]+([.,][0-9]+)?$') then 'NUM'"
+    )
+    parts.append(f"when regexp_matches({tok}, '^[A-Z]') then 'PROPN'")
+    for tag, pat in POS_SUFFIX_RULES:
+        parts.append(
+            f"when regexp_matches(lower({tok}), '{pat}') then '{tag}'"
+        )
+    parts.append("else 'NOUN' end")
+    return " ".join(parts)
