@@ -2054,6 +2054,39 @@ select pos, n, round(n / (select sum(n) from c), 6) as pct from c
 """
 
 
+def q_ngram_jaccard(spark, sf):
+    """Exact n-gram Jaccard pairs within bounded blocking groups
+    (dedup.ngram_jaccard_pairs with an explicit block column —
+    quadratic per block by design, so blocks must be bounded; the
+    unblocked form delegates to MinHash-LSH). One 200-doc block here
+    (the lang-style blocking with a single language), every pair with
+    word-3-shingle Jaccard >= 0.3 comes back — the slice's three true
+    near-dup pairs."""
+    docs = _t(spark, sf, "documents").filter(
+        "doc_id < 200 and text is not null"
+    )
+    return DD.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.3, block_col=F.lit(0)
+    ).select("id_a", "id_b", _r6(F.col("jaccard")).alias("jaccard"))
+
+
+SQL_NGRAM_JACCARD = f"""
+with t as (select doc_id, 0 as blk, {duck.toks('text')} tk
+           from documents where doc_id < 200 and text is not null),
+sh as (select doc_id, blk,
+  list_distinct(list_transform(generate_series(1, len(tk) - 2),
+    i -> array_to_string(tk[i:i+2], ' '))) sg
+  from t where len(tk) >= 3),
+p as (select a.doc_id id_a, b.doc_id id_b,
+  len(list_intersect(a.sg, b.sg)) as inter,
+  len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)) as un
+  from sh a join sh b on a.blk = b.blk and a.doc_id < b.doc_id
+  where len(a.sg) > 0 and len(b.sg) > 0)
+select id_a, id_b, round(inter::double / un, 6) as jaccard
+from p where un > 0 and inter::double / un >= 0.3
+"""
+
+
 def q_perplexity_lm(spark, sf):
     """REAL trained trigram-LM perplexity (plans/lm.py): counts from
     the doc_id < 100 slice, add-one-smoothed scoring of the 100..299
@@ -2682,6 +2715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ner_entities": q_ner_entities,
         "ner_consistency": q_ner_consistency,
         "pos_distribution": q_pos_distribution,
+        "ngram_jaccard": q_ngram_jaccard,
         # dedup
         "dedup_subset": q_dedup_subset,
         "minhash_signatures": q_minhash_signatures,
@@ -2775,6 +2809,7 @@ def oracle_sql() -> dict[str, str]:
         "ner_entities": _sql_ner_entities(),
         "ner_consistency": _sql_ner_consistency(),
         "pos_distribution": _sql_pos_distribution(),
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_subset": SQL_DEDUP_SUBSET,
         "minhash_signatures": SQL_MINHASH,
         "minhash_lsh_portable": SQL_MINHASH_LSH,
