@@ -171,12 +171,12 @@ def pos_distribution(
     )
     tagged = toks.select(pos_tag_expr(F.col("token")).alias("pos"))
     counts = tagged.groupBy("pos").agg(F.count(F.lit(1)).alias("n"))
-    total = counts.agg(F.sum("n").alias("_total"))
-    return (
-        counts.crossJoin(F.broadcast(total))
-        .select(
-            "pos",
-            "n",
-            (F.col("n") / F.col("_total")).alias("pct"),
-        )
+    # global-window total over the AGGREGATED rows (bounded by the
+    # number of POS classes, ~10) — one scan of the source, unlike a
+    # separate total aggregate which would recompute the explode
+    from pyspark.sql import Window
+
+    total = Window.partitionBy()
+    return counts.select(
+        "pos", "n", (F.col("n") / F.sum("n").over(total)).alias("pct")
     )
