@@ -129,9 +129,11 @@ def main() -> None:
             f"{tput_hi / 1000:.0f}-125k docs/s for this string-heavy "
             "work after the round-2 short-circuit optimization); "
             "running the same job as 4 separate executor JVMs "
-            "(local-cluster[4,8,4096], re-measured round 2: 123k "
-            "docs/s — identical to single-JVM local[32]) hits the "
-            "same ceiling, evidencing hardware rather than engine "
+            "(local-cluster[4,8,4096], re-measured round 3: 92k "
+            "docs/s — the same ceiling order as single-JVM "
+            "local[32], minus real IPC/serialization overhead "
+            "that separate JVMs add) cannot scale past it either, "
+            "evidencing hardware rather than engine "
             "structure.\n\n"
             "Raw JSON:\n\n```json\n"
             + json.dumps(report, indent=2)
