@@ -44,3 +44,44 @@ def windowed_event_counts(
             "mean_value",
         )
     )
+
+
+def windowed_rule_metrics(
+    scored_stream: DataFrame,
+    ts_col: str = "warc_ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-event-time-window rule metrics — the streaming twin of the
+    batch pipeline's per-partition metrics table (plans/pipeline.py
+    partition_metrics: docs scanned, kept, per-rule drop counts), so a
+    live ingest gets the same drift-monitoring surface the batch job
+    checkpoints. Input is a `score_stream` output (rule_<name> flags +
+    keep already computed by the shared Catalyst exprs — one
+    projection, no recomputation here); one watermarked windowed
+    aggregate, state bounded by the watermark. Works identically on a
+    batch frame (parity test contract)."""
+    from data_quality_checker_spark.plans.rules import RULE_NAMES
+    from data_quality_checker_spark.plans.verdict import RULE_PREFIX
+
+    return (
+        scored_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+            *[
+                F.sum(F.col(f"{RULE_PREFIX}{n}").cast("long")).alias(
+                    f"fired_{n}"
+                )
+                for n in RULE_NAMES
+            ],
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "docs",
+            "kept",
+            *[f"fired_{n}" for n in RULE_NAMES],
+        )
+    )
