@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from data_quality_checker_spark.functions import text as X
 from data_quality_checker_spark.functions.wordlists import LANGS, STOPWORDS
+from data_quality_checker_spark.operators import decontam as DC
 from data_quality_checker_spark.operators import dedup as DD
 from data_quality_checker_spark.operators import drift as DR
 from data_quality_checker_spark.operators import joins as J
@@ -2087,6 +2088,49 @@ from p where un > 0 and inter::double / un >= 0.3
 """
 
 
+def q_decontamination(spark, sf):
+    """Benchmark decontamination (operators/decontam.py — no reference
+    ancestor; GPT-3-appendix-C / Dolma-style exact 13-gram collision).
+    Eval suite = every 20th document; corpus = the rest; a corpus doc
+    is contaminated when any of its distinct lowercased 13-grams
+    occurs anywhere in the eval suite. Plan: eval distilled to distinct
+    n-gram keys (small, broadcast), corpus explode feeds a map-side
+    broadcast-hash left join + partial-agg count — ONE narrow shuffle
+    of one row per corpus doc. key_mode='text' here so DuckDB joins
+    the same byte-identical keys; the xxhash64 8-byte-key fast path is
+    parity-pinned in tests/test_decontam.py."""
+    docs = _t(spark, sf, "documents")
+    return DC.contamination_report(
+        docs.filter("doc_id % 20 != 0"),
+        docs.filter("doc_id % 20 = 0"),
+        id_col="doc_id",
+        n=13,
+        key_mode="text",
+    )
+
+
+SQL_DECONTAMINATION = f"""
+with d as (select doc_id, {duck.toks('text')} tk
+           from documents where text is not null),
+g as (select doc_id, case when len(tk) >= 13 then
+        list_distinct(list_transform(generate_series(1, len(tk) - 12),
+          i -> array_to_string(tk[i:i+12], ' ')))
+      else [] end ngs from d),
+ev as (select distinct unnest(ngs) as ng from g where doc_id % 20 = 0),
+c as (select doc_id, ngs from g where doc_id % 20 <> 0),
+hits as (select e.doc_id, count(*) h
+         from (select doc_id, unnest(ngs) ng from c) e
+         join ev using (ng) group by e.doc_id)
+select c.doc_id, len(c.ngs)::bigint as n_ngrams,
+       coalesce(h.h, 0)::bigint as hit_ngrams,
+       round(case when len(c.ngs) > 0
+             then coalesce(h.h, 0)::double / len(c.ngs)
+             else 0.0 end, 6) as contamination_frac,
+       coalesce(h.h, 0) >= 1 as contaminated
+from c left join hits h using (doc_id)
+"""
+
+
 def q_perplexity_lm(spark, sf):
     """REAL trained trigram-LM perplexity (plans/lm.py): counts from
     the doc_id < 100 slice, add-one-smoothed scoring of the 100..299
@@ -2716,6 +2760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ner_consistency": q_ner_consistency,
         "pos_distribution": q_pos_distribution,
         "ngram_jaccard": q_ngram_jaccard,
+        "decontamination": q_decontamination,
         # dedup
         "dedup_subset": q_dedup_subset,
         "minhash_signatures": q_minhash_signatures,
@@ -2810,6 +2855,7 @@ def oracle_sql() -> dict[str, str]:
         "ner_consistency": _sql_ner_consistency(),
         "pos_distribution": _sql_pos_distribution(),
         "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "decontamination": SQL_DECONTAMINATION,
         "dedup_subset": SQL_DEDUP_SUBSET,
         "minhash_signatures": SQL_MINHASH,
         "minhash_lsh_portable": SQL_MINHASH_LSH,

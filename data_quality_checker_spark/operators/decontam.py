@@ -1,0 +1,187 @@
+"""Benchmark decontamination: exact n-gram collision against an
+evaluation corpus.
+
+No reference ancestor — /root/reference has no decontamination surface
+at all; this is a training-data-pipeline extension (task brief): the
+exact 13-gram collision filter used to keep evaluation benchmarks out
+of training corpora (GPT-3 appendix C / Dolma-style). A document is
+contaminated when at least ``min_hits`` of its distinct word n-grams
+also occur anywhere in the evaluation corpus.
+
+Plan shape (designed for a 100 TB corpus vs a small benchmark suite):
+
+1. ``eval_ngrams`` distills the evaluation corpus to its DISTINCT
+   n-gram keys — one explode + one distinct shuffle over the (small)
+   eval side only. With ``key_mode='xxhash64'`` the key is an 8-byte
+   long, so a multi-million-n-gram suite broadcasts in tens of MB.
+2. ``contamination_report`` never shuffles exploded corpus rows by
+   n-gram: the eval table is broadcast, the explode feeds a map-side
+   broadcast-hash left join, and the per-doc count is a hash aggregate
+   whose partial (map-side) combine collapses each document back to a
+   single row BEFORE the only shuffle (on the doc id). Net cost over
+   the corpus: one scan, one narrow shuffle of one row per document.
+3. No join-back: ``n_ngrams`` is computed pre-explode and carried
+   through the aggregate, so clean documents appear in the report with
+   ``hit_ngrams = 0`` without a second pass over the corpus.
+
+Tokenization matches ``functions.text.tokens`` (lowercased whitespace
+split), so the DuckDB oracle twin reproduces keys byte-for-byte in
+``key_mode='text'``; the xxhash64 fast path is parity-pinned against
+the text path in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+__all__ = [
+    "eval_ngrams",
+    "contamination_report",
+    "drop_contaminated",
+]
+
+_KEY_MODES = ("text", "xxhash64")
+
+
+def _ngram_key(ng: Column, key_mode: str) -> Column:
+    if key_mode == "xxhash64":
+        # xxhash64(NULL) is the non-null seed hash — preserve NULL so
+        # an explode_outer placeholder row can never join an eval key
+        return F.when(ng.isNull(), F.lit(None).cast("bigint")).otherwise(
+            F.xxhash64(ng)
+        )
+    return ng
+
+
+def _distinct_ngrams(text_col: str, n: int, lowercase: bool) -> Column:
+    tok = T.tokens(F.col(text_col), lowercase=lowercase)
+    return F.array_distinct(T.word_ngrams(tok, n))
+
+
+def eval_ngrams(
+    eval_df: DataFrame,
+    text_col: str = "text",
+    n: int = 13,
+    key_mode: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Distinct n-gram keys of the evaluation corpus: one column
+    ``ng_key`` (string in ``key_mode='text'``, bigint xxhash64 in
+    ``key_mode='xxhash64'``). This is the broadcast side — distinct
+    runs on the eval corpus only, never on the training corpus."""
+    if key_mode not in _KEY_MODES:
+        raise ValueError(f"key_mode must be one of {_KEY_MODES}")
+    ngs = _distinct_ngrams(text_col, n, lowercase)
+    return (
+        eval_df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(ngs).alias("_ng"))
+        .select(_ngram_key(F.col("_ng"), key_mode).alias("ng_key"))
+        .distinct()
+    )
+
+
+def contamination_report(
+    docs: DataFrame,
+    eval_source: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_hits: int = 1,
+    key_mode: str = "text",
+    lowercase: bool = True,
+    eval_is_ngrams: bool = False,
+) -> DataFrame:
+    """Per-document contamination stats vs the evaluation corpus.
+
+    Returns one row per corpus document with non-null text:
+    ``(id_col, n_ngrams, hit_ngrams, contamination_frac,
+    contaminated)`` where ``hit_ngrams`` counts the document's
+    DISTINCT n-grams that collide with the eval set and
+    ``contaminated = hit_ngrams >= min_hits``. Documents shorter than
+    ``n`` tokens have ``n_ngrams = 0`` and are clean by definition.
+
+    ``eval_source`` is either a raw eval DataFrame (n-grams derived
+    here with the same ``n``/``key_mode``) or, when
+    ``eval_is_ngrams=True``, a prebuilt ``eval_ngrams`` table — build
+    it once and reuse it across corpus partitions/runs.
+    """
+    if min_hits < 1:
+        raise ValueError("min_hits must be >= 1")
+    ev = (
+        eval_source
+        if eval_is_ngrams
+        else eval_ngrams(eval_source, text_col, n, key_mode, lowercase)
+    ).withColumn("_hit", F.lit(1))
+    ngs = _distinct_ngrams(text_col, n, lowercase)
+    exploded = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.size(ngs).cast("bigint").alias("_n_ngrams"),
+            F.explode_outer(ngs).alias("_ng"),
+        )
+        .select(
+            id_col,
+            "_n_ngrams",
+            _ngram_key(F.col("_ng"), key_mode).alias("ng_key"),
+        )
+    )
+    counted = (
+        exploded.join(F.broadcast(ev), "ng_key", "left")
+        .groupBy(id_col)
+        .agg(
+            F.max("_n_ngrams").alias("n_ngrams"),
+            F.count("_hit").alias("hit_ngrams"),
+        )
+    )
+    return counted.select(
+        id_col,
+        "n_ngrams",
+        "hit_ngrams",
+        F.round(
+            F.when(
+                F.col("n_ngrams") > 0,
+                F.col("hit_ngrams") / F.col("n_ngrams"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("contamination_frac"),
+        (F.col("hit_ngrams") >= F.lit(min_hits)).alias("contaminated"),
+    )
+
+
+def drop_contaminated(
+    docs: DataFrame,
+    eval_source: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_hits: int = 1,
+    key_mode: str = "xxhash64",
+    lowercase: bool = True,
+    eval_is_ngrams: bool = False,
+) -> DataFrame:
+    """Corpus minus contaminated documents (docs with null text are
+    kept — they carry no n-grams). The filter is a broadcast-hash
+    anti-join of the (small) contaminated-id set against the corpus,
+    so the corpus itself is scanned twice but never shuffled wide;
+    persist/checkpoint ``docs`` upstream to make the second scan
+    cheap."""
+    bad = (
+        contamination_report(
+            docs,
+            eval_source,
+            id_col,
+            text_col,
+            n,
+            min_hits,
+            key_mode,
+            lowercase,
+            eval_is_ngrams,
+        )
+        .filter(F.col("contaminated"))
+        .select(id_col)
+    )
+    return docs.join(F.broadcast(bad), id_col, "left_anti")

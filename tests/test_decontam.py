@@ -1,0 +1,113 @@
+"""Benchmark decontamination (operators/decontam.py): planted exact
+n-gram collisions, key-mode parity, edge cases, drop filter, and the
+broadcast-join plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_quality_checker_spark.operators import decontam as DC
+
+EVAL_SENT = (
+    "the quick brown fox jumps over the lazy dog near the old river bank"
+)  # 13 tokens
+
+
+def _fixture(spark):
+    eval_df = spark.createDataFrame(
+        [(100, EVAL_SENT), (101, "completely different benchmark prompt here")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains the full 13-token eval sentence verbatim (cased)
+            (1, "intro words then The Quick Brown Fox Jumps Over The "
+                "Lazy Dog Near The Old River Bank and a tail"),
+            # clean long doc, no 13-gram overlap
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa lam mu nu xi omicron pi rho sigma tau"),
+            # shorter than 13 tokens -> zero n-grams, clean
+            (3, "too short to carry any thirteen gram at all"),
+            (4, None),
+        ],
+        ["doc_id", "text"],
+    )
+    return docs, eval_df
+
+
+def test_planted_contamination(spark):
+    docs, eval_df = _fixture(spark)
+    rep = {
+        r["doc_id"]: r
+        for r in DC.contamination_report(docs, eval_df, n=13).collect()
+    }
+    assert set(rep) == {1, 2, 3}  # null-text doc 4 carries no n-grams
+    assert rep[1]["contaminated"] and rep[1]["hit_ngrams"] >= 1
+    assert not rep[2]["contaminated"] and rep[2]["hit_ngrams"] == 0
+    assert rep[3]["n_ngrams"] == 0 and not rep[3]["contaminated"]
+    assert 0.0 < rep[1]["contamination_frac"] <= 1.0
+
+
+def test_key_mode_parity(spark):
+    """xxhash64 8-byte keys produce the identical report as raw text
+    keys (the scale path vs the oracle-portable path)."""
+    docs, eval_df = _fixture(spark)
+    a = sorted(
+        DC.contamination_report(docs, eval_df, n=5, key_mode="text")
+        .collect(),
+        key=lambda r: r["doc_id"],
+    )
+    b = sorted(
+        DC.contamination_report(docs, eval_df, n=5, key_mode="xxhash64")
+        .collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_prebuilt_eval_table_and_min_hits(spark):
+    docs, eval_df = _fixture(spark)
+    ev = DC.eval_ngrams(eval_df, n=13, key_mode="xxhash64")
+    rep = {
+        r["doc_id"]: r
+        for r in DC.contamination_report(
+            docs, ev, n=13, key_mode="xxhash64", min_hits=1000,
+            eval_is_ngrams=True,
+        ).collect()
+    }
+    # hits still counted, but the verdict threshold is not met
+    assert rep[1]["hit_ngrams"] >= 1 and not rep[1]["contaminated"]
+
+
+def test_drop_contaminated(spark):
+    docs, eval_df = _fixture(spark)
+    kept = DC.drop_contaminated(docs, eval_df, n=13)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # doc 1 dropped; clean docs kept, including the null-text row
+    assert ids == {2, 3, 4}
+
+
+def test_self_contamination_full_overlap(spark):
+    """A corpus doc identical to an eval doc has contamination_frac 1."""
+    _, eval_df = _fixture(spark)
+    corpus = eval_df.withColumn("doc_id", F.col("doc_id") + 1000)
+    rep = {
+        r["doc_id"]: r
+        for r in DC.contamination_report(corpus, eval_df, n=13).collect()
+    }
+    assert rep[1100]["contamination_frac"] == 1.0
+    assert rep[1100]["contaminated"]
+
+
+def test_broadcast_plan_shape(spark):
+    """The eval join must be a broadcast hash join (no sort-merge
+    exchange of exploded corpus n-grams)."""
+    docs, eval_df = _fixture(spark)
+    plan = (
+        DC.contamination_report(docs, eval_df, n=5, key_mode="xxhash64")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
