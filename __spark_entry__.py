@@ -1233,6 +1233,83 @@ from documents
 """
 
 
+def q_pii_extended(spark, sf):
+    """Opt-in extended PII chain (plans/scrub.py
+    SCRUB_PATTERNS_EXTENDED: + credit card, SSN, IPv6) plus the Luhn
+    checksum gate (luhn_valid_count — pure Catalyst F.aggregate fold,
+    no UDF). The corpus carries no card/SSN/IPv6 shapes, so each doc
+    plants deterministic doc_id-derived PII (identical expression in
+    the DuckDB twin): the card's last-4 varies with doc_id, so Luhn
+    validity varies across rows (~10% pass), exercising the checksum
+    rather than a constant. Counts are progressive (each kind counted
+    after earlier kinds scrubbed), digest pins byte-identical
+    extended-scrub output across engines."""
+    from data_quality_checker_spark.plans.scrub import (
+        SCRUB_PATTERNS_EXTENDED,
+        luhn_valid_count,
+        scrub_count_exprs,
+    )
+    from data_quality_checker_spark.plans.scrub import (
+        scrub_expr as _sx,
+    )
+
+    docs = _t(spark, sf, "documents")
+    planted = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" ssn 123-45-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" card 4111-1111-1111-"),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        F.lit(" host 2001:db8:85a3:1:2:8a2e:370:"),
+        ((F.col("doc_id") % 9) + 1).cast("string"),
+    )
+    df = docs.withColumn("_pii", planted)
+    counts = scrub_count_exprs("_pii", SCRUB_PATTERNS_EXTENDED)
+    return df.select(
+        "doc_id",
+        *[v.cast("bigint").alias(f"c_{k}") for k, v in counts.items()],
+        luhn_valid_count("_pii").cast("bigint").alias("luhn_valid"),
+        F.md5(_sx("_pii", SCRUB_PATTERNS_EXTENDED)).alias("scrub_md5"),
+    )
+
+
+def _sql_pii_extended():
+    from data_quality_checker_spark.plans.scrub import (
+        SCRUB_PATTERNS_EXTENDED,
+    )
+
+    planted = (
+        "coalesce(text, '') || ' ssn 123-45-' || "
+        "lpad((doc_id % 10000)::varchar, 4, '0') || "
+        "' card 4111-1111-1111-' || "
+        "lpad(((doc_id * 7) % 10000)::varchar, 4, '0') || "
+        "' host 2001:db8:85a3:1:2:8a2e:370:' || "
+        "((doc_id % 9) + 1)::varchar"
+    )
+    ctes = [
+        f"p0 as (select doc_id, {planted} as x from documents)",
+        f"p1 as (select doc_id, x, {duck.luhn_count_sql('x')}::bigint "
+        "as luhn_valid from p0)",
+    ]
+    carried = ["luhn_valid"]
+    prev = "p1"
+    for i, (name, pat, repl) in enumerate(SCRUB_PATTERNS_EXTENDED, 2):
+        p = pat.replace("'", "''")
+        ctes.append(
+            f"p{i} as (select doc_id, {', '.join(carried)}, "
+            f"len(regexp_extract_all(x, '{p}'))::bigint as c_{name}, "
+            f"regexp_replace(x, '{p}', '{repl}', 'g') as x from {prev})"
+        )
+        carried.append(f"c_{name}")
+        prev = f"p{i}"
+    joined = ",\n".join(ctes)
+    return (
+        f"with {joined}\n"
+        f"select doc_id, {', '.join(carried)}, md5(x) as scrub_md5 "
+        f"from {prev}"
+    )
+
+
 def q_top_bigrams(spark, sf):
     docs = _t(spark, sf, "documents")
     return N.top_ngrams(docs, n=2, top_k=20)
@@ -2736,6 +2813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_agreement": q_lang_agreement,
         "quality_verdict": q_quality_verdict,
         "scrubbed_digest": q_scrubbed_digest,
+        "pii_extended": q_pii_extended,
         "top_bigrams": q_top_bigrams,
         "word_frequencies": q_word_frequencies,
         "word_length_distribution": q_word_length_distribution,
@@ -2831,6 +2909,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_agreement": _sql_lang_agreement(),
         "quality_verdict": _sql_quality_verdict(),
         "scrubbed_digest": _sql_scrub(),
+        "pii_extended": _sql_pii_extended(),
         "top_bigrams": SQL_TOP_BIGRAMS,
         "word_frequencies": SQL_WORD_FREQ,
         "word_length_distribution": SQL_WORD_LEN,

@@ -163,16 +163,38 @@ def rule_flags_sql(cfg: RuleConfig | None = None, col: str = "text") -> dict[str
     }
 
 
-def scrub_sql(col: str = "text") -> str:
+def scrub_sql(col: str = "text", patterns=None) -> str:
     """DuckDB twin of plans/scrub.scrub_expr (RE2 'g' flag = replace
-    all, matching Spark regexp_replace semantics)."""
+    all, matching Spark regexp_replace semantics). ``patterns``
+    defaults to the base SCRUB_PATTERNS; pass
+    SCRUB_PATTERNS_EXTENDED for the opt-in extended chain."""
     from data_quality_checker_spark.plans.scrub import SCRUB_PATTERNS
 
     expr = col
-    for _, pat, repl in SCRUB_PATTERNS:
+    for _, pat, repl in patterns or SCRUB_PATTERNS:
         pat_sql = pat.replace("'", "''")
         expr = f"regexp_replace({expr}, '{pat_sql}', '{repl}', 'g')"
     return expr
+
+
+def luhn_count_sql(col: str = "text") -> str:
+    """DuckDB twin of plans/scrub.luhn_valid_count: candidates via
+    regexp_extract_all on CCN_PATTERN, separator-stripped digit string
+    folded through the Luhn checksum with nested list lambdas."""
+    from data_quality_checker_spark.plans.scrub import CCN_PATTERN
+
+    d = f"regexp_replace(s, '[- ]', '', 'g')"
+    dig = f"cast(substr({d}, len({d}) - i + 1, 1) as int)"
+    term = (
+        f"case when i % 2 = 0 then "
+        f"case when {dig} * 2 > 9 then {dig} * 2 - 9 "
+        f"else {dig} * 2 end else {dig} end"
+    )
+    return (
+        f"len(list_filter(regexp_extract_all({col}, '{CCN_PATTERN}'), "
+        f"s -> list_sum(list_transform("
+        f"generate_series(1, len({d})), i -> {term})) % 10 = 0))"
+    )
 
 
 def pos_case(tok: str = "token") -> str:

@@ -36,22 +36,54 @@ SCRUB_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ),
 )
 
+# card-shaped digit runs: 4-4-4-4 with -/space separators, or a
+# contiguous 13-19 digit run (the ISO/IEC 7812 PAN length range)
+CCN_PATTERN = (
+    r"\b(?:[0-9]{4}[- ]){3}[0-9]{4}\b|\b[0-9]{13,19}\b"
+)
 
-def scrub_expr(text_col: str = "text") -> Column:
+# OPT-IN extended set. Defaults stay byte-identical to SCRUB_PATTERNS
+# (the golden fixtures pin them); callers pass patterns=
+# SCRUB_PATTERNS_EXTENDED explicitly. Order: email first (contains
+# dots/digits), card/SSN BEFORE phone (the phone pattern would clip
+# 3-3-4 digit runs out of both), IPv4 before IPv6 (no overlap, kept
+# adjacent for readability). All three additions restrict to the
+# Java/`re`/RE2-portable subset like the base set.
+SCRUB_PATTERNS_EXTENDED: tuple[tuple[str, str, str], ...] = (
+    SCRUB_PATTERNS[0],
+    ("ccn", CCN_PATTERN, "<CCN>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    SCRUB_PATTERNS[1],
+    SCRUB_PATTERNS[2],
+    (
+        "ipv6",
+        r"\b(?:[0-9a-fA-F]{1,4}:){3,7}[0-9a-fA-F]{1,4}\b",
+        "<IPV6>",
+    ),
+)
+
+
+def scrub_expr(
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str, str], ...] = SCRUB_PATTERNS,
+) -> Column:
     """Scrubbed text as a single chained Catalyst expression."""
     c: Column = F.col(text_col)
-    for _, pat, repl in SCRUB_PATTERNS:
+    for _, pat, repl in patterns:
         c = F.regexp_replace(c, pat, repl)
     return c
 
 
-def scrub_count_exprs(text_col: str = "text") -> dict[str, Column]:
+def scrub_count_exprs(
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str, str], ...] = SCRUB_PATTERNS,
+) -> dict[str, Column]:
     """Per-PII-kind match counts (for the metrics table). Counted on
     the progressively-scrubbed text so the counts compose with the
     replacement order."""
     out: dict[str, Column] = {}
     c: Column = F.col(text_col)
-    for name, pat, repl in SCRUB_PATTERNS:
+    for name, pat, repl in patterns:
         # regexp_count: same value as size(regexp_extract_all) without
         # materializing the match array (allocation-free codegen scan)
         out[name] = F.when(c.isNull(), F.lit(0)).otherwise(
@@ -61,13 +93,66 @@ def scrub_count_exprs(text_col: str = "text") -> dict[str, Column]:
     return out
 
 
-def scrub_python(text: str | None) -> str | None:
+def scrub_python(
+    text: str | None,
+    patterns: tuple[tuple[str, str, str], ...] = SCRUB_PATTERNS,
+) -> str | None:
     """The oracle-side scrub — byte-identical contract with scrub_expr."""
     if text is None:
         return None
-    for _, pat, repl in SCRUB_PATTERNS:
+    for _, pat, repl in patterns:
         text = re.sub(pat, repl, text)
     return text
+
+
+def luhn_valid_count(text_col: str = "text") -> Column:
+    """Count of card-shaped candidates in the text that pass the Luhn
+    checksum — the standard false-positive gate on CCN_PATTERN matches
+    (a random 16-digit run passes ~10% of the time, a real PAN always).
+    Pure Catalyst: regexp_extract_all candidates, strip separators,
+    fold the checksum with F.aggregate — no UDF, stays in codegen.
+    Detection only; the scrub itself stays shape-based because
+    regexp_replace cannot be conditioned per-match."""
+    cands = F.when(F.col(text_col).isNull(), F.array()).otherwise(
+        F.regexp_extract_all(F.col(text_col), F.lit(CCN_PATTERN), 0)
+    )
+
+    def is_luhn(s: Column) -> Column:
+        d = F.regexp_replace(s, r"[- ]", "")
+        # i counts 1..len from the RIGHT; even i doubles (9-wrap)
+        total = F.aggregate(
+            F.sequence(F.lit(1), F.length(d)),
+            F.lit(0),
+            lambda acc, i: acc
+            + F.when(
+                i % 2 == 0,
+                (
+                    lambda x: F.when(x > 9, x - 9).otherwise(x)
+                )(F.substring(d, -i, 1).cast("int") * 2),
+            ).otherwise(F.substring(d, -i, 1).cast("int")),
+        )
+        return total % 10 == 0
+
+    return F.size(F.filter(cands, is_luhn))
+
+
+def luhn_valid_python(text: str | None) -> int:
+    """Python oracle mirror of luhn_valid_count."""
+    if text is None:
+        return 0
+    count = 0
+    for m in re.finditer(CCN_PATTERN, text):
+        d = re.sub(r"[- ]", "", m.group(0))
+        total = 0
+        for i, ch in enumerate(reversed(d), start=1):
+            v = int(ch)
+            if i % 2 == 0:
+                v *= 2
+                if v > 9:
+                    v -= 9
+            total += v
+        count += total % 10 == 0
+    return count
 
 
 def with_scrub(df, text_col: str = "text"):
