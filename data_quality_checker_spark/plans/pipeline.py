@@ -46,6 +46,10 @@ class PipelineConfig:
     # clustering is iterative)
     near_dedup: bool = False
     near_dedup_threshold: float = 0.85
+    # optional benchmark-decontamination stage (run_pipeline /
+    # with_decontam_verdict): exact n-gram collision vs an eval corpus
+    decontam_ngram: int = 13
+    decontam_min_hits: int = 1
 
 
 def score_pages(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
@@ -139,6 +143,53 @@ def with_near_dup_verdict(
     return out
 
 
+def with_decontam_verdict(
+    scored: DataFrame,
+    eval_df: DataFrame,
+    cfg: PipelineConfig | None = None,
+    eval_is_ngrams: bool = False,
+) -> DataFrame:
+    """Benchmark-decontamination stage (operators/decontam.py): flags
+    surviving documents whose raw ``text`` shares >= decontam_min_hits
+    exact lowercased ``decontam_ngram``-grams with the eval corpus.
+    Runs AFTER rules (and near-dedup when enabled) so already-dropped
+    rows never pay for n-gram generation; adds ``contaminated`` and
+    folds it into ``keep_final``. Non-destructive like the near-dedup
+    stage: verdict/metrics columns are untouched. The contaminated-id
+    set is broadcast back (contamination is rare by construction —
+    eval suites are tiny next to a crawl)."""
+    from data_quality_checker_spark.operators.decontam import (
+        contamination_report,
+    )
+
+    cfg = cfg or PipelineConfig()
+    keep_col = "keep_final" if "keep_final" in scored.columns else "keep"
+    kept = scored.filter(F.col(keep_col)).select("url", "text")
+    bad = (
+        contamination_report(
+            kept,
+            eval_df,
+            id_col="url",
+            text_col="text",
+            n=cfg.decontam_ngram,
+            min_hits=cfg.decontam_min_hits,
+            key_mode="xxhash64",
+            eval_is_ngrams=eval_is_ngrams,
+        )
+        .filter(F.col("contaminated"))
+        .select("url", F.lit(True).alias("contaminated"))
+    )
+    return (
+        scored.join(F.broadcast(bad), "url", "left")
+        .withColumn(
+            "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
+        )
+        .withColumn(
+            "keep_final", F.col(keep_col) & ~F.col("contaminated")
+        )
+    )
+
+
 def partition_metrics(scored: DataFrame, run_id: str) -> DataFrame:
     """Per-partition metrics rows (FIXTURES.md F6): rows scanned/kept,
     rule-level drop counts, scrub counts — one groupBy job."""
@@ -154,6 +205,12 @@ def partition_metrics(scored: DataFrame, run_id: str) -> DataFrame:
         F.sum("scrub_phone").alias("scrub_phone"),
         F.sum("scrub_ip").alias("scrub_ip"),
     ]
+    if "contaminated" in scored.columns:
+        aggs.append(
+            F.sum(F.col("contaminated").cast("long")).alias(
+                "drop_contaminated"
+            )
+        )
     return scored.groupBy("partition_id").agg(*aggs).withColumn(
         "run_id", F.lit(run_id)
     )
@@ -180,6 +237,7 @@ def run_pipeline(
     cfg: PipelineConfig | None = None,
     run_id: str = "run-0",
     limit_partitions: int | None = None,
+    decontam_eval: DataFrame | None = None,
 ) -> dict:
     """Execute (or resume) the pipeline. ``limit_partitions`` processes
     only the first k incomplete partitions — the test harness uses it
@@ -229,6 +287,8 @@ def run_pipeline(
         scored = with_near_dup_verdict(
             scored, cfg, storage_path=f"{out_dir}/near_dedup"
         )
+    if decontam_eval is not None:
+        scored = with_decontam_verdict(scored, decontam_eval, cfg)
     write_partitioned(scored, scored_path, "partition_id")
 
     metrics = partition_metrics(

@@ -49,6 +49,12 @@ def main() -> None:
         help="MinHash near-dup clustering over kept docs: adds "
         "near_dup_of + keep_final columns",
     )
+    p.add_argument(
+        "--decontaminate-eval",
+        help="parquet path of an eval/benchmark corpus (text column): "
+        "flags kept docs sharing an exact 13-gram with it "
+        "(contaminated column, folded into keep_final)",
+    )
     args = p.parse_args()
 
     from data_quality_checker_spark.plans.pipeline import (
@@ -92,8 +98,14 @@ def main() -> None:
         langid_impl=args.langid,
         near_dedup=args.near_dedup,
     )
+    decontam_eval = (
+        spark.read.parquet(args.decontaminate_eval)
+        if args.decontaminate_eval
+        else None
+    )
     result = run_pipeline(
-        spark, pages, args.output, cfg, run_id=args.run_id
+        spark, pages, args.output, cfg, run_id=args.run_id,
+        decontam_eval=decontam_eval,
     )
     print(
         f"processed={len(result['processed_partitions'])} "

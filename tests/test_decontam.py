@@ -111,3 +111,55 @@ def test_broadcast_plan_shape(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pipeline_decontam_stage(spark):
+    """with_decontam_verdict over a scored synthetic corpus: a kept
+    page whose text contains an eval 13-gram loses keep_final, clean
+    pages keep theirs, and run_pipeline(decontam_eval=...) lands the
+    contaminated column + drop_contaminated metric."""
+    import tempfile
+
+    from data_quality_checker_spark.plans import synth
+    from data_quality_checker_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+        score_pages,
+        with_decontam_verdict,
+    )
+
+    base = synth.pages_df(spark, 120, seed=37)
+    scored = score_pages(base, PipelineConfig())
+    # eval corpus = the raw text of two pages the rules keep
+    kept2 = scored.filter("keep").select("text").limit(2)
+    eval_df = spark.createDataFrame(
+        [(r["text"],) for r in kept2.collect()], ["text"]
+    )
+    out = with_decontam_verdict(scored, eval_df, PipelineConfig())
+    assert {"contaminated", "keep_final"} <= set(out.columns)
+    n_contam = out.filter("contaminated").count()
+    assert n_contam >= 2  # the two eval-source pages at minimum
+    assert (
+        out.filter("contaminated and keep_final").count() == 0
+    )
+    assert (
+        out.filter("not contaminated")
+        .filter(F.col("keep_final") != F.col("keep"))
+        .count()
+        == 0
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        run_pipeline(
+            spark,
+            base,
+            f"{d}/out",
+            PipelineConfig(num_buckets=8),
+            decontam_eval=eval_df,
+        )
+        scored_disk = spark.read.parquet(f"{d}/out/scored")
+        assert "contaminated" in scored_disk.columns
+        m = spark.read.parquet(f"{d}/out/metrics")
+        assert "drop_contaminated" in m.columns
+        total = m.agg(F.sum("drop_contaminated")).collect()[0][0]
+        assert total == n_contam
