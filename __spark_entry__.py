@@ -1310,6 +1310,99 @@ def _sql_pii_extended():
     )
 
 
+def q_url_filter(spark, sf):
+    """C4-style URL/domain pre-filter (plans/urlfilter.py — no
+    reference ancestor; training-data extension). The driver tables
+    carry no urls, so each doc plants a deterministic doc_id-derived
+    url covering every shape: static-asset extension, raw-IP host,
+    ccTLD second-level domain, bad-word url, oversized query string,
+    plain site. The blocklist anti-join runs first (blocked domains'
+    rows are absent from the result — the row set IS the check), then
+    registrable domain + the four shape flags."""
+    from data_quality_checker_spark.plans import urlfilter as UF
+
+    docs = _t(spark, sf, "documents")
+    m = F.col("doc_id") % 10
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("https://cdn"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".assets.example.com/img/"), did, F.lit(".jpg")))
+        .when(m == 1, F.concat(
+            F.lit("http://10.0.0."),
+            ((F.col("doc_id") % 200) + 1).cast("string"), F.lit("/page")))
+        .when(m == 2, F.concat(
+            F.lit("https://shop.example.co.uk/item/"), did))
+        .when(m == 3, F.concat(
+            F.lit("https://best-casino-games.com/win/"), did))
+        .when(m == 4, F.concat(
+            F.lit("https://search.portal.net/find?"),
+            F.repeat(F.lit("x"), 300)))
+        .otherwise(F.concat(
+            F.lit("https://www.site"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".org/a/"), did))
+    )
+    df = docs.select("doc_id", url.alias("url"))
+    bl = spark.createDataFrame(
+        [("site3.org",), ("site7.org",), ("example.co.uk",)], ["domain"]
+    )
+    kept = UF.filter_blocked_domains(df, bl)
+    flags = UF.url_quality_flags("url", blocked_words=("casino", "poker"))
+    return kept.select(
+        "doc_id",
+        UF.registrable_domain("url").alias("domain"),
+        *[v.alias(k) for k, v in flags.items()],
+    )
+
+
+def _sql_url_filter():
+    from data_quality_checker_spark.plans.urlfilter import (
+        BAD_EXTENSIONS,
+        CC_SECOND_LEVEL,
+    )
+
+    ext = "|".join(BAD_EXTENSIONS)
+    ccs = ", ".join(f"'{c}'" for c in CC_SECOND_LEVEL)
+    ip = "^[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}$"
+    return f"""
+with u as (select doc_id,
+  case when doc_id % 10 = 0 then 'https://cdn' || (doc_id % 7)::varchar
+         || '.assets.example.com/img/' || doc_id::varchar || '.jpg'
+       when doc_id % 10 = 1 then 'http://10.0.0.'
+         || ((doc_id % 200) + 1)::varchar || '/page'
+       when doc_id % 10 = 2 then 'https://shop.example.co.uk/item/'
+         || doc_id::varchar
+       when doc_id % 10 = 3 then 'https://best-casino-games.com/win/'
+         || doc_id::varchar
+       when doc_id % 10 = 4 then 'https://search.portal.net/find?'
+         || repeat('x', 300)
+       else 'https://www.site' || (doc_id % 50)::varchar || '.org/a/'
+         || doc_id::varchar end as url
+  from documents),
+h as (select doc_id, url, lower(url) lu,
+      lower(regexp_extract(url,
+        '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) host from u),
+d as (select *, string_split(host, '.') p,
+      len(string_split(host, '.')) n from h),
+dom as (select doc_id, lu, host,
+  case when regexp_matches(host, '{ip}') then host
+       when n >= 3 and len(p[-1]) = 2 and p[-2] in ({ccs})
+            then p[-3] || '.' || p[-2] || '.' || p[-1]
+       when n >= 2 then p[-2] || '.' || p[-1]
+       else host end as domain
+  from d)
+select doc_id, domain,
+  regexp_matches(regexp_extract(lu,
+    '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+    '\\.({ext})$') as url_bad_ext,
+  (regexp_matches(host, '{ip}') or host = 'localhost') as url_ip_host,
+  len(regexp_extract(lu, '\\?([^#]*)', 1)) > 256 as url_long_query,
+  regexp_matches(lu, '(casino|poker)') as url_blocked_word
+from dom
+where domain not in ('site3.org', 'site7.org', 'example.co.uk')
+"""
+
+
 def q_top_bigrams(spark, sf):
     docs = _t(spark, sf, "documents")
     return N.top_ngrams(docs, n=2, top_k=20)
@@ -2814,6 +2907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_verdict": q_quality_verdict,
         "scrubbed_digest": q_scrubbed_digest,
         "pii_extended": q_pii_extended,
+        "url_filter": q_url_filter,
         "top_bigrams": q_top_bigrams,
         "word_frequencies": q_word_frequencies,
         "word_length_distribution": q_word_length_distribution,
@@ -2910,6 +3004,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_verdict": _sql_quality_verdict(),
         "scrubbed_digest": _sql_scrub(),
         "pii_extended": _sql_pii_extended(),
+        "url_filter": _sql_url_filter(),
         "top_bigrams": SQL_TOP_BIGRAMS,
         "word_frequencies": SQL_WORD_FREQ,
         "word_length_distribution": SQL_WORD_LEN,

@@ -1,0 +1,146 @@
+"""URL / domain-level filtering for web corpora (C4/RefinedWeb-style
+pre-filters that run BEFORE any text is parsed).
+
+No reference ancestor — /root/reference validates tabular columns only;
+this is a training-data-pipeline extension (task brief). Three layers,
+all pure Catalyst (the scan never leaves whole-stage codegen):
+
+- ``url_host`` / ``registrable_domain``: host extraction and a
+  documented-naive eTLD+1 (last two labels, or three when the
+  second-level label is a common country-code second-level like
+  ``co``/``com``/``ac`` under a 2-letter TLD — a public-suffix-list
+  slot, not a replacement for one).
+- ``url_quality_flags``: shape heuristics — static-asset/file
+  extensions, localhost/raw-IP hosts, oversized query strings,
+  blocked words anywhere in the lowercased url (C4's bad-word URL
+  rule; wordlist is a parameter).
+- ``filter_blocked_domains``: broadcast anti-join of a (small)
+  blocklist table against the corpus on registrable domain — the
+  blocklist side is the broadcast, the 100 TB corpus is never
+  shuffled.
+
+Patterns restrict to the Java/`re`/RE2-portable subset (same contract
+as plans/scrub.py) so the DuckDB oracle twin reproduces every flag.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "url_host",
+    "registrable_domain",
+    "url_quality_flags",
+    "filter_blocked_domains",
+    "BAD_EXTENSIONS",
+    "CC_SECOND_LEVEL",
+]
+
+# static-asset / non-document extensions (path end, before any query)
+BAD_EXTENSIONS = (
+    "jpg", "jpeg", "png", "gif", "webp", "svg", "ico", "css", "js",
+    "mp3", "mp4", "avi", "mov", "zip", "gz", "tar", "rar", "exe",
+    "woff", "woff2", "ttf",
+)
+
+# common country-code second-level labels: <name>.co.uk etc.
+CC_SECOND_LEVEL = ("co", "com", "net", "org", "ac", "gov", "edu")
+
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+_IP_HOST_RE = r"^[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}$"
+
+
+def url_host(url: Column | str) -> Column:
+    """Lowercased host (authority minus userinfo/port) of the url;
+    empty string when the url has no scheme://host shape."""
+    c = F.col(url) if isinstance(url, str) else url
+    host = F.regexp_extract(F.lower(c), _HOST_RE, 1)
+    # strip userinfo then port (IPv6 literals keep their brackets —
+    # they carry no port in crawl data we target; documented limit)
+    host = F.element_at(F.split(host, "@"), -1)
+    return F.regexp_replace(host, r":[0-9]+$", "")
+
+
+def registrable_domain(url: Column | str) -> Column:
+    """Naive eTLD+1: last two dot-labels, or last three when the
+    middle label is a CC_SECOND_LEVEL name under a 2-letter TLD
+    (``example.co.uk`` -> ``example.co.uk``). Raw-IP hosts return the
+    full IP. A real deployment swaps this for a broadcast
+    public-suffix-list table keyed by suffix."""
+    host = url_host(url)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    second = F.element_at(parts, -2)
+    tld = F.element_at(parts, -1)
+    take3 = (
+        (n >= 3)
+        & (F.length(tld) == 2)
+        & second.isin(*CC_SECOND_LEVEL)
+    )
+    dom3 = F.concat_ws(
+        ".", F.element_at(parts, -3), second, tld
+    )
+    dom2 = F.concat_ws(".", second, tld)
+    return F.when(host.rlike(_IP_HOST_RE), host).otherwise(
+        F.when(n >= 3, F.when(take3, dom3).otherwise(dom2))
+        .when(n == 2, dom2)
+        .otherwise(host)
+    )
+
+
+def url_quality_flags(
+    url: Column | str,
+    blocked_words: tuple[str, ...] = (),
+    max_query_len: int = 256,
+) -> dict[str, Column]:
+    """Shape heuristics as named boolean columns (caller selects /
+    ORs them into its own verdict):
+
+    - ``url_bad_ext``: path ends in a static-asset extension
+    - ``url_ip_host``: host is a raw IPv4 literal (or localhost)
+    - ``url_long_query``: query string longer than ``max_query_len``
+    - ``url_blocked_word``: any blocked word occurs in the lowercased
+      url (C4's bad-word URL rule; empty tuple -> constant false)
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    low = F.lower(c)
+    host = url_host(c)
+    path = F.regexp_extract(low, r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract(low, r"\?([^#]*)", 1)
+    ext_alt = "|".join(BAD_EXTENSIONS)
+    flags = {
+        "url_bad_ext": path.rlike(rf"\.({ext_alt})$"),
+        "url_ip_host": host.rlike(_IP_HOST_RE) | (host == "localhost"),
+        "url_long_query": F.length(query) > max_query_len,
+    }
+    if blocked_words:
+        alt = "|".join(blocked_words)
+        flags["url_blocked_word"] = low.rlike(f"({alt})")
+    else:
+        flags["url_blocked_word"] = F.lit(False)
+    return flags
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop rows whose registrable domain appears in ``blocklist``
+    (a one-column DataFrame of domains). Broadcast anti-join: the
+    blocklist is small by construction (curated), the corpus never
+    shuffles."""
+    bl = blocklist.select(
+        F.lower(F.col(domain_col)).alias("_blocked_domain")
+    ).distinct()
+    return (
+        df.withColumn("_dom", registrable_domain(url_col))
+        .join(
+            F.broadcast(bl),
+            F.col("_dom") == F.col("_blocked_domain"),
+            "left_anti",
+        )
+        .drop("_dom")
+    )
