@@ -2301,6 +2301,76 @@ from c left join hits h using (doc_id)
 """
 
 
+def q_line_dedup(spark, sf):
+    """C4-style corpus-wide duplicate-line removal
+    (dedup.dedup_lines_corpus — no reference ancestor; training-data
+    extension). Fixture docs are single-line, so each doc is planted
+    with a boilerplate middle line shared by every doc_id % 7 class
+    (~70 repeats each at sf0.01): the canonical min-(id,pos)
+    occurrence survives, every other copy is removed, and documents
+    reassemble in line order. key_mode='text' for engine-portable
+    grouping; md5 digests pin byte-identical reassembly."""
+    docs = _t(spark, sf, "documents")
+    planted = F.when(
+        F.col("text").isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit("\n"),
+            F.lit("subscribe to newsletter "),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("\n"),
+            F.substring(F.col("text"), 41, 1000000),
+        )
+    )
+    out = DD.dedup_lines_corpus(
+        docs.select("doc_id", planted.alias("text")),
+        key_mode="text",
+    )
+    return out.select(
+        "doc_id",
+        F.md5(F.coalesce(F.col("text_deduped"), F.lit(""))).alias(
+            "dedup_md5"
+        ),
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("n_removed").cast("bigint").alias("n_removed"),
+    )
+
+
+SQL_LINE_DEDUP = """
+with d0 as (select doc_id, case when text is null then null else
+    substr(text, 1, 40) || chr(10) || 'subscribe to newsletter '
+      || (doc_id % 7)::varchar || chr(10)
+      || substr(text, 41, 1000000) end as t
+  from documents),
+ls as (select doc_id, string_split(t, chr(10)) arr from d0
+       where t is not null),
+l as (select doc_id, i - 1 as pos, arr[i] as ln
+      from ls, unnest(generate_series(1, len(arr))) u(i)),
+w as (select doc_id, pos, count(*) over (partition by ln) c,
+             row_number() over (partition by ln
+                                order by doc_id, pos) rn
+      from l where len(ln) >= 1),
+drops as (select doc_id, pos from w where c >= 2 and rn > 1),
+kept as (select l.doc_id, l.pos, l.ln
+         from l anti join drops using (doc_id, pos)),
+agg as (select doc_id,
+        array_to_string(list(ln order by pos), chr(10)) dedup_text
+        from kept group by doc_id),
+counts as (select doc_id, count(*) n_lines from l group by 1),
+rem as (select doc_id, count(*) nr from drops group by 1)
+select d0.doc_id,
+  md5(case when d0.t is null then ''
+      else coalesce(a.dedup_text, '') end) as dedup_md5,
+  coalesce(c.n_lines, 0)::bigint as n_lines,
+  coalesce(r.nr, 0)::bigint as n_removed
+from d0
+left join agg a using (doc_id)
+left join counts c using (doc_id)
+left join rem r using (doc_id)
+"""
+
+
 def q_perplexity_lm(spark, sf):
     """REAL trained trigram-LM perplexity (plans/lm.py): counts from
     the doc_id < 100 slice, add-one-smoothed scoring of the 100..299
@@ -2933,6 +3003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pos_distribution": q_pos_distribution,
         "ngram_jaccard": q_ngram_jaccard,
         "decontamination": q_decontamination,
+        "line_dedup": q_line_dedup,
         # dedup
         "dedup_subset": q_dedup_subset,
         "minhash_signatures": q_minhash_signatures,
@@ -3030,6 +3101,7 @@ def oracle_sql() -> dict[str, str]:
         "pos_distribution": _sql_pos_distribution(),
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "decontamination": SQL_DECONTAMINATION,
+        "line_dedup": SQL_LINE_DEDUP,
         "dedup_subset": SQL_DEDUP_SUBSET,
         "minhash_signatures": SQL_MINHASH,
         "minhash_lsh_portable": SQL_MINHASH_LSH,

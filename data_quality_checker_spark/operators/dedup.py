@@ -41,6 +41,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "cosine_expr",
     "embedding_near_duplicates",
+    "dedup_lines_corpus",
 ]
 
 
@@ -519,3 +520,100 @@ def drop_near_duplicates(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def dedup_lines_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    min_line_chars: int = 1,
+    newline: str = "\n",
+    key_mode: str = "xxhash64",
+) -> DataFrame:
+    """Corpus-wide duplicate-LINE removal, C4-style: any line occurring
+    ``min_count``-or-more times across the whole corpus is kept only at
+    its first occurrence (global order = min ``(id, pos)``) and removed
+    everywhere else; documents are reassembled with line order
+    preserved. No reference ancestor — training-data extension (the
+    boilerplate-line scrub C4 §2.2 applies to crawl text).
+
+    Lines shorter than ``min_line_chars`` never participate (empty
+    lines are document structure, not boilerplate).
+
+    Returns the input columns plus ``text_deduped`` (NULL text stays
+    NULL; a doc whose every line is removed becomes ''), ``n_lines``
+    and ``n_removed`` (0 for NULL text).
+
+    Scale shape: three shuffles, all on scalar-dominated rows —
+    (1) the duplicate-line table is a hash aggregate over
+    ``(xxhash64(line), id, pos)`` with map-side combine (a
+    100M-occurrence boilerplate line partially aggregates per
+    partition — no skewed window); (2) the decision join back to the
+    exploded lines is keyed on the 8-byte hash and bounded by AQE's
+    skew splitting (the duplicate-line table is usually small enough
+    that AQE broadcasts it outright); (3) reassembly re-groups by doc
+    id. Line text crosses the wire once for the decision join and once
+    for reassembly; hashes, never arrays, carry the dedup decision.
+    ``key_mode='text'`` keys on the raw line instead of its xxhash64
+    (the engine-portable oracle form; the hash form is the scale
+    default and differs only on a 64-bit collision)."""
+    txt = F.col(text_col)
+    lines = docs.filter(txt.isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(F.split(txt, newline, -1)).alias("pos", "_line"),
+    )
+    eligible = F.length("_line") >= min_line_chars
+    key = (
+        F.xxhash64("_line") if key_mode == "xxhash64" else F.col("_line")
+    )
+    keyed = lines.withColumn("_h", key)
+    dup = (
+        keyed.filter(eligible)
+        .groupBy("_h")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
+        )
+        .filter(F.col("_c") >= min_count)
+        .select(
+            "_h",
+            F.col(f"_first.{id_col}").alias("_cid"),
+            F.col("_first.pos").alias("_cpos"),
+        )
+    )
+    joined = keyed.join(dup, "_h", "left").withColumn(
+        "_drop",
+        F.col("_cid").isNotNull()
+        & eligible
+        & ~((F.col(id_col) == F.col("_cid")) & (F.col("pos") == F.col("_cpos"))),
+    )
+    reasm = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("_drop").cast("long")).alias("n_removed"),
+        F.concat_ws(
+            newline,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("_drop"),
+                            F.struct(F.col("pos"), F.col("_line")),
+                        )
+                    )
+                ),
+                lambda x: x["_line"],
+            ),
+        ).alias("text_deduped"),
+    )
+    out = docs.join(reasm, id_col, "left")
+    return (
+        out.withColumn(
+            "text_deduped",
+            F.when(txt.isNull(), F.lit(None).cast("string")).otherwise(
+                F.col("text_deduped")
+            ),
+        )
+        .withColumn("n_lines", F.coalesce(F.col("n_lines"), F.lit(0)))
+        .withColumn("n_removed", F.coalesce(F.col("n_removed"), F.lit(0)))
+    )

@@ -163,3 +163,68 @@ def test_pipeline_decontam_stage(spark):
         assert "drop_contaminated" in m.columns
         total = m.agg(F.sum("drop_contaminated")).collect()[0][0]
         assert total == n_contam
+
+
+def test_dedup_lines_corpus(spark):
+    """C4-style line dedup: the boilerplate line survives only at its
+    first (id, pos) occurrence; empty lines are structure and never
+    removed; NULL text passes through; both key modes agree."""
+    from data_quality_checker_spark.operators.dedup import (
+        dedup_lines_corpus,
+    )
+
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (1, f"alpha one\n{boiler}\n\nbody of doc one"),
+        (2, f"{boiler}\nbeta two"),
+        (3, f"gamma three\n\n{boiler}"),
+        (4, "unique only\n\nno boilerplate here"),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines_corpus(docs).collect()
+    }
+    # doc 1 holds the canonical (min id, pos) copy -> unchanged
+    assert out[1]["text_deduped"] == rows[0][1]
+    assert out[1]["n_removed"] == 0 and out[1]["n_lines"] == 4
+    # later copies removed, order + empty lines preserved
+    assert out[2]["text_deduped"] == "beta two"
+    assert out[2]["n_removed"] == 1
+    assert out[3]["text_deduped"] == "gamma three\n"
+    assert out[3]["n_removed"] == 1
+    assert out[4]["text_deduped"] == rows[3][1]
+    assert out[5]["text_deduped"] is None and out[5]["n_lines"] == 0
+
+    a = sorted(
+        (r["doc_id"], r["text_deduped"])
+        for r in dedup_lines_corpus(docs, key_mode="text").collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["text_deduped"])
+        for r in dedup_lines_corpus(docs).collect()
+    )
+    assert a == b
+
+
+def test_dedup_lines_min_count_and_min_chars(spark):
+    from data_quality_checker_spark.operators.dedup import (
+        dedup_lines_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "dup\nx\ndup"), (2, "dup\nyy")], ["doc_id", "text"]
+    )
+    # min_count=4: nothing reaches the bar
+    out = dedup_lines_corpus(docs, min_count=4).collect()
+    assert all(r["n_removed"] == 0 for r in out)
+    # min_line_chars=4 exempts the 3-char 'dup' line
+    out = dedup_lines_corpus(docs, min_line_chars=4).collect()
+    assert all(r["n_removed"] == 0 for r in out)
+    # default: doc 1 keeps its first copy (intra-doc dedup too)
+    out = {
+        r["doc_id"]: r for r in dedup_lines_corpus(docs).collect()
+    }
+    assert out[1]["text_deduped"] == "dup\nx"
+    assert out[2]["text_deduped"] == "yy"
