@@ -2371,6 +2371,76 @@ left join rem r using (doc_id)
 """
 
 
+def q_repetition_topgrams(spark, sf):
+    """Gopher-style repetition metrics (nlp.repetition_ngram_metrics —
+    no reference ancestor; training-data extension): per doc and
+    n in {2,3,4}, the most frequent word n-gram and the token
+    fraction its occurrences cover. Ties break to the largest n-gram
+    (max(struct(count, ngram)) == the twin's ORDER BY c DESC, ng
+    DESC), so the winner is engine-deterministic."""
+    docs = _t(spark, sf, "documents")
+    return N.repetition_ngram_metrics(docs).select(
+        "doc_id",
+        "n",
+        "top_ngram",
+        F.col("top_count").cast("bigint").alias("top_count"),
+        "token_frac",
+    )
+
+
+SQL_REPETITION = f"""
+with d as (select doc_id, {duck.toks('text')} tk
+           from documents where text is not null),
+g as (select doc_id, nn.n as n, len(tk) ntok,
+             array_to_string(tk[i:i+nn.n-1], ' ') ng
+      from d, (values (2), (3), (4)) nn(n),
+           unnest(generate_series(1, len(tk) - nn.n + 1)) u(i)
+      where len(tk) >= nn.n),
+c as (select doc_id, n, ng, max(ntok) ntok, count(*) c
+      from g group by doc_id, n, ng),
+r as (select *, row_number() over (partition by doc_id, n
+                                   order by c desc, ng desc) rn
+      from c)
+select doc_id, n, ng as top_ngram, c::bigint as top_count,
+       round(c * n / ntok::double, 6) as token_frac
+from r where rn = 1
+"""
+
+
+def q_host_cap(spark, sf):
+    """Per-host quota capping (urlfilter.cap_per_host exact form —
+    RefinedWeb-style; no reference ancestor). Urls planted per doc_id
+    over 17 hosts; cap 10 per host keeps a deterministic md5-ordered
+    sample — the kept-row SET is the check. The threshold (windowless)
+    crawl-scale form is statistically tested in test_urlfilter.py."""
+    from data_quality_checker_spark.plans import urlfilter as UF
+
+    docs = _t(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://h"),
+        (F.col("doc_id") % 17).cast("string"),
+        F.lit("-site.org/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    df = docs.select("doc_id", url.alias("url"))
+    return UF.cap_per_host(df, max_per_host=10, exact=True).select(
+        "doc_id", F.col("host_docs").cast("bigint").alias("host_docs")
+    )
+
+
+SQL_HOST_CAP = """
+with u as (select doc_id, 'https://h' || (doc_id % 17)::varchar
+             || '-site.org/p/' || doc_id::varchar as url
+           from documents),
+w as (select doc_id, url,
+             count(*) over (partition by doc_id % 17) host_docs,
+             row_number() over (partition by doc_id % 17
+                                order by md5(url), url) rn
+      from u)
+select doc_id, host_docs::bigint as host_docs from w where rn <= 10
+"""
+
+
 def q_perplexity_lm(spark, sf):
     """REAL trained trigram-LM perplexity (plans/lm.py): counts from
     the doc_id < 100 slice, add-one-smoothed scoring of the 100..299
@@ -3004,6 +3074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "decontamination": q_decontamination,
         "line_dedup": q_line_dedup,
+        "repetition_topgrams": q_repetition_topgrams,
+        "host_cap": q_host_cap,
         # dedup
         "dedup_subset": q_dedup_subset,
         "minhash_signatures": q_minhash_signatures,
@@ -3102,6 +3174,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "decontamination": SQL_DECONTAMINATION,
         "line_dedup": SQL_LINE_DEDUP,
+        "repetition_topgrams": SQL_REPETITION,
+        "host_cap": SQL_HOST_CAP,
         "dedup_subset": SQL_DEDUP_SUBSET,
         "minhash_signatures": SQL_MINHASH,
         "minhash_lsh_portable": SQL_MINHASH_LSH,

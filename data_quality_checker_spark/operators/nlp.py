@@ -37,6 +37,7 @@ __all__ = [
     "sentiment_scores",
     "analyze_emotional_tone",
     "word2vec_doc_similarity",
+    "repetition_ngram_metrics",
 ]
 
 
@@ -592,3 +593,64 @@ def word2vec_doc_similarity(
         "vec_id", vector_to_array("_vec").alias("embedding")
     )
     return topk_bruteforce(emb, emb, k=top_k)
+
+
+def repetition_ngram_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple[int, ...] = (2, 3, 4),
+) -> DataFrame:
+    """Gopher-style per-document repetition metrics: for each n in
+    ``ns``, the document's most frequent word n-gram and the fraction
+    of its tokens covered by that n-gram's occurrences
+    (``top_count * n / n_tokens`` — the token-fraction variant of
+    Gopher's character-fraction rule; no reference ancestor,
+    training-data extension).
+
+    One row per (doc, n): ``(id_col, n, top_ngram, top_count,
+    token_frac)``. Ties break to the lexicographically largest n-gram
+    (deterministic across engines).
+
+    Plan: one explode per n unioned, then two hash aggregates —
+    (doc, n, ngram) counts with map-side combine, then max(struct)
+    per (doc, n). Both shuffles carry scalar rows keyed by doc id;
+    nothing is windowed, so a pathologically repetitive document
+    cannot skew a sort."""
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        tokens(text_col).alias("_tk"),
+    )
+    legs = []
+    for n in ns:
+        legs.append(
+            base.select(
+                id_col,
+                F.lit(n).alias("n"),
+                F.size("_tk").alias("_ntok"),
+                F.explode(word_ngrams(F.col("_tk"), n)).alias("_ng"),
+            )
+        )
+    uni = legs[0]
+    for leg in legs[1:]:
+        uni = uni.unionByName(leg)
+    counts = uni.groupBy(id_col, "n", "_ng").agg(
+        F.count(F.lit(1)).alias("_c"), F.max("_ntok").alias("_ntok")
+    )
+    top = (
+        counts.groupBy(id_col, "n")
+        .agg(
+            F.max(F.struct(F.col("_c"), F.col("_ng"))).alias("_t"),
+            F.max("_ntok").alias("_ntok"),
+        )
+        .select(
+            id_col,
+            "n",
+            F.col("_t._ng").alias("top_ngram"),
+            F.col("_t._c").alias("top_count"),
+            F.round(
+                F.col("_t._c") * F.col("n") / F.col("_ntok"), 6
+            ).alias("token_frac"),
+        )
+    )
+    return top

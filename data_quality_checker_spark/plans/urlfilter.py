@@ -33,6 +33,7 @@ __all__ = [
     "registrable_domain",
     "url_quality_flags",
     "filter_blocked_domains",
+    "cap_per_host",
     "BAD_EXTENSIONS",
     "CC_SECOND_LEVEL",
 ]
@@ -144,3 +145,59 @@ def filter_blocked_domains(
         )
         .drop("_dom")
     )
+
+
+def cap_per_host(
+    df: DataFrame,
+    url_col: str = "url",
+    max_per_host: int = 1000,
+    exact: bool = True,
+) -> DataFrame:
+    """RefinedWeb-style per-host quota: keep at most ``max_per_host``
+    documents from any one registrable domain, chosen DETERMINISTICALLY
+    (by md5(url) order) so re-runs and resumed partitions agree.
+
+    ``exact=True``: a row_number window over (domain, md5(url)) —
+    exact quota, but a mega-host's rows sort inside one task; right
+    for corpora where the largest host fits a task (AQE cannot split
+    a window partition). ``exact=False`` is the crawl-scale form: a
+    per-host keep-probability ``max_per_host / host_count`` applied as
+    a pure md5-threshold predicate — two scalar aggregates + one
+    broadcast-able join, no window, no skew; the quota is then
+    binomial around the target (documented approximation).
+
+    Both forms add a ``host_docs`` column (the host's total before
+    capping)."""
+    dom = registrable_domain(url_col)
+    with_dom = df.withColumn("_dom", dom)
+    counts = with_dom.groupBy("_dom").agg(
+        F.count(F.lit(1)).alias("host_docs")
+    )
+    if exact:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_dom").orderBy(
+            F.md5(F.col(url_col)), F.col(url_col)
+        )
+        out = (
+            with_dom.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_per_host)
+            .drop("_rn")
+        )
+        # no broadcast hint: the per-host count table scales with the
+        # number of hosts (hundreds of millions on a crawl) — AQE
+        # picks broadcast when it actually fits
+        return out.join(counts, "_dom").drop("_dom")
+    # threshold form: md5 hex prefix compares as a uniform 52-bit int
+    # (same trick as stats.bootstrap_means) -> keep iff
+    # hash/2^52 < max_per_host/host_docs
+    joined = with_dom.join(counts, "_dom")
+    hashval = F.conv(
+        F.substring(F.md5(F.col(url_col)), 1, 13), 16, 10
+    ).cast("double")
+    p_keep = F.least(
+        F.lit(1.0), F.lit(float(max_per_host)) / F.col("host_docs")
+    )
+    return joined.filter(
+        hashval / F.lit(float(2**52)) < p_keep
+    ).drop("_dom")

@@ -66,3 +66,62 @@ def test_blocklist_anti_join_and_plan(spark):
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cap_per_host_exact_and_threshold(spark):
+    from data_quality_checker_spark.plans.urlfilter import cap_per_host
+
+    rows = [
+        (i, f"https://{'big-site' if i < 92 else 'small-site'}.org/p/{i}")
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["id", "url"])
+    out = cap_per_host(df, max_per_host=10, exact=True)
+    got = out.collect()
+    big = [r for r in got if "big-site" in r["url"]]
+    small = [r for r in got if "small-site" in r["url"]]
+    assert len(big) == 10 and all(r["host_docs"] == 92 for r in big)
+    assert len(small) == 8  # under quota: untouched
+    # deterministic: same rows on re-run
+    ids1 = sorted(r["id"] for r in got)
+    ids2 = sorted(
+        r["id"] for r in cap_per_host(df, max_per_host=10).collect()
+    )
+    assert ids1 == ids2
+
+    # threshold form: no Window in the plan, quota approximate
+    approx = cap_per_host(df, max_per_host=10, exact=False)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    n_big = len([r for r in approx.collect() if "big-site" in r["url"]])
+    assert 1 <= n_big <= 30  # binomial(92, 10/92) well within bounds
+
+
+def test_repetition_ngram_metrics(spark):
+    from data_quality_checker_spark.operators.nlp import (
+        repetition_ngram_metrics,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat the cat sat the cat ran"),  # 9 tokens
+            (2, "all unique words here today"),
+            (3, None),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_id"], r["n"]): r
+        for r in repetition_ngram_metrics(docs).collect()
+    }
+    # doc 1: "the cat" occurs 3x of 8 bigrams -> frac 3*2/9
+    r = got[(1, 2)]
+    assert r["top_ngram"] == "the cat" and r["top_count"] == 3
+    assert abs(r["token_frac"] - 3 * 2 / 9) < 1e-6
+    # "the cat sat" occurs 2x
+    r = got[(1, 3)]
+    assert r["top_ngram"] == "the cat sat" and r["top_count"] == 2
+    # doc 2: every bigram unique -> count 1
+    assert got[(2, 2)]["top_count"] == 1
+    # doc 2 has 5 tokens -> 4-grams exist (2 of them), doc 3 absent
+    assert (3, 2) not in got and (2, 4) in got
