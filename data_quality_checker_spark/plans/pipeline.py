@@ -50,6 +50,12 @@ class PipelineConfig:
     # with_decontam_verdict): exact n-gram collision vs an eval corpus
     decontam_ngram: int = 13
     decontam_min_hits: int = 1
+    # optional URL pre-filter stage (with_url_prefilter): shape
+    # heuristics always apply when enabled; blocklist passed to
+    # run_pipeline as a DataFrame
+    url_prefilter: bool = False
+    url_blocked_words: tuple[str, ...] = ()
+    max_docs_per_host: int | None = None
 
 
 def score_pages(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
@@ -140,6 +146,41 @@ def with_near_dup_verdict(
         "keep_final", F.col("keep") & F.col("near_dup_of").isNull()
     )
     release_cache(pairs)
+    return out
+
+
+def with_url_prefilter(
+    pages: DataFrame,
+    blocklist: DataFrame | None = None,
+    blocked_words: tuple[str, ...] = (),
+    max_docs_per_host: int | None = None,
+) -> DataFrame:
+    """C4-style URL pre-filter stage (plans/urlfilter.py), run BEFORE
+    any text is parsed: drop blocklisted registrable domains
+    (broadcast anti-join), drop urls failing the shape heuristics
+    (static-asset extension / raw-IP host / oversized query /
+    bad-word-in-url — one codegen'd projection), then optionally cap
+    per-host contributions (windowless threshold form — skew-free).
+    Cheapest-first ordering: every later pipeline stage pays per
+    surviving row, and url-only predicates never touch html/text."""
+    from data_quality_checker_spark.plans.urlfilter import (
+        cap_per_host,
+        filter_blocked_domains,
+        url_quality_flags,
+    )
+
+    out = pages
+    if blocklist is not None:
+        out = filter_blocked_domains(out, blocklist, url_col="url")
+    flags = url_quality_flags("url", blocked_words=blocked_words)
+    bad = None
+    for c in flags.values():
+        bad = c if bad is None else (bad | c)
+    out = out.filter(~bad)
+    if max_docs_per_host is not None:
+        out = cap_per_host(
+            out, "url", max_docs_per_host, exact=False
+        ).drop("host_docs")
     return out
 
 
@@ -238,6 +279,7 @@ def run_pipeline(
     run_id: str = "run-0",
     limit_partitions: int | None = None,
     decontam_eval: DataFrame | None = None,
+    url_blocklist: DataFrame | None = None,
 ) -> dict:
     """Execute (or resume) the pipeline. ``limit_partitions`` processes
     only the first k incomplete partitions — the test harness uses it
@@ -256,6 +298,13 @@ def run_pipeline(
 
     Returns {"processed_partitions": [...], "skipped": n}."""
     cfg = cfg or PipelineConfig()
+    if cfg.url_prefilter or url_blocklist is not None:
+        pages = with_url_prefilter(
+            pages,
+            url_blocklist,
+            cfg.url_blocked_words,
+            cfg.max_docs_per_host,
+        )
     scored_path = f"{out_dir}/scored"
     metrics_path = f"{out_dir}/metrics"
     lineage_path = f"{out_dir}/lineage"

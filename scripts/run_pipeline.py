@@ -50,6 +50,24 @@ def main() -> None:
         "near_dup_of + keep_final columns",
     )
     p.add_argument(
+        "--url-prefilter",
+        action="store_true",
+        help="drop urls failing shape heuristics (asset extensions, "
+        "raw-IP hosts, oversized queries) before any text is parsed",
+    )
+    p.add_argument(
+        "--block-domains",
+        help="parquet path of a domain blocklist (domain column): "
+        "broadcast anti-join on registrable domain (implies "
+        "--url-prefilter)",
+    )
+    p.add_argument(
+        "--max-docs-per-host",
+        type=int,
+        help="cap per-host contributions (windowless deterministic "
+        "md5-threshold form; implies --url-prefilter)",
+    )
+    p.add_argument(
         "--decontaminate-eval",
         help="parquet path of an eval/benchmark corpus (text column): "
         "flags kept docs sharing an exact 13-gram with it "
@@ -97,15 +115,26 @@ def main() -> None:
         num_buckets=args.buckets,
         langid_impl=args.langid,
         near_dedup=args.near_dedup,
+        url_prefilter=bool(
+            args.url_prefilter
+            or args.block_domains
+            or args.max_docs_per_host
+        ),
+        max_docs_per_host=args.max_docs_per_host,
     )
     decontam_eval = (
         spark.read.parquet(args.decontaminate_eval)
         if args.decontaminate_eval
         else None
     )
+    url_blocklist = (
+        spark.read.parquet(args.block_domains)
+        if args.block_domains
+        else None
+    )
     result = run_pipeline(
         spark, pages, args.output, cfg, run_id=args.run_id,
-        decontam_eval=decontam_eval,
+        decontam_eval=decontam_eval, url_blocklist=url_blocklist,
     )
     print(
         f"processed={len(result['processed_partitions'])} "

@@ -125,3 +125,49 @@ def test_repetition_ngram_metrics(spark):
     assert got[(2, 2)]["top_count"] == 1
     # doc 2 has 5 tokens -> 4-grams exist (2 of them), doc 3 absent
     assert (3, 2) not in got and (2, 4) in got
+
+
+def test_pipeline_url_prefilter_stage(spark):
+    """with_url_prefilter drops blocklisted domains + bad-shape urls
+    before scoring; run_pipeline(url_blocklist=...) wires it in."""
+    import tempfile
+
+    from data_quality_checker_spark.plans import synth
+    from data_quality_checker_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+        with_url_prefilter,
+    )
+
+    base = synth.pages_df(spark, 200, seed=13)
+    one_dom = base.select(
+        UF.registrable_domain("url").alias("d")
+    ).first()["d"]
+    bl = spark.createDataFrame([(one_dom,)], ["domain"])
+
+    out = with_url_prefilter(base, blocklist=bl)
+    doms = {
+        r["d"]
+        for r in out.select(
+            UF.registrable_domain("url").alias("d")
+        ).distinct().collect()
+    }
+    assert one_dom not in doms
+    assert out.count() < base.count()
+
+    with tempfile.TemporaryDirectory() as d:
+        r = run_pipeline(
+            spark,
+            base,
+            f"{d}/out",
+            PipelineConfig(num_buckets=4),
+            url_blocklist=bl,
+        )
+        scored = spark.read.parquet(f"{d}/out/scored")
+        sd = {
+            row["d"]
+            for row in scored.select(
+                UF.registrable_domain("url").alias("d")
+            ).distinct().collect()
+        }
+        assert one_dom not in sd
