@@ -2441,6 +2441,70 @@ select doc_id, host_docs::bigint as host_docs from w where rn <= 10
 """
 
 
+def q_source_mix(spark, sf):
+    """Deterministic per-source data mixing (plans/sampling.py
+    sample_fractions — no reference ancestor; training-data
+    extension). Keep 100% of src0, 50% of src1, 25% of src2, 10% of
+    everything else, decided by a pure md5-prefix predicate on doc_id
+    (no rand(), no shuffle; kept sets nest as fractions grow). The
+    kept-row SET is the check — the twin reproduces the predicate
+    byte-for-byte (md5 hex prefix vs printf('%013x') threshold)."""
+    from data_quality_checker_spark.plans.sampling import (
+        sample_fractions,
+    )
+
+    docs = _t(spark, sf, "documents")
+    out = sample_fractions(
+        docs,
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_frac=0.1,
+    )
+    return out.select("doc_id", "source")
+
+
+SQL_SOURCE_MIX = """
+with p as (select doc_id, source,
+  case source when 'src0' then 1.0 when 'src1' then 0.5
+              when 'src2' then 0.25 else 0.1 end as pr
+  from documents)
+select doc_id, source from p
+where pr >= 1.0
+   or substr(md5(doc_id::varchar), 1, 13)
+      < printf('%013x', floor(pr * 4503599627370496)::bigint)
+"""
+
+
+def q_weighted_sample(spark, sf):
+    """DSIR-style importance sampling (plans/sampling.py
+    weighted_sample): keep docs with probability proportional to
+    n_chars so longer documents are upsampled, expected kept fraction
+    0.3. One scalar aggregate learns (N, sum w); the per-row decision
+    is the same deterministic md5 threshold. The kept-row set is the
+    check."""
+    from data_quality_checker_spark.plans.sampling import (
+        weighted_sample,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return weighted_sample(docs, "n_chars", 0.3).select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+with t as (select count(*)::double n, sum(n_chars::double) sw
+           from documents where n_chars is not null and n_chars > 0),
+p as (select doc_id, n_chars,
+             (0.3 * t.n / t.sw) * n_chars::double as pr
+      from documents, t
+      where n_chars is not null and n_chars > 0)
+select doc_id, n_chars::bigint as n_chars from p
+where pr >= 1.0
+   or substr(md5(doc_id::varchar), 1, 13)
+      < printf('%013x', floor(pr * 4503599627370496)::bigint)
+"""
+
+
 def q_perplexity_lm(spark, sf):
     """REAL trained trigram-LM perplexity (plans/lm.py): counts from
     the doc_id < 100 slice, add-one-smoothed scoring of the 100..299
@@ -3076,6 +3140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "repetition_topgrams": q_repetition_topgrams,
         "host_cap": q_host_cap,
+        "source_mix": q_source_mix,
+        "weighted_sample": q_weighted_sample,
         # dedup
         "dedup_subset": q_dedup_subset,
         "minhash_signatures": q_minhash_signatures,
@@ -3176,6 +3242,8 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": SQL_LINE_DEDUP,
         "repetition_topgrams": SQL_REPETITION,
         "host_cap": SQL_HOST_CAP,
+        "source_mix": SQL_SOURCE_MIX,
+        "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "dedup_subset": SQL_DEDUP_SUBSET,
         "minhash_signatures": SQL_MINHASH,
         "minhash_lsh_portable": SQL_MINHASH_LSH,

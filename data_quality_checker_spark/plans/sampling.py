@@ -1,0 +1,107 @@
+"""Deterministic sampling / data-mixing for training corpora.
+
+No reference ancestor — /root/reference has no sampling surface; this
+is a training-data-pipeline extension (task brief): the reweighting
+step that turns a filtered crawl into a training mix (per-source
+proportions, quality-weighted upsampling a la DSIR).
+
+Every selector here is a PURE PREDICATE on a hash of the row's key —
+no rand(), no zipWithIndex, no window:
+
+- re-runs, resumed partitions, and different partition counts all
+  select the SAME rows (rand() re-draws per task attempt; a retried
+  task would emit a different sample);
+- the 13-hex-char md5 prefix compares lexicographically exactly as
+  the 52-bit integer it encodes (the stats.bootstrap_means trick), so
+  ``substr(md5(key),1,13) < format('%013x', floor(p * 2^52))`` is a
+  byte-identical decision in Spark, Python, and DuckDB;
+- the filter is codegen'd into the scan — sampling never costs a
+  shuffle. ``weighted_sample`` adds one scalar aggregate to learn the
+  normalization constant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash_frac_predicate",
+    "sample_fractions",
+    "weighted_sample",
+]
+
+_SCALE = float(2**52)
+
+
+def hash_frac_predicate(key: Column, p: Column | float) -> Column:
+    """True for a deterministic ~``p`` fraction of keys: uniform
+    52-bit hash of the key compared against a per-row threshold.
+    ``p`` may be a literal or a column (per-row probabilities)."""
+    pc = F.lit(float(p)) if isinstance(p, (int, float)) else p
+    pc = F.greatest(F.lit(0.0), pc)
+    thresh = F.format_string(
+        "%013x", F.floor(pc * F.lit(_SCALE)).cast("bigint")
+    )
+    # p >= 1 short-circuits: format('%013x', 2^52) is a 14-char string
+    # that sorts BELOW 13-char hex prefixes starting past '1'
+    return (pc >= 1.0) | (
+        F.substring(F.md5(key.cast("string")), 1, 13) < thresh
+    )
+
+
+def sample_fractions(
+    df: DataFrame,
+    fractions: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Per-source deterministic Bernoulli mix: keep ~``fractions[s]``
+    of each source's rows (sources absent from the dict keep
+    ``default_frac``). The mixing step of a training-data pipeline —
+    e.g. {'web': 0.3, 'books': 1.0, 'code': 0.8}. Pure filter, no
+    shuffle; kept sets are nested as fractions grow (a 0.5 sample
+    contains the 0.3 sample), which makes ablation subsets free."""
+    p = None
+    for s, frac in sorted(fractions.items()):
+        cond = F.col(source_col) == F.lit(s)
+        p = (
+            F.when(cond, F.lit(float(frac)))
+            if p is None
+            else p.when(cond, F.lit(float(frac)))
+        )
+    p = (
+        F.lit(float(default_frac))
+        if p is None
+        else p.otherwise(F.lit(float(default_frac)))
+    )
+    return df.filter(hash_frac_predicate(F.col(key_col), p))
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    target_frac: float,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Importance sampling: keep row i with probability proportional
+    to ``weight_i`` so the expected kept fraction is ``target_frac``
+    (p_i = min(1, target_frac * N * w_i / sum(w)); rows with null or
+    non-positive weight are never kept). One scalar aggregate learns
+    (N, sum w) — broadcast back as literals — then the same
+    deterministic hash predicate. DSIR-style quality reweighting:
+    weight by a quality score and high-quality documents are
+    upsampled relative to the rest."""
+    w = F.col(weight_col)
+    totals = df.filter(w.isNotNull() & (w > 0)).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(w.cast("double")).alias("sw")
+    ).collect()[0]
+    n, sw = totals["n"], totals["sw"]
+    if not n or not sw:
+        return df.filter(F.lit(False))
+    p = F.lit(float(target_frac) * float(n) / float(sw)) * w.cast("double")
+    return df.filter(
+        w.isNotNull() & (w > 0)
+        & hash_frac_predicate(F.col(key_col), p)
+    )

@@ -1,0 +1,69 @@
+"""Deterministic sampling / data mixing (plans/sampling.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_quality_checker_spark.plans.sampling import (
+    hash_frac_predicate,
+    sample_fractions,
+    weighted_sample,
+)
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.select("id").collect())
+
+
+def test_hash_frac_deterministic_and_nested(spark):
+    df = spark.range(2000).withColumnRenamed("id", "id")
+    k30 = _ids(df.filter(hash_frac_predicate(F.col("id"), 0.3)))
+    k30b = _ids(df.filter(hash_frac_predicate(F.col("id"), 0.3)))
+    k60 = _ids(df.filter(hash_frac_predicate(F.col("id"), 0.6)))
+    assert k30 == k30b                       # rerun-stable
+    assert set(k30) <= set(k60)              # nested samples
+    assert 0.2 < len(k30) / 2000 < 0.4
+    assert 0.5 < len(k60) / 2000 < 0.7
+    # p >= 1 keeps everything (the 14-char printf edge)
+    assert len(_ids(df.filter(hash_frac_predicate(F.col("id"), 1.0)))) == 2000
+    # p <= 0 keeps nothing
+    assert not _ids(df.filter(hash_frac_predicate(F.col("id"), 0.0)))
+
+
+def test_sample_fractions_mix(spark):
+    rows = [(i, f"src{i % 4}") for i in range(4000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = sample_fractions(
+        df, {"src0": 1.0, "src1": 0.25}, default_frac=0.0
+    )
+    got = out.groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in got}
+    assert by_src.get("src0") == 1000
+    assert 150 < by_src.get("src1", 0) < 350
+    assert "src2" not in by_src and "src3" not in by_src
+    # no shuffle: the mix is a pure filter over the scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_weighted_sample_upsamples_heavy_rows(spark):
+    # weight 10 vs 1: heavy rows should be kept ~10x as often
+    rows = [(i, 10.0 if i % 2 == 0 else 1.0) for i in range(4000)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    out = weighted_sample(df, "w", target_frac=0.2)
+    kept = out.collect()
+    heavy = sum(1 for r in kept if r["w"] == 10.0)
+    light = len(kept) - heavy
+    assert 0.15 < len(kept) / 4000 < 0.25      # expected fraction
+    assert heavy > 5 * max(light, 1)           # ~10x bias
+    # determinism
+    assert sorted(r["doc_id"] for r in kept) == sorted(
+        r["doc_id"] for r in weighted_sample(df, "w", 0.2).collect()
+    )
+
+
+def test_weighted_sample_degenerate(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, 0.0), (3, -1.0)], ["doc_id", "w"]
+    )
+    assert weighted_sample(df, "w", 0.5).count() == 0
