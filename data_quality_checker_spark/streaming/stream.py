@@ -58,3 +58,50 @@ def run_stream_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def run_stream_decontam_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    eval_df: DataFrame,
+    cfg: PipelineConfig | None = None,
+) -> None:
+    """Streaming scoring + benchmark decontamination. The
+    contamination decision is per-document against a STATIC eval
+    corpus, so foreachBatch is semantically EXACT (no cross-batch
+    state; a doc's verdict cannot depend on other stream rows). The
+    eval n-gram table is distilled once to 8-byte xxhash64 keys,
+    persisted, and broadcast-joined inside every micro-batch.
+
+    Sink is parquet append inside foreachBatch: with availableNow +
+    checkpointing a restarted query may replay the last uncommitted
+    batch — downstream readers dedup on url like the batch pipeline's
+    dynamic-overwrite resume does."""
+    from data_quality_checker_spark.operators.decontam import eval_ngrams
+    from data_quality_checker_spark.plans.pipeline import (
+        with_decontam_verdict,
+    )
+
+    cfg = cfg or PipelineConfig(dedup_latest_capture=False)
+    ev = eval_ngrams(
+        eval_df, n=cfg.decontam_ngram, key_mode="xxhash64"
+    ).persist()
+    ev.count()  # materialize once; reused by every micro-batch
+    scored = score_stream(read_pages_stream(spark, input_dir), cfg)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = with_decontam_verdict(
+            batch_df, ev, cfg, eval_is_ngrams=True
+        )
+        out.write.mode("append").parquet(output_dir)
+
+    q = (
+        scored.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ev.unpersist()

@@ -42,3 +42,47 @@ def test_stream_matches_batch_and_is_exactly_once(spark, tmp_path_factory):
     # re-run with same checkpoint: no new input -> no duplicates
     run_stream_available_now(spark, in_dir, out_dir, ckpt, cfg)
     assert spark.read.parquet(out_dir).count() == expect.count()
+
+
+def test_stream_decontam_matches_batch(spark, tmp_path_factory):
+    """Streaming decontamination (foreachBatch vs static eval table)
+    produces the same per-url contaminated verdicts as the batch
+    stage over the same corpus."""
+    from data_quality_checker_spark.plans import synth
+    from data_quality_checker_spark.plans.pipeline import (
+        PipelineConfig,
+        score_pages,
+        with_decontam_verdict,
+    )
+    from data_quality_checker_spark.streaming.stream import (
+        run_stream_decontam_available_now,
+    )
+
+    d = tmp_path_factory.mktemp("stream_decontam")
+    pages = synth.pages_df(spark, 150, seed=23)
+    pages.write.mode("overwrite").parquet(f"{d}/in")
+    eval_df = (
+        spark.read.parquet(f"{d}/in")
+        .filter("text is not null")
+        .select("text")
+        .limit(2)
+    )
+    cfg = PipelineConfig(dedup_latest_capture=False)
+    run_stream_decontam_available_now(
+        spark, f"{d}/in", f"{d}/out", f"{d}/ckpt", eval_df, cfg
+    )
+    streamed = spark.read.parquet(f"{d}/out")
+    assert "contaminated" in streamed.columns
+    batch = with_decontam_verdict(
+        score_pages(spark.read.parquet(f"{d}/in"), cfg), eval_df, cfg
+    )
+    s = {
+        r["url"]: r["contaminated"]
+        for r in streamed.select("url", "contaminated").collect()
+    }
+    b = {
+        r["url"]: r["contaminated"]
+        for r in batch.select("url", "contaminated").collect()
+    }
+    assert s == b
+    assert sum(s.values()) >= 1
