@@ -178,3 +178,42 @@ def corrupt_record_stats(df: DataFrame) -> DataFrame:
         bad.alias("n_corrupt"),
         (bad.cast("double") / n).alias("corrupt_frac"),
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    max_records_per_file: int = 100_000,
+    num_shards: int | None = None,
+    shard_key: str | Column = "url",
+) -> None:
+    """Export a training corpus as size-bounded shards — the format
+    downstream data loaders stream (no reference ancestor;
+    training-data extension).
+
+    - ``max_records_per_file`` caps rows per output file via Spark's
+      own writer option (enforced inside each task, no extra pass).
+    - ``num_shards`` additionally repartitions by a hash of
+      ``shard_key`` first, so the SET of rows in shard i is
+      deterministic across reruns (loader-resumable corpus layout);
+      None keeps the upstream partitioning (cheapest).
+    - ``fmt='jsonl'`` writes gzip-compressed JSON lines (one doc per
+      line — the interchange format most tokenizer pipelines read);
+      'parquet' stays columnar for Spark/analytics consumers.
+    """
+    out = df
+    if num_shards is not None:
+        key = F.col(shard_key) if isinstance(shard_key, str) else shard_key
+        # hash-repartition on a stable key: shard membership depends
+        # only on the key, never on input split order
+        out = out.repartition(num_shards, F.xxhash64(key))
+    writer = out.write.mode("overwrite").option(
+        "maxRecordsPerFile", max_records_per_file
+    )
+    if fmt == "jsonl":
+        writer.option("compression", "gzip").json(path)
+    elif fmt == "parquet":
+        writer.parquet(path)
+    else:
+        raise ValueError(f"fmt must be 'parquet' or 'jsonl', got {fmt!r}")

@@ -279,3 +279,51 @@ def test_jsonl_and_csv_ingest_with_corrupt_records(spark, tmp_path_factory):
     cdf = IO.read_csv(spark, str(cv), "doc_id long, n int")
     cstats = IO.corrupt_record_stats(cdf).first()
     assert cstats["n_rows"] == 3 and cstats["n_corrupt"] == 1
+
+
+def test_write_training_shards(spark, tmp_path_factory):
+    """Shard export: file-count/row-cap honored, deterministic shard
+    membership under num_shards, jsonl.gz round-trips."""
+    import glob
+
+    from data_quality_checker_spark.sources.io import (
+        write_training_shards,
+    )
+    from data_quality_checker_spark.plans import synth
+
+    d = str(tmp_path_factory.mktemp("shards"))
+    pages = synth.pages_df(spark, 300, seed=41).select("url", "text")
+
+    write_training_shards(
+        pages, f"{d}/pq", max_records_per_file=50, num_shards=4
+    )
+    files = glob.glob(f"{d}/pq/part-*.parquet")
+    back = spark.read.parquet(f"{d}/pq")
+    assert back.count() == 300
+    # 4 shards x >=2 files each (50-row cap over ~75 rows/shard)
+    assert len(files) >= 4
+    import pyarrow.parquet as pq
+
+    assert max(pq.ParquetFile(f).metadata.num_rows for f in files) <= 50
+
+    # deterministic membership: rewriting yields identical per-file sets
+    write_training_shards(
+        pages, f"{d}/pq2", max_records_per_file=10**9, num_shards=4
+    )
+    def shard_sets(p):
+        out = []
+        for f in sorted(glob.glob(f"{p}/part-*.parquet")):
+            out.append(frozenset(
+                r["url"] for r in spark.read.parquet(f).collect()
+            ))
+        return sorted(out, key=sorted)
+    write_training_shards(
+        pages, f"{d}/pq3", max_records_per_file=10**9, num_shards=4
+    )
+    assert shard_sets(f"{d}/pq2") == shard_sets(f"{d}/pq3")
+
+    write_training_shards(pages, f"{d}/jl", fmt="jsonl")
+    gz = glob.glob(f"{d}/jl/part-*.json.gz")
+    assert gz
+    jl = spark.read.json(f"{d}/jl")
+    assert jl.count() == 300 and set(jl.columns) == {"url", "text"}
