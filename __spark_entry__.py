@@ -1403,6 +1403,48 @@ where domain not in ('site3.org', 'site7.org', 'example.co.uk')
 """
 
 
+def q_punct_normalized(spark, sf):
+    """Unicode punctuation folding (functions.text
+    normalize_punctuation — ftfy-lite, training-data extension): curly
+    quotes/dashes/NBSP/ellipsis -> ASCII via a 1:1 translate map + one
+    literal replace; byte-identity pinned by md5 against the DuckDB
+    translate twin. Specials planted as a suffix (the fixture corpus
+    is ASCII), doc text keeps the digest per-row distinct."""
+    from data_quality_checker_spark.functions.text import (
+        ELLIPSIS,
+        PUNCT_FROM,
+        normalize_punctuation,
+    )
+
+    docs = _t(spark, sf, "documents")
+    planted = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" " + PUNCT_FROM + ELLIPSIS + " fin"),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(normalize_punctuation(planted)).alias("norm_md5"),
+    )
+
+
+def _sql_punct_normalized():
+    from data_quality_checker_spark.functions.text import (
+        ELLIPSIS,
+        PUNCT_FROM,
+        PUNCT_TO,
+    )
+
+    specials = (" " + PUNCT_FROM + ELLIPSIS + " fin").replace("'", "''")
+    pf = PUNCT_FROM.replace("'", "''")
+    pt = PUNCT_TO.replace("'", "''")
+    return f"""
+select doc_id,
+  md5(replace(translate(coalesce(text, '') || '{specials}',
+      '{pf}', '{pt}'), '{ELLIPSIS}', '...')) as norm_md5
+from documents
+"""
+
+
 def q_top_bigrams(spark, sf):
     docs = _t(spark, sf, "documents")
     return N.top_ngrams(docs, n=2, top_k=20)
@@ -3112,6 +3154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrubbed_digest": q_scrubbed_digest,
         "pii_extended": q_pii_extended,
         "url_filter": q_url_filter,
+        "punct_normalized": q_punct_normalized,
         "top_bigrams": q_top_bigrams,
         "word_frequencies": q_word_frequencies,
         "word_length_distribution": q_word_length_distribution,
@@ -3214,6 +3257,7 @@ def oracle_sql() -> dict[str, str]:
         "scrubbed_digest": _sql_scrub(),
         "pii_extended": _sql_pii_extended(),
         "url_filter": _sql_url_filter(),
+        "punct_normalized": _sql_punct_normalized(),
         "top_bigrams": SQL_TOP_BIGRAMS,
         "word_frequencies": SQL_WORD_FREQ,
         "word_length_distribution": SQL_WORD_LEN,

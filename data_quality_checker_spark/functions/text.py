@@ -41,6 +41,8 @@ __all__ = [
     "langid_best",
     "doc_fingerprint",
     "word_ngrams",
+    "normalize_punctuation",
+    "normalize_punctuation_python",
 ]
 
 # ASCII whitespace run. Java \s == [ \t\n\x0B\f\r]; the Python oracle
@@ -214,3 +216,34 @@ def word_ngrams(tok: Column, n: int, sep: str = " ") -> Column:
             lambda i: F.concat_ws(sep, F.slice(tok, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+# 1:1 unicode punctuation folding (curly quotes, dashes, NBSP) — the
+# ftfy-lite cleanup web text needs before tokenization; kept to a
+# translate map + one ellipsis replace so Spark / DuckDB / Python all
+# reproduce it byte-for-byte (translate is 1:1 in all three).
+PUNCT_FROM = "‘’‚“”„–—− ´"
+PUNCT_TO = "''," + '"""' + "---" + " '"
+ELLIPSIS = "…"
+
+
+def normalize_punctuation(text: Column | str) -> Column:
+    """Fold typographic punctuation to ASCII: curly single/double
+    quotes -> '/" , en/em dash and minus -> -, NBSP -> space,
+    acute accent -> ', ellipsis -> three dots. NULL passes through.
+    Pure Catalyst (translate + one literal replace), zero regex."""
+    c = _col(text)
+    return F.replace(
+        F.translate(c, PUNCT_FROM, PUNCT_TO),
+        F.lit(ELLIPSIS),
+        F.lit("..."),
+    )
+
+
+def normalize_punctuation_python(text: str | None) -> str | None:
+    """Oracle mirror of normalize_punctuation."""
+    if text is None:
+        return None
+    return text.translate(
+        str.maketrans(PUNCT_FROM, PUNCT_TO)
+    ).replace(ELLIPSIS, "...")

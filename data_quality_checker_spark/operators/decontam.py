@@ -67,20 +67,30 @@ def eval_ngrams(
     n: int = 13,
     key_mode: str = "text",
     lowercase: bool = True,
+    storage_path: str | None = None,
 ) -> DataFrame:
     """Distinct n-gram keys of the evaluation corpus: one column
     ``ng_key`` (string in ``key_mode='text'``, bigint xxhash64 in
     ``key_mode='xxhash64'``). This is the broadcast side — distinct
-    runs on the eval corpus only, never on the training corpus."""
+    runs on the eval corpus only, never on the training corpus.
+
+    ``storage_path``: write the key table as parquet and read it back
+    — build it once, reuse it across pipeline runs / resumed
+    partitions without recomputing (the same materialization contract
+    as the MinHash sketch tables)."""
     if key_mode not in _KEY_MODES:
         raise ValueError(f"key_mode must be one of {_KEY_MODES}")
     ngs = _distinct_ngrams(text_col, n, lowercase)
-    return (
+    out = (
         eval_df.filter(F.col(text_col).isNotNull())
         .select(F.explode(ngs).alias("_ng"))
         .select(_ngram_key(F.col("_ng"), key_mode).alias("ng_key"))
         .distinct()
     )
+    if storage_path is not None:
+        out.write.mode("overwrite").parquet(storage_path)
+        return eval_df.sparkSession.read.parquet(storage_path)
+    return out
 
 
 def contamination_report(

@@ -1,5 +1,10 @@
-"""End-to-end pipeline: scan -> dedup -> score -> scrub -> verdict ->
-write scored output + metrics + lineage, resumable per partition.
+"""End-to-end pipeline: scan -> [url prefilter] -> dedup -> score ->
+scrub -> verdict -> [near-dedup] -> [decontaminate] -> write scored
+output + metrics + lineage, resumable per partition. Bracketed stages
+are opt-in (PipelineConfig / run_pipeline kwargs / CLI flags) and
+ordered cheapest-first: url-only predicates run before any text is
+parsed, and per-doc sketching/n-gram stages run only over rows the
+rules kept.
 
 Lifecycle (vs SURVEY.md §3.2): ONE lazy DAG per run — Catalyst fuses
 the whole rule battery + scrub into a single projection over the scan;

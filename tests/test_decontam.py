@@ -228,3 +228,29 @@ def test_dedup_lines_min_count_and_min_chars(spark):
     }
     assert out[1]["text_deduped"] == "dup\nx"
     assert out[2]["text_deduped"] == "yy"
+
+
+def test_eval_ngrams_storage_path(spark, tmp_path_factory):
+    """storage_path materializes the eval key table as parquet; the
+    reloaded table gives identical contamination verdicts."""
+    d = str(tmp_path_factory.mktemp("evng"))
+    docs, eval_df = _fixture(spark)
+    ev = DC.eval_ngrams(
+        eval_df, n=13, key_mode="xxhash64", storage_path=f"{d}/keys"
+    )
+    import os
+
+    assert os.path.isdir(f"{d}/keys")
+    a = sorted(
+        tuple(r)
+        for r in DC.contamination_report(
+            docs, ev, n=13, key_mode="xxhash64", eval_is_ngrams=True
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in DC.contamination_report(
+            docs, eval_df, n=13, key_mode="xxhash64"
+        ).collect()
+    )
+    assert a == b

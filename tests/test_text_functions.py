@@ -95,3 +95,29 @@ def test_word_ngrams(spark):
     rows = {r["id"]: r["g"] for r in df.collect()}
     assert rows[0] == ["the cat", "cat and", "and the", "the dog"]
     assert rows[3] == []
+
+
+def test_normalize_punctuation_matches_python(spark):
+    from data_quality_checker_spark.functions.text import (
+        normalize_punctuation,
+        normalize_punctuation_python,
+    )
+
+    rows = [
+        (1, "‘curly’ “quotes” – and — dashes − minus nbsp … end"),
+        (2, None),
+        (3, "plain ascii stays"),
+        (4, "´acute‚ low„ double"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id", normalize_punctuation("text").alias("s")
+        ).collect()
+    }
+    for i, t in rows:
+        assert got[i] == normalize_punctuation_python(t), i
+    assert got[1] == "'curly' \"quotes\" - and - dashes - minus nbsp ... end"
+    assert got[2] is None
+    assert got[3] == "plain ascii stays"
