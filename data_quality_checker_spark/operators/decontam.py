@@ -117,6 +117,10 @@ def contamination_report(
     here with the same ``n``/``key_mode``) or, when
     ``eval_is_ngrams=True``, a prebuilt ``eval_ngrams`` table — build
     it once and reuse it across corpus partitions/runs.
+
+    Precondition: ``id_col`` is unique per document — the hit count
+    aggregates by it, so duplicate ids would pool their n-grams into
+    one report row (dedup on id upstream if unsure).
     """
     if min_hits < 1:
         raise ValueError("min_hits must be >= 1")

@@ -541,6 +541,11 @@ def dedup_lines_corpus(
     Lines shorter than ``min_line_chars`` never participate (empty
     lines are document structure, not boilerplate).
 
+    Precondition: ``id_col`` is unique per document — reassembly
+    groups by it, so two documents sharing an id would be merged into
+    one interleaved text (same contract as the pipeline's near-dedup
+    stage; dedup on id upstream if unsure).
+
     Returns the input columns plus ``text_deduped`` (NULL text stays
     NULL; a doc whose every line is removed becomes ''), ``n_lines``
     and ``n_removed`` (0 for NULL text).
