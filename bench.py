@@ -78,6 +78,9 @@ HEADLINE = [
     # round-2 additions (keys above keep round-over-round comparability)
     "ks_drift",
     "redundancy_structure",
+    # round-3 additions: flagship training-data extensions
+    "decontamination",
+    "line_dedup",
 ]
 
 
