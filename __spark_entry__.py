@@ -1403,6 +1403,44 @@ where domain not in ('site3.org', 'site7.org', 'example.co.uk')
 """
 
 
+def q_corpus_mix_report(spark, sf):
+    """Data-mix accounting (training-data extension): per-source doc
+    and token counts with corpus proportions — the table a data-mixing
+    decision reads (what sample_fractions then enforces). One grouped
+    aggregate + a broadcast 1-row total join, both map-side heavy."""
+    docs = _t(spark, sf, "documents")
+    per = (
+        docs.filter(F.col("text").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(X.word_count("text").cast("bigint")).alias("tokens"),
+        )
+    )
+    tot = per.agg(
+        F.sum("docs").alias("_td"), F.sum("tokens").alias("_tt")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "docs",
+        "tokens",
+        _r6(F.col("docs") / F.col("_td")).alias("doc_frac"),
+        _r6(F.col("tokens") / F.col("_tt")).alias("token_frac"),
+    )
+
+
+SQL_CORPUS_MIX = f"""
+with per as (select source, count(*) docs,
+             sum({duck.wc('text')})::bigint tokens
+             from documents where text is not null group by source),
+tot as (select sum(docs) td, sum(tokens) tt from per)
+select source, docs, tokens,
+       round(docs / (select td from tot), 6) as doc_frac,
+       round(tokens::double / (select tt from tot), 6) as token_frac
+from per
+"""
+
+
 def q_punct_normalized(spark, sf):
     """Unicode punctuation folding (functions.text
     normalize_punctuation — ftfy-lite, training-data extension): curly
@@ -3155,6 +3193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_extended": q_pii_extended,
         "url_filter": q_url_filter,
         "punct_normalized": q_punct_normalized,
+        "corpus_mix_report": q_corpus_mix_report,
         "top_bigrams": q_top_bigrams,
         "word_frequencies": q_word_frequencies,
         "word_length_distribution": q_word_length_distribution,
@@ -3258,6 +3297,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_extended": _sql_pii_extended(),
         "url_filter": _sql_url_filter(),
         "punct_normalized": _sql_punct_normalized(),
+        "corpus_mix_report": SQL_CORPUS_MIX,
         "top_bigrams": SQL_TOP_BIGRAMS,
         "word_frequencies": SQL_WORD_FREQ,
         "word_length_distribution": SQL_WORD_LEN,
