@@ -612,7 +612,10 @@ def repetition_ngram_metrics(
     token_frac)``. Ties break to the lexicographically largest n-gram
     (deterministic across engines).
 
-    Plan: one explode per n unioned, then two hash aggregates —
+    Plan: ONE scan and ONE explode — the per-n n-gram arrays are
+    tagged with their n and flattened into a single array<struct>
+    before exploding (a union of per-n legs would scan and
+    re-tokenize the corpus once per n) — then two hash aggregates:
     (doc, n, ngram) counts with map-side combine, then max(struct)
     per (doc, n). Both shuffles carry scalar rows keyed by doc id;
     nothing is windowed, so a pathologically repetitive document
@@ -621,19 +624,30 @@ def repetition_ngram_metrics(
         F.col(id_col),
         tokens(text_col).alias("_tk"),
     )
-    legs = []
-    for n in ns:
-        legs.append(
-            base.select(
-                id_col,
-                F.lit(n).alias("n"),
-                F.size("_tk").alias("_ntok"),
-                F.explode(word_ngrams(F.col("_tk"), n)).alias("_ng"),
-            )
+
+    def _tag(n: int):
+        return lambda g: F.struct(
+            F.lit(n).alias("n"), g.alias("_ng")
         )
-    uni = legs[0]
-    for leg in legs[1:]:
-        uni = uni.unionByName(leg)
+
+    combined = F.flatten(
+        F.array(
+            *[
+                F.transform(word_ngrams(F.col("_tk"), n), _tag(n))
+                for n in ns
+            ]
+        )
+    )
+    uni = base.select(
+        id_col,
+        F.size("_tk").alias("_ntok"),
+        F.explode(combined).alias("_c"),
+    ).select(
+        id_col,
+        F.col("_c.n").alias("n"),
+        "_ntok",
+        F.col("_c._ng").alias("_ng"),
+    )
     counts = uni.groupBy(id_col, "n", "_ng").agg(
         F.count(F.lit(1)).alias("_c"), F.max("_ntok").alias("_ntok")
     )
