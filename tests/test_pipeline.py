@@ -347,3 +347,60 @@ def test_near_dup_resume_and_corpus_wide_replay(spark, pages, tmp_path_factory):
         for r in replay.select("url", "near_dup_of", "keep_final").collect()
     }
     assert got == want
+
+
+def test_all_optional_stages_compose(spark, tmp_path_factory):
+    """run_pipeline with every optional stage enabled (url prefilter +
+    near-dedup + decontamination): stages compose in order, keep_final
+    reflects all three, and a replay over the same out_dir is a no-op
+    (lineage resume) with byte-identical scored output."""
+    from data_quality_checker_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+
+    d = str(tmp_path_factory.mktemp("allstages"))
+    pages = synth.pages_df(spark, 250, seed=53)
+    eval_df = (
+        pages.filter("text is not null").select("text").limit(2)
+    )
+    cfg = PipelineConfig(
+        num_buckets=8,
+        near_dedup=True,
+        near_dedup_threshold=0.7,
+        url_prefilter=True,
+        max_docs_per_host=500,
+    )
+    r1 = run_pipeline(
+        spark, pages, f"{d}/out", cfg, decontam_eval=eval_df
+    )
+    assert r1["processed_partitions"]
+    scored = spark.read.parquet(f"{d}/out/scored")
+    cols = set(scored.columns)
+    assert {"keep", "near_dup_of", "contaminated", "keep_final"} <= cols
+    # keep_final == keep AND not near-dup loser AND not contaminated
+    bad = scored.filter(
+        F.col("keep_final")
+        != (
+            F.col("keep")
+            & F.col("near_dup_of").isNull()
+            & ~F.col("contaminated")
+        )
+    )
+    assert bad.count() == 0
+    m = spark.read.parquet(f"{d}/out/metrics")
+    assert {"drop_contaminated", "rows_scanned"} <= set(m.columns)
+
+    # replay: everything already done -> skipped, output unchanged
+    before = sorted(
+        (r["url"], r["keep_final"]) for r in scored.collect()
+    )
+    r2 = run_pipeline(
+        spark, pages, f"{d}/out", cfg, decontam_eval=eval_df
+    )
+    assert r2["processed_partitions"] == [] and r2["skipped"] > 0
+    after = sorted(
+        (r["url"], r["keep_final"])
+        for r in spark.read.parquet(f"{d}/out/scored").collect()
+    )
+    assert before == after
