@@ -1403,6 +1403,54 @@ where domain not in ('site3.org', 'site7.org', 'example.co.uk')
 """
 
 
+def q_snapshot_diff(spark, sf):
+    """Crawl-snapshot diff (joins.snapshot_diff — training-data
+    extension): old = the full documents table; new = the table minus
+    every 5th doc (removed), with every 7th doc's text amended
+    (changed) and every 11th doc re-added under doc_id+100000 (added).
+    Fingerprints are md5'd BEFORE the full-outer join, so only
+    (key, 32-hex) pairs shuffle."""
+    docs = _t(spark, sf, "documents")
+    new = (
+        docs.filter("doc_id % 5 != 0")
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" v2")),
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter("doc_id % 11 = 0").withColumn(
+                "doc_id", F.col("doc_id") + 100000
+            )
+        )
+    )
+    return J.snapshot_diff(docs, new, key="doc_id").select(
+        "doc_id", "status"
+    )
+
+
+SQL_SNAPSHOT_DIFF = """
+with o as (select doc_id, md5(coalesce(text, '')) fo from documents),
+nraw as (
+  select doc_id,
+         case when doc_id % 7 = 0 then coalesce(text, '') || ' v2'
+              else text end as text
+  from documents where doc_id % 5 <> 0
+  union all
+  select doc_id + 100000 as doc_id, text
+  from documents where doc_id % 11 = 0),
+n as (select doc_id, md5(coalesce(text, '')) fn from nraw)
+select coalesce(o.doc_id, n.doc_id) as doc_id,
+       case when o.fo is null then 'added'
+            when n.fn is null then 'removed'
+            when o.fo = n.fn then 'unchanged'
+            else 'changed' end as status
+from o full outer join n using (doc_id)
+"""
+
+
 def q_corpus_mix_report(spark, sf):
     """Data-mix accounting (training-data extension): per-source doc
     and token counts with corpus proportions — the table a data-mixing
@@ -3194,6 +3242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "punct_normalized": q_punct_normalized,
         "corpus_mix_report": q_corpus_mix_report,
+        "snapshot_diff": q_snapshot_diff,
         "top_bigrams": q_top_bigrams,
         "word_frequencies": q_word_frequencies,
         "word_length_distribution": q_word_length_distribution,
@@ -3298,6 +3347,7 @@ def oracle_sql() -> dict[str, str]:
         "url_filter": _sql_url_filter(),
         "punct_normalized": _sql_punct_normalized(),
         "corpus_mix_report": SQL_CORPUS_MIX,
+        "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "top_bigrams": SQL_TOP_BIGRAMS,
         "word_frequencies": SQL_WORD_FREQ,
         "word_length_distribution": SQL_WORD_LEN,

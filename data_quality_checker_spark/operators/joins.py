@@ -19,6 +19,7 @@ __all__ = [
     "row_level_drift",
     "join_integrity",
     "validate_aggregation",
+    "snapshot_diff",
 ]
 
 
@@ -120,4 +121,37 @@ def validate_aggregation(
             )
             > tol
         )
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "url",
+    fingerprint_col: str = "text",
+) -> DataFrame:
+    """Crawl-snapshot diff (training-data extension; generalizes
+    row_level_drift + join_integrity into the workflow that compares
+    two crawl dumps): classify every key as added / removed / changed
+    / unchanged by md5 fingerprint of ``fingerprint_col``.
+
+    Scale shape: fingerprints are computed BEFORE the join, so the
+    full-outer join shuffles (key, 32-hex) pairs — never document
+    text; one shuffle per side on the key."""
+    o = old.select(
+        F.col(key),
+        F.md5(F.coalesce(F.col(fingerprint_col), F.lit(""))).alias("_fo"),
+    )
+    n = new.select(
+        F.col(key),
+        F.md5(F.coalesce(F.col(fingerprint_col), F.lit(""))).alias("_fn"),
+    )
+    j = o.join(n, key, "full")
+    return j.select(
+        key,
+        F.when(F.col("_fo").isNull(), F.lit("added"))
+        .when(F.col("_fn").isNull(), F.lit("removed"))
+        .when(F.col("_fo") == F.col("_fn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
     )

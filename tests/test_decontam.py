@@ -254,3 +254,36 @@ def test_eval_ngrams_storage_path(spark, tmp_path_factory):
         ).collect()
     )
     assert a == b
+
+
+def test_snapshot_diff_classification(spark):
+    from data_quality_checker_spark.operators.joins import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "gone"), (5, None)],
+        ["url", "text"],
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new"), (5, None)],
+        ["url", "text"],
+    )
+    got = {
+        r["url"]: r["status"]
+        for r in snapshot_diff(old, new, key="url").collect()
+    }
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "added",
+        5: "unchanged",  # null == null via '' fingerprint
+    }
+
+
+def test_contamination_report_empty_eval(spark):
+    """An empty eval corpus flags nothing (left join against an empty
+    broadcast table)."""
+    docs, _ = _fixture(spark)
+    empty_eval = spark.createDataFrame([], "text string")
+    rep = DC.contamination_report(docs, empty_eval, n=13).collect()
+    assert rep and all(not r["contaminated"] for r in rep)
