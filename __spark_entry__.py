@@ -1403,6 +1403,77 @@ where domain not in ('site3.org', 'site7.org', 'example.co.uk')
 """
 
 
+def q_duplicate_spans(spark, sf):
+    """Exact-substring duplication report (dedup.duplicate_spans —
+    bounded-window approximation of Lee et al. suffix-array dedup).
+    Corpus = documents plus a near-copy of every 4th doc (same text +
+    a tail, re-keyed +100000), so every full window of those originals
+    is globally duplicated; window=12, stride=4 fits the ~50-token
+    fixture docs. key_mode='text' for the engine-portable twin; the
+    interval-union fold is mirrored as gaps-and-islands SQL."""
+    docs = _t(spark, sf, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.filter("doc_id % 4 = 0").select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" extra tail words appended here"),
+            ).alias("text"),
+        )
+    )
+    return DD.duplicate_spans(
+        corpus, window=12, stride=4, key_mode="text"
+    ).select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_windows").cast("bigint").alias("n_windows"),
+        F.col("dup_windows").cast("bigint").alias("dup_windows"),
+        "dup_token_frac",
+    )
+
+
+SQL_DUPLICATE_SPANS = f"""
+with c as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 100000 as doc_id,
+         coalesce(text, '') || ' extra tail words appended here' as text
+  from documents where doc_id % 4 = 0),
+d as (select doc_id, {duck.toks('text')} tk from c where text is not null),
+b as (select doc_id, len(tk) n_tokens, tk from d where len(tk) >= 12),
+s as (select doc_id, n_tokens, i as pos,
+             array_to_string(tk[i+1:i+12], ' ') span
+      from b, unnest(generate_series(0, len(tk) - 12, 4)) u(i)),
+dupk as (select span from s group by span having count(*) >= 2),
+f as (select s.doc_id, s.pos from s semi join dupk using (span)),
+o as (select doc_id, pos,
+        max(pos + 12) over (partition by doc_id order by pos
+          rows between unbounded preceding and 1 preceding) prev_end
+      from f),
+isl as (select doc_id, pos,
+        sum(case when prev_end is null or pos >= prev_end
+                 then 1 else 0 end)
+          over (partition by doc_id order by pos
+                rows unbounded preceding) island
+        from o),
+cov as (select doc_id, sum(mx + 12 - mn) cov from
+        (select doc_id, island, min(pos) mn, max(pos) mx
+         from isl group by doc_id, island)
+        group by doc_id),
+w as (select doc_id, max(n_tokens) n_tokens, count(*) n_windows
+      from s group by doc_id)
+select w.doc_id, w.n_tokens::bigint as n_tokens,
+       w.n_windows::bigint as n_windows,
+       coalesce(df.dw, 0)::bigint as dup_windows,
+       round(coalesce(cov.cov, 0) / w.n_tokens::double, 6)
+         as dup_token_frac
+from w
+left join (select doc_id, count(*) dw from f group by doc_id) df
+  using (doc_id)
+left join cov using (doc_id)
+"""
+
+
 def q_snapshot_diff(spark, sf):
     """Crawl-snapshot diff (joins.snapshot_diff — training-data
     extension): old = the full documents table; new = the table minus
@@ -3243,6 +3314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "punct_normalized": q_punct_normalized,
         "corpus_mix_report": q_corpus_mix_report,
         "snapshot_diff": q_snapshot_diff,
+        "duplicate_spans": q_duplicate_spans,
         "top_bigrams": q_top_bigrams,
         "word_frequencies": q_word_frequencies,
         "word_length_distribution": q_word_length_distribution,
@@ -3348,6 +3420,7 @@ def oracle_sql() -> dict[str, str]:
         "punct_normalized": _sql_punct_normalized(),
         "corpus_mix_report": SQL_CORPUS_MIX,
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
+        "duplicate_spans": SQL_DUPLICATE_SPANS,
         "top_bigrams": SQL_TOP_BIGRAMS,
         "word_frequencies": SQL_WORD_FREQ,
         "word_length_distribution": SQL_WORD_LEN,

@@ -42,6 +42,7 @@ __all__ = [
     "cosine_expr",
     "embedding_near_duplicates",
     "dedup_lines_corpus",
+    "duplicate_spans",
 ]
 
 
@@ -621,4 +622,116 @@ def dedup_lines_corpus(
         )
         .withColumn("n_lines", F.coalesce(F.col("n_lines"), F.lit(0)))
         .withColumn("n_removed", F.coalesce(F.col("n_removed"), F.lit(0)))
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 50,
+    stride: int = 10,
+    min_count: int = 2,
+    key_mode: str = "xxhash64",
+) -> DataFrame:
+    """Exact-substring duplication report — the bounded-window
+    approximation of suffix-array dedup (Lee et al. 2022's >=50-token
+    exact-substring criterion; no reference ancestor, training-data
+    extension). Slides a ``window``-token window every ``stride``
+    tokens, counts each window's occurrences CORPUS-WIDE, and reports
+    per document the fraction of its tokens covered by windows that
+    occur >= ``min_count`` times anywhere (including self-repetition
+    inside one document).
+
+    Returns one row per doc with >= ``window`` tokens:
+    ``(id_col, n_tokens, n_windows, dup_windows, dup_token_frac)``
+    where dup_token_frac is the union length of the duplicated
+    [pos, pos+window) intervals over n_tokens. Detection granularity
+    is ``stride`` tokens: a duplicated run shorter than ``window``
+    or offset between strides can be missed — that is the documented
+    trade against a true suffix array, which has no practical
+    distributed form.
+
+    Plan: one scan -> windows projection -> explode -> hash aggregate
+    on the window key (map-side combine; a boilerplate span repeated
+    millions of times collapses per partition) -> join back on the
+    8-byte key -> per-doc aggregate with an interval-union fold over
+    the sorted duplicated positions. No windows over unbounded
+    partitions; text never rides the count shuffle in
+    ``key_mode='xxhash64'`` (``'text'`` is the engine-portable oracle
+    form)."""
+    from data_quality_checker_spark.functions.text import tokens
+
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), tokens(text_col).alias("_tk")
+    ).filter(F.size("_tk") >= window)
+    starts = F.sequence(
+        F.lit(0), F.size("_tk") - window, F.lit(stride)
+    )
+    spans = base.select(
+        id_col,
+        F.size("_tk").alias("n_tokens"),
+        F.explode(starts).alias("pos"),
+        F.col("_tk"),
+    ).select(
+        id_col,
+        "n_tokens",
+        "pos",
+        F.concat_ws(" ", F.slice("_tk", F.col("pos") + 1, window)).alias(
+            "_span"
+        ),
+    )
+    key = (
+        F.xxhash64("_span") if key_mode == "xxhash64" else F.col("_span")
+    )
+    keyed = spans.select(id_col, "n_tokens", "pos", key.alias("_k"))
+    dup_keys = (
+        keyed.groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_k")
+    )
+    flagged = keyed.join(dup_keys, "_k", "left_semi")
+    per_doc_windows = keyed.groupBy(id_col).agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_windows"),
+    )
+    # interval-union fold over the sorted duplicated positions:
+    # acc = (covered, end); a window starting past the running end
+    # contributes its full length, an overlapping one only the delta
+    folded = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dup_windows"),
+        F.aggregate(
+            F.array_sort(F.collect_list("pos")),
+            F.struct(
+                F.lit(0).cast("long").alias("covered"),
+                F.lit(-1).cast("long").alias("end"),
+            ),
+            lambda acc, p: F.struct(
+                F.when(
+                    p >= acc["end"],
+                    acc["covered"] + F.lit(window),
+                )
+                .otherwise(
+                    acc["covered"] + p + F.lit(window) - acc["end"]
+                )
+                .alias("covered"),
+                (p + F.lit(window)).cast("long").alias("end"),
+            ),
+            lambda acc: acc["covered"],
+        ).alias("_cov"),
+    )
+    return (
+        per_doc_windows.join(folded, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "n_windows",
+            F.coalesce("dup_windows", F.lit(0)).alias("dup_windows"),
+            F.round(
+                F.coalesce(F.col("_cov"), F.lit(0))
+                / F.col("n_tokens"),
+                6,
+            ).alias("dup_token_frac"),
+        )
     )

@@ -287,3 +287,37 @@ def test_contamination_report_empty_eval(spark):
     empty_eval = spark.createDataFrame([], "text string")
     rep = DC.contamination_report(docs, empty_eval, n=13).collect()
     assert rep and all(not r["contaminated"] for r in rep)
+
+
+def test_duplicate_spans(spark):
+    """Planted exact-substring duplication: two docs share a >=window
+    token run; a third is clean; self-repetition also counts."""
+    from data_quality_checker_spark.operators.dedup import duplicate_spans
+
+    shared = "one two three four five six seven eight"  # 8 tokens
+    rows = [
+        (1, f"intro {shared} closing words here"),
+        (2, f"{shared} different ending entirely now"),
+        (3, "totally unrelated text with many novel words inside it"),
+        # self-repetition: the same 8-gram twice within one doc
+        (4, f"{shared} middle filler {shared}"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in duplicate_spans(
+            docs, window=8, stride=1, key_mode="text"
+        ).collect()
+    }
+    assert got[1]["dup_windows"] >= 1 and got[1]["dup_token_frac"] > 0
+    assert got[2]["dup_windows"] >= 1
+    assert got[3]["dup_windows"] == 0 and got[3]["dup_token_frac"] == 0.0
+    assert got[4]["dup_windows"] >= 2  # both copies flagged
+    # coverage never exceeds 1
+    assert all(r["dup_token_frac"] <= 1.0 for r in got.values())
+    # parity: xxhash64 keys give the same report
+    h = {
+        r["doc_id"]: tuple(r)
+        for r in duplicate_spans(docs, window=8, stride=1).collect()
+    }
+    assert h == {k: tuple(v) for k, v in got.items()}
