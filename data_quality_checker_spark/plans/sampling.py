@@ -88,7 +88,11 @@ def weighted_sample(
     """Importance sampling: keep row i with probability proportional
     to ``weight_i`` so the expected kept fraction is ``target_frac``
     (p_i = min(1, target_frac * N * w_i / sum(w)); rows with null or
-    non-positive weight are never kept). One scalar aggregate learns
+    non-positive weight are never kept). When the weight distribution
+    is heavy enough that some p_i saturate at 1, the realized kept
+    fraction falls below ``target_frac`` — standard importance-
+    sampling truncation; rescale weights upstream if the exact budget
+    matters. One scalar aggregate learns
     (N, sum w) — broadcast back as literals — then the same
     deterministic hash predicate. DSIR-style quality reweighting:
     weight by a quality score and high-quality documents are

@@ -31,17 +31,18 @@ from data_quality_checker_spark.session import get_spark
 
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_EXT_DOCS", "800000"))
     spark = get_spark(
         "dqc-ext-sustained",
         master=f"local[{cpus}]",
         shuffle_partitions=256,
     )
     spark.sparkContext.setLogLevel("ERROR")
-    path = "/tmp/dqc_bench/pages_sf0.1_n800000"
+    path = f"/tmp/dqc_bench/pages_ext_n{n_docs}"
     if not os.path.exists(f"{path}/_SUCCESS"):
         from data_quality_checker_spark.plans import synth
 
-        synth.pages_df_distributed(spark, 800_000, seed=42).repartition(
+        synth.pages_df_distributed(spark, n_docs, seed=42).repartition(
             64
         ).write.mode("overwrite").parquet(path)
     pages = spark.read.parquet(path).select(
