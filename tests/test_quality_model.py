@@ -1,0 +1,77 @@
+"""Learned quality classifier (plans/quality_model.py): weak-label
+training recovers the rule verdict, scoring is deterministic, and the
+model artifact round-trips through save/load."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_quality_checker_spark.plans import synth
+from data_quality_checker_spark.plans.pipeline import (
+    PipelineConfig,
+    score_pages,
+)
+from data_quality_checker_spark.plans.quality_model import (
+    score_quality,
+    train_quality_model,
+    with_quality_features,
+)
+
+
+def test_features_projection_no_shuffle(spark):
+    docs = spark.createDataFrame(
+        [(1, "a decent little document with words"), (2, None)],
+        ["id", "text"],
+    )
+    out = with_quality_features(docs)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["f_n_words"] == 6.0
+    assert rows[2]["f_n_chars"] == 0.0  # null folds to 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_weak_label_training_recovers_rules(spark, tmp_path_factory):
+    pages = synth.pages_df(spark, 600, seed=61)
+    scored = score_pages(pages, PipelineConfig()).select(
+        "url", "text", "keep"
+    )
+    train = scored.filter(F.crc32(F.col("url")) % 5 != 0)
+    test = scored.filter(F.crc32(F.col("url")) % 5 == 0)
+    model = train_quality_model(train, label_col="keep")
+    preds = score_quality(test, model).select(
+        "keep", "quality_prob"
+    ).collect()
+    # threshold at 0.5: the learned model should agree with the rule
+    # verdict on the large majority of held-out docs
+    agree = sum(
+        1 for r in preds if (r["quality_prob"] > 0.5) == bool(r["keep"])
+    )
+    assert agree / len(preds) > 0.85, agree / len(preds)
+    # scores are probabilities
+    assert all(0.0 <= r["quality_prob"] <= 1.0 for r in preds)
+
+    # determinism: retraining gives identical held-out scores
+    model2 = train_quality_model(train, label_col="keep")
+    a = [round(r["quality_prob"], 9) for r in preds]
+    b = [
+        round(r["quality_prob"], 9)
+        for r in score_quality(test, model2)
+        .select("keep", "quality_prob")
+        .collect()
+    ]
+    assert a == b
+
+    # artifact round-trip
+    d = str(tmp_path_factory.mktemp("qmodel"))
+    model.write().overwrite().save(f"{d}/m")
+    from pyspark.ml import PipelineModel
+
+    loaded = PipelineModel.load(f"{d}/m")
+    c = [
+        round(r["quality_prob"], 9)
+        for r in score_quality(test, loaded)
+        .select("quality_prob")
+        .collect()
+    ]
+    assert a == c
