@@ -285,6 +285,7 @@ def run_pipeline(
     limit_partitions: int | None = None,
     decontam_eval: DataFrame | None = None,
     url_blocklist: DataFrame | None = None,
+    quality_model_path: str | None = None,
 ) -> dict:
     """Execute (or resume) the pipeline. ``limit_partitions`` processes
     only the first k incomplete partitions — the test harness uses it
@@ -343,6 +344,19 @@ def run_pipeline(
         )
     if decontam_eval is not None:
         scored = with_decontam_verdict(scored, decontam_eval, cfg)
+    if quality_model_path is not None:
+        # learned-classifier scoring (plans/quality_model.py): load
+        # the shipped PipelineModel artifact and add quality_prob —
+        # a JVM-side transform, no Python in the scoring path
+        from pyspark.ml import PipelineModel
+
+        from data_quality_checker_spark.plans.quality_model import (
+            score_quality,
+        )
+
+        scored = score_quality(
+            scored, PipelineModel.load(quality_model_path)
+        )
     write_partitioned(scored, scored_path, "partition_id")
 
     metrics = partition_metrics(

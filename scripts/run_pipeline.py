@@ -68,6 +68,12 @@ def main() -> None:
         "md5-threshold form; implies --url-prefilter)",
     )
     p.add_argument(
+        "--quality-model",
+        help="path of a trained quality-classifier PipelineModel "
+        "(plans/quality_model.py): adds a quality_prob column to the "
+        "scored output",
+    )
+    p.add_argument(
         "--decontaminate-eval",
         help="parquet path of an eval/benchmark corpus (text column): "
         "flags kept docs sharing an exact 13-gram with it "
@@ -135,6 +141,7 @@ def main() -> None:
     result = run_pipeline(
         spark, pages, args.output, cfg, run_id=args.run_id,
         decontam_eval=decontam_eval, url_blocklist=url_blocklist,
+        quality_model_path=args.quality_model,
     )
     print(
         f"processed={len(result['processed_partitions'])} "

@@ -75,3 +75,32 @@ def test_weak_label_training_recovers_rules(spark, tmp_path_factory):
         .collect()
     ]
     assert a == c
+
+
+def test_pipeline_quality_model_scoring(spark, tmp_path_factory):
+    """run_pipeline(quality_model_path=...) loads the shipped artifact
+    and lands quality_prob in the scored output."""
+    from data_quality_checker_spark.plans.pipeline import run_pipeline
+
+    d = str(tmp_path_factory.mktemp("qm_pipe"))
+    pages = synth.pages_df(spark, 200, seed=67)
+    scored = score_pages(pages, PipelineConfig()).select(
+        "url", "text", "keep"
+    )
+    model = train_quality_model(scored, label_col="keep")
+    model.write().overwrite().save(f"{d}/model")
+
+    run_pipeline(
+        spark,
+        pages,
+        f"{d}/out",
+        PipelineConfig(num_buckets=4),
+        quality_model_path=f"{d}/model",
+    )
+    out = spark.read.parquet(f"{d}/out/scored")
+    assert "quality_prob" in out.columns
+    row = out.agg(
+        F.avg(F.when(F.col("keep"), F.col("quality_prob"))).alias("k"),
+        F.avg(F.when(~F.col("keep"), F.col("quality_prob"))).alias("d"),
+    ).collect()[0]
+    assert row["k"] > row["d"]  # classifier separates the verdicts

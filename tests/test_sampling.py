@@ -67,3 +67,35 @@ def test_weighted_sample_degenerate(spark):
         [(1, None), (2, 0.0), (3, -1.0)], ["doc_id", "w"]
     )
     assert weighted_sample(df, "w", 0.5).count() == 0
+
+
+def test_sampling_predicate_works_on_streams(spark, tmp_path_factory):
+    """The hash predicate is a stateless filter, so the same mix runs
+    unchanged on a readStream (availableNow) with batch parity."""
+    d = str(tmp_path_factory.mktemp("stream_mix"))
+    rows = [(i, f"src{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    df.write.parquet(f"{d}/in")
+    fracs = {"src0": 1.0, "src1": 0.4}
+    batch_ids = sorted(
+        r["doc_id"]
+        for r in sample_fractions(
+            spark.read.parquet(f"{d}/in"), fracs
+        ).collect()
+    )
+    stream = spark.readStream.schema("doc_id long, source string").parquet(
+        f"{d}/in"
+    )
+    q = (
+        sample_fractions(stream, fracs)
+        .writeStream.format("parquet")
+        .option("path", f"{d}/out")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{d}/out").collect()
+    )
+    assert stream_ids == batch_ids
