@@ -564,10 +564,16 @@ def dedup_lines_corpus(
     ``key_mode='text'`` keys on the raw line instead of its xxhash64
     (the engine-portable oracle form; the hash form is the scale
     default and differs only on a 64-bit collision)."""
+    import re as _re
+
     txt = F.col(text_col)
+    # escape: F.split takes a regex but reassembly emits the literal
+    # delimiter — they must agree for any delimiter ('.', '|', ...)
     lines = docs.filter(txt.isNotNull()).select(
         F.col(id_col),
-        F.posexplode(F.split(txt, newline, -1)).alias("pos", "_line"),
+        F.posexplode(
+            F.split(txt, _re.escape(newline), -1)
+        ).alias("pos", "_line"),
     )
     eligible = F.length("_line") >= min_line_chars
     key = (

@@ -137,7 +137,12 @@ def snapshot_diff(
 
     Scale shape: fingerprints are computed BEFORE the join, so the
     full-outer join shuffles (key, 32-hex) pairs — never document
-    text; one shuffle per side on the key."""
+    text; one shuffle per side on the key.
+
+    Precondition: ``key`` is unique within each snapshot (run
+    latest-capture dedup first — multiple captures per url would fan
+    the join out into conflicting status rows). Same contract as
+    dedup_lines_corpus / contamination_report."""
     o = old.select(
         F.col(key),
         F.md5(F.coalesce(F.col(fingerprint_col), F.lit(""))).alias("_fo"),

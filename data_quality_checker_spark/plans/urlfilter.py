@@ -116,7 +116,12 @@ def url_quality_flags(
         "url_long_query": F.length(query) > max_query_len,
     }
     if blocked_words:
-        alt = "|".join(blocked_words)
+        import re as _re
+
+        # escape every word: blocklists legitimately contain regex
+        # metacharacters ("c++", "a$$") that would otherwise throw
+        # PatternSyntaxException or silently over-match
+        alt = "|".join(_re.escape(w) for w in blocked_words)
         flags["url_blocked_word"] = low.rlike(f"({alt})")
     else:
         flags["url_blocked_word"] = F.lit(False)
@@ -188,16 +193,16 @@ def cap_per_host(
         # number of hosts (hundreds of millions on a crawl) — AQE
         # picks broadcast when it actually fits
         return out.join(counts, "_dom").drop("_dom")
-    # threshold form: md5 hex prefix compares as a uniform 52-bit int
-    # (same trick as stats.bootstrap_means) -> keep iff
-    # hash/2^52 < max_per_host/host_docs
-    joined = with_dom.join(counts, "_dom")
-    hashval = F.conv(
-        F.substring(F.md5(F.col(url_col)), 1, 13), 16, 10
-    ).cast("double")
-    p_keep = F.least(
-        F.lit(1.0), F.lit(float(max_per_host)) / F.col("host_docs")
+    # threshold form: the shared deterministic Bernoulli primitive
+    # (plans/sampling.hash_frac_predicate — md5 prefix vs printf
+    # threshold, mirrored in Python/DuckDB and property-tested) with
+    # per-row p = max_per_host / host_docs
+    from data_quality_checker_spark.plans.sampling import (
+        hash_frac_predicate,
     )
+
+    joined = with_dom.join(counts, "_dom")
+    p_keep = F.lit(float(max_per_host)) / F.col("host_docs")
     return joined.filter(
-        hashval / F.lit(float(2**52)) < p_keep
+        hash_frac_predicate(F.col(url_col), p_keep)
     ).drop("_dom")

@@ -103,5 +103,9 @@ def run_stream_decontam_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
-    ev.unpersist()
+    try:
+        q.awaitTermination()
+    finally:
+        # a failed micro-batch must not leak the persisted eval table
+        # into the (long-lived) session
+        ev.unpersist()
