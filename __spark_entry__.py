@@ -3033,6 +3033,12 @@ def q_minhash_neardups(spark, sf):
     from data_quality_checker_spark.functions.hashing import jaccard
 
     docs = _t(spark, sf, "documents").filter("doc_id < 200")
+    # The truth construction BELOW is intentionally spelled out rather
+    # than delegated to dedup.ngram_jaccard_pairs: it must mirror the
+    # DuckDB twin's derivation token-for-token (tokens -> word_ngrams
+    # k=3 -> set Jaccard), and this gate's job is to be independent of
+    # the operator module it is grading. Keep the three in sync:
+    # this block, SQL_MINHASH_NEARDUPS, and the operator's shingling.
     base = (
         docs.filter(F.col("text").isNotNull())
         .select(F.col("doc_id").alias("id"), X.tokens("text").alias("_tk"))

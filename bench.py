@@ -144,6 +144,8 @@ def main() -> None:
             df = fn(spark, sf_dir)
             n = df.count()
             legs[name].append(time.time() - t0)
+            for dep in getattr(df, "_cached_deps", ()):
+                dep.unpersist()  # no cross-query cache accumulation
     for name in HEADLINE:
         timings[name] = round(min(legs[name]), 3)
 

@@ -516,12 +516,15 @@ def shapiro_wilk(
     src = df.select(column).na.drop()
     total = src.count()
     frac = min(1.0, (max_n * 1.2) / max(total, 1))
-    vals = [
-        r[0]
-        for r in src.sample(fraction=frac, seed=seed)
-        .limit(max_n)
-        .collect()
-    ]
+    # NO limit() after sample: limit takes rows in partition order, so
+    # on value-sorted/range-partitioned data it would truncate the
+    # upper tail and falsely reject normality (verified on a sorted
+    # N(50,5) column: W=0.964, p=0). The Bernoulli sample alone is
+    # unbiased; the cap becomes approximate (~1.2*max_n expected).
+    vals = [r[0] for r in src.sample(fraction=frac, seed=seed).collect()]
+    if len(vals) > 2 * max_n:  # safety for adversarial frac rounding
+        step = len(vals) / (2 * max_n)
+        vals = [vals[int(i * step)] for i in range(2 * max_n)]
     w, p = _swilk(vals)
     return {"w": w, "p_value": p, "n": len(vals)}
 
@@ -885,6 +888,31 @@ def correlation_matrix(
     yields NULL corr (matching pandas' NaN)."""
     cols = _numeric_cols(df, cols)
     pairs = list(combinations(cols, 2))
+    if not pairs:
+        # 0/1 numeric columns: agg(*[]) would raise; the matrix is
+        # still well-defined (just the unit diagonal, or empty)
+        one = df.sparkSession.range(1)
+        base = one.select(
+            F.lit("").alias("col_x"),
+            F.lit("").alias("col_y"),
+            F.lit(1.0).alias("corr"),
+        )
+        if not cols:
+            return base.limit(0)
+        return one.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("col_x"),
+                            F.lit(c).alias("col_y"),
+                            F.lit(1.0).alias("corr"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("s")
+        ).select("s.*")
     agg = df.agg(
         *[F.corr(a, b).alias(f"c_{i}") for i, (a, b) in enumerate(pairs)]
     )
@@ -934,6 +962,24 @@ def target_feature_boxstats(
     at crawl scale with huge groups pass ``exact=False`` to use
     percentile_approx (Greenwald-Khanna sketch, constant memory)."""
     feats = [c for c in feature_cols if c in df.columns]
+    if not feats:
+        # every requested column missing: skip-and-continue like the
+        # reference — an EMPTY result, not an agg(*[]) AssertionError
+        return (
+            df.sparkSession.range(1)
+            .select(
+                F.lit("").alias("target"),
+                F.lit("").alias("feature"),
+                F.lit(0).cast("bigint").alias("n"),
+                F.lit(0.0).alias("min_v"),
+                F.lit(0.0).alias("q1"),
+                F.lit(0.0).alias("median"),
+                F.lit(0.0).alias("q3"),
+                F.lit(0.0).alias("max_v"),
+                F.lit(0.0).alias("mean"),
+            )
+            .limit(0)
+        )
 
     def pct(c, p):
         if exact:

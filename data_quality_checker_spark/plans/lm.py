@@ -175,20 +175,28 @@ def write_trigram_lm(
     if min_count > 1:
         tri = tri.filter(F.col("n") >= min_count)
         bi = bi.filter(F.col("n") >= min_count)
-    n_rows = tri.count() + bi.count()
-    if n_rows > max_rows:
-        raise ValueError(
-            f"write_trigram_lm: {n_rows} count rows after "
-            f"min_count={min_count} pruning exceed max_rows={max_rows} "
-            f"— raise min_count (KenLM-style pruning) or max_rows if "
-            f"the driver can hold them"
-        )
-    payload = {
-        "format": FORMAT,
-        "vocab_size": vocab_size,
-        "tri": {r["gram"]: r["n"] for r in tri.collect()},
-        "bi": {r["gram"]: r["n"] for r in bi.collect()},
-    }
+    # persist around guard + collect: count() and collect() would
+    # otherwise each re-run the full upstream n-gram aggregation —
+    # the most expensive jobs in this path — twice
+    tri, bi = tri.persist(), bi.persist()
+    try:
+        n_rows = tri.count() + bi.count()
+        if n_rows > max_rows:
+            raise ValueError(
+                f"write_trigram_lm: {n_rows} count rows after "
+                f"min_count={min_count} pruning exceed "
+                f"max_rows={max_rows} — raise min_count (KenLM-style "
+                f"pruning) or max_rows if the driver can hold them"
+            )
+        payload = {
+            "format": FORMAT,
+            "vocab_size": vocab_size,
+            "tri": {r["gram"]: r["n"] for r in tri.collect()},
+            "bi": {r["gram"]: r["n"] for r in bi.collect()},
+        }
+    finally:
+        tri.unpersist()
+        bi.unpersist()
     with gzip.open(path, "wt", encoding="utf-8") as fh:
         json.dump(payload, fh)
     return path

@@ -282,3 +282,18 @@ def test_prefix_sums_persist_handle_and_release(spark):
     g = df.groupBy("v").agg(F.count("*").alias("_c"))
     res2 = DR.prefix_sums(g, "v", ["_c"], persist=False)
     assert getattr(res2, "_cached_deps", ()) == ()
+
+
+def test_degenerate_column_sets_no_crash(spark):
+    """Review regressions: correlation_matrix with 0/1 numeric columns
+    returns the well-defined diagonal/empty result, and
+    target_feature_boxstats skips cleanly when every requested feature
+    is missing (both used to raise agg(*[]) AssertionError)."""
+    from data_quality_checker_spark.operators import stats as S
+
+    one = spark.createDataFrame([(1.0, "x")], ["v", "s"])
+    rows = S.correlation_matrix(one).collect()
+    assert [tuple(r) for r in rows] == [("v", "v", 1.0)]
+    assert S.correlation_matrix(one.select("s")).count() == 0
+    assert S.target_feature_boxstats(one, "s", ["nope"]).count() == 0
+    assert S.target_feature_boxstats(one, "s", []).count() == 0

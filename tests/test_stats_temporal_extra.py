@@ -124,10 +124,21 @@ def test_shapiro_wilk_royston(spark):
     re_ = S.shapiro_wilk(expo, "v")
     assert rn["w"] > 0.99 and rn["p_value"] > 0.05
     assert re_["w"] < 0.95 and re_["p_value"] < 1e-6
-    assert rn["n"] <= 5000 and re_["n"] <= 5000
-    # bounded: max_n caps the driver collect
+    assert rn["n"] <= 2 * 5000 and re_["n"] <= 2 * 5000
+    # bounded: the cap is approximate (~1.2*max_n expected from the
+    # Bernoulli sample, 2*max_n hard bound) — an exact limit() after
+    # sample() took rows in partition order and truncated the value
+    # range on sorted data (found by review, regression below)
     capped = S.shapiro_wilk(norm, "v", max_n=100)
-    assert capped["n"] <= 100
+    assert capped["n"] <= 200
+
+    # regression: a SORTED normal column must still read as normal
+    sorted_norm = spark.createDataFrame(
+        [(float(v),) for v in sorted(rng.normal(50, 5, 3000))],
+        "v double",
+    ).coalesce(1)
+    rs = S.shapiro_wilk(sorted_norm, "v", max_n=500)
+    assert rs["p_value"] > 0.05, rs
 
 
 def test_holiday_weekend_effects(spark):

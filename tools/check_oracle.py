@@ -65,6 +65,11 @@ def main():
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            # release any operator-attached cache handles (drift's
+            # prefix_sums, minhash intermediates): a 98-query loop in
+            # one session must not accumulate executor storage
+            for dep in getattr(sdf, "_cached_deps", ()):
+                dep.unpersist()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {str(e)[:200]}")
             n_fail += 1

@@ -98,8 +98,12 @@ def main() -> None:
     trailer = ""
     try:
         prev = open(f"{REPO}/BENCH.md").read()
+        # find(...) returns -1 when the json block is absent, and
+        # find(mark, -1) would search only the last byte — silently
+        # dropping every hand-written trailer section
+        start = prev.find("```json")
         for mark in ("\n## Sustained", "\n## "):
-            i = prev.find(mark, prev.find("```json"))
+            i = prev.find(mark, start if start != -1 else 0)
             if i != -1:
                 trailer = prev[i:]
                 break
