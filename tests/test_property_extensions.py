@@ -99,3 +99,161 @@ def test_hash_frac_matches_python_mirror(spark, p):
         or hashlib.md5(str(i).encode()).hexdigest()[:13] < thresh
     }
     assert kept == expect
+
+
+def _line_dedup_python(
+    docs: list[tuple[int, str | None]],
+    min_count: int = 2,
+    min_line_chars: int = 1,
+) -> dict[int, tuple[str | None, int, int]]:
+    """Pure-Python mirror of dedup_lines_corpus: global first-(id,pos)
+    occurrence of every duplicated eligible line survives."""
+    from collections import Counter
+
+    lines: list[tuple[int, int, str]] = []
+    for i, t in docs:
+        if t is None:
+            continue
+        for pos, ln in enumerate(t.split("\n")):
+            lines.append((i, pos, ln))
+    counts = Counter(
+        ln for _, _, ln in lines if len(ln) >= min_line_chars
+    )
+    first: dict[str, tuple[int, int]] = {}
+    for i, pos, ln in sorted(lines):
+        if len(ln) >= min_line_chars and counts[ln] >= min_count:
+            first.setdefault(ln, (i, pos))
+    out: dict[int, tuple[str | None, int, int]] = {}
+    for i, t in docs:
+        if t is None:
+            out[i] = (None, 0, 0)
+            continue
+        kept, removed, total = [], 0, 0
+        for pos, ln in enumerate(t.split("\n")):
+            total += 1
+            dup = (
+                len(ln) >= min_line_chars
+                and counts[ln] >= min_count
+                and first[ln] != (i, pos)
+            )
+            if dup:
+                removed += 1
+            else:
+                kept.append(ln)
+        out[i] = ("\n".join(kept), total, removed)
+    return out
+
+
+_line_alphabet = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "x", "", "boiler plate line"]
+)
+_line_docs = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(_line_alphabet, min_size=0, max_size=6).map(
+            "\n".join
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_line_docs)
+def test_line_dedup_matches_python_mirror(spark, texts):
+    from data_quality_checker_spark.operators.dedup import (
+        dedup_lines_corpus,
+    )
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["text_deduped"],
+            r["n_lines"],
+            r["n_removed"],
+        )
+        for r in dedup_lines_corpus(df, key_mode="text").collect()
+    }
+    assert got == _line_dedup_python(docs)
+
+
+def _dup_spans_python(
+    docs: list[tuple[int, str | None]], window: int, stride: int
+) -> dict[int, tuple[int, int, int, float]]:
+    """Pure-Python mirror of duplicate_spans (min_count=2)."""
+    from collections import Counter
+
+    toks = {
+        i: t.lower().split() for i, t in docs if t is not None
+    }
+    spans: list[tuple[int, int, str]] = []
+    for i, tk in toks.items():
+        if len(tk) < window:
+            continue
+        for pos in range(0, len(tk) - window + 1, stride):
+            spans.append((i, pos, " ".join(tk[pos : pos + window])))
+    counts = Counter(s for _, _, s in spans)
+    out: dict[int, tuple[int, int, int, float]] = {}
+    for i, tk in toks.items():
+        if len(tk) < window:
+            continue
+        mine = [(p, s) for j, p, s in spans if j == i]
+        dup_pos = sorted(p for p, s in mine if counts[s] >= 2)
+        covered, end = 0, -1
+        for p in dup_pos:
+            if p >= end:
+                covered += window
+            else:
+                covered += p + window - end
+            end = p + window
+        out[i] = (
+            len(tk),
+            len(mine),
+            len(dup_pos),
+            round(covered / len(tk), 6),
+        )
+    return out
+
+
+_span_words = st.sampled_from(["aa", "bb", "cc", "dd"])
+_span_docs = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(_span_words, min_size=0, max_size=14).map(" ".join),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_span_docs)
+def test_duplicate_spans_matches_python_mirror(spark, texts):
+    from data_quality_checker_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_windows"],
+            r["dup_windows"],
+            r["dup_token_frac"],
+        )
+        for r in duplicate_spans(
+            df, window=3, stride=2, key_mode="text"
+        ).collect()
+    }
+    assert got == _dup_spans_python(docs, window=3, stride=2)
