@@ -1522,6 +1522,43 @@ from o full outer join n using (doc_id)
 """
 
 
+def q_chunk_documents(spark, sf):
+    """Training-window chunking (operators/chunking.py — no reference
+    ancestor): 16-token chunks with 4 tokens of overlap, final
+    fully-contained chunks suppressed. One scan + one explode, no
+    shuffle; md5 of each chunk pins byte-identical slicing against
+    the DuckDB twin."""
+    from data_quality_checker_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = _t(spark, sf, "documents")
+    out = chunk_documents(
+        docs, max_tokens=16, overlap=4, lowercase=True
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+SQL_CHUNK_DOCUMENTS = f"""
+with d as (select doc_id, {duck.toks('text')} tk
+           from documents where text is not null),
+b as (select doc_id, tk, len(tk) n from d where len(tk) >= 1),
+c as (select doc_id, (u.i // 12) as chunk_id,
+             tk[u.i+1 : u.i+16] ck
+      from b, unnest(generate_series(0,
+             greatest(0, ((n - 5) // 12) * 12), 12)) u(i))
+select doc_id, chunk_id::bigint as chunk_id,
+       md5(array_to_string(ck, ' ')) as chunk_md5,
+       len(ck)::bigint as n_tokens
+from c
+"""
+
+
 def q_corpus_mix_report(spark, sf):
     """Data-mix accounting (training-data extension): per-source doc
     and token counts with corpus proportions — the table a data-mixing
@@ -3321,6 +3358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix_report": q_corpus_mix_report,
         "snapshot_diff": q_snapshot_diff,
         "duplicate_spans": q_duplicate_spans,
+        "chunk_documents": q_chunk_documents,
         "top_bigrams": q_top_bigrams,
         "word_frequencies": q_word_frequencies,
         "word_length_distribution": q_word_length_distribution,
@@ -3427,6 +3465,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mix_report": SQL_CORPUS_MIX,
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "duplicate_spans": SQL_DUPLICATE_SPANS,
+        "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "top_bigrams": SQL_TOP_BIGRAMS,
         "word_frequencies": SQL_WORD_FREQ,
         "word_length_distribution": SQL_WORD_LEN,

@@ -321,3 +321,51 @@ def test_duplicate_spans(spark):
         for r in duplicate_spans(docs, window=8, stride=1).collect()
     }
     assert h == {k: tuple(v) for k, v in got.items()}
+
+
+def test_chunk_documents(spark):
+    from data_quality_checker_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    text10 = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, text10), (2, "a b"), (3, None), (4, "")],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        tuple(r)
+        for r in chunk_documents(
+            docs, max_tokens=4, overlap=1
+        ).collect()
+    )
+    assert got == [
+        (1, 0, "t0 t1 t2 t3", 4),
+        (1, 1, "t3 t4 t5 t6", 4),
+        (1, 2, "t6 t7 t8 t9", 4),
+        (2, 0, "a b", 2),
+    ]
+    # full coverage: every token appears in some chunk
+    toks = set()
+    for _, _, ct, _ in got:
+        toks.update(ct.split())
+    assert {f"t{i}" for i in range(10)} <= toks
+    # no-overlap exact tiling
+    flat = chunk_documents(docs, max_tokens=5, overlap=0).collect()
+    one = sorted(
+        (r["chunk_id"], r["chunk_text"])
+        for r in flat
+        if r["doc_id"] == 1
+    )
+    assert one == [(0, "t0 t1 t2 t3 t4"), (1, "t5 t6 t7 t8 t9")]
+    # trailing chunk fully contained in the previous one is suppressed
+    nine = spark.createDataFrame(
+        [(1, " ".join(f"x{i}" for i in range(9)))], ["doc_id", "text"]
+    )
+    ch = chunk_documents(nine, max_tokens=8, overlap=7).collect()
+    assert max(r["chunk_id"] for r in ch) == 1
+    assert ch[-1]["n_tokens"] <= 8
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=4, overlap=4)
