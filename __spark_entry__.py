@@ -1522,6 +1522,46 @@ from o full outer join n using (doc_id)
 """
 
 
+def q_host_keep_rates(spark, sf):
+    """Two-stage SALTED per-host keep-rate aggregation
+    (pipeline.host_metrics_salted — the north rule's Zipf-skew
+    handling) gated against a plain one-stage groupBy in DuckDB: if
+    the salting mis-merged partials, rates would diverge. Urls and
+    keep verdicts planted deterministically from doc_id (13 hosts,
+    keep = doc_id % 3 != 0)."""
+    from data_quality_checker_spark.plans.pipeline import (
+        host_metrics_salted,
+    )
+
+    docs = _t(spark, sf, "documents")
+    df = docs.select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit(".site.org/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (F.col("doc_id") % 3 != 0).alias("keep"),
+    )
+    out = host_metrics_salted(df, salt_buckets=4)
+    return out.select(
+        "host",
+        F.col("rows_scanned").cast("bigint").alias("rows_scanned"),
+        F.col("rows_kept").cast("bigint").alias("rows_kept"),
+        _r6(F.col("keep_rate")).alias("keep_rate"),
+    )
+
+
+SQL_HOST_KEEP_RATES = """
+select 'h' || (doc_id % 13)::varchar || '.site.org' as host,
+       count(*)::bigint as rows_scanned,
+       sum((doc_id % 3 <> 0)::int)::bigint as rows_kept,
+       round(sum((doc_id % 3 <> 0)::int) / count(*)::double, 6)
+         as keep_rate
+from documents group by 1
+"""
+
+
 def q_chunk_documents(spark, sf):
     """Training-window chunking (operators/chunking.py — no reference
     ancestor): 16-token chunks with 4 tokens of overlap, final
@@ -3359,6 +3399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "duplicate_spans": q_duplicate_spans,
         "chunk_documents": q_chunk_documents,
+        "host_keep_rates": q_host_keep_rates,
         "top_bigrams": q_top_bigrams,
         "word_frequencies": q_word_frequencies,
         "word_length_distribution": q_word_length_distribution,
@@ -3466,6 +3507,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "duplicate_spans": SQL_DUPLICATE_SPANS,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
+        "host_keep_rates": SQL_HOST_KEEP_RATES,
         "top_bigrams": SQL_TOP_BIGRAMS,
         "word_frequencies": SQL_WORD_FREQ,
         "word_length_distribution": SQL_WORD_LEN,
