@@ -55,13 +55,13 @@ def _symbol_ratio(text: str) -> float | None:
 
 
 def detect_lang(text: str) -> str:
-    toks = _tokens(text)
-    best_lang, best = "und", 0
-    for lang in LANGS:
-        s = sum(1 for t in toks if t in set(STOPWORDS[lang]))
-        if s > best:
-            best_lang, best = lang, s
-    return best_lang
+    # shared scorer (plans/udfs.py) — two copies of a tie-break-
+    # sensitive loop would drift, and the shared form hoists the
+    # per-language stopword sets out of the token loop. Tokenization
+    # stays THIS module's Java-\s class (Python's \s is unicode-wider).
+    from data_quality_checker_spark.plans.udfs import detect_lang_python
+
+    return detect_lang_python(text, toks=_tokens(text))
 
 
 def fired_rules(text: str | None, cfg: RuleConfig) -> list[str]:

@@ -73,9 +73,19 @@ def score_pages(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
     out = df.withColumn("partition_id", bucket_id("url", cfg.num_buckets))
     if cfg.dedup_latest_capture:
         # latest capture per url (SURVEY.md §2.5 note): window over the
-        # url hash-partitioning we already shuffle by.
+        # url hash-partitioning we already shuffle by. Tie-break on a
+        # content hash, NOT partition_id (which is a function of url,
+        # hence constant in the window): same-timestamp re-fetches
+        # would otherwise pick a shuffle-order-dependent row and break
+        # the byte-identical replay contract. The hash reads text+lang
+        # ONLY — pulling html into it would force the scan to read the
+        # binary payload (the never-read-html pruning guarantee);
+        # captures identical in (url, ts, text, lang) are
+        # interchangeable for every downstream contract, which is
+        # per-url BYTE-IDENTICAL TEXT.
         w = Window.partitionBy("url").orderBy(
-            F.col("warc_ts").desc(), F.col("partition_id")
+            F.col("warc_ts").desc(),
+            F.xxhash64("text", "lang"),
         )
         out = (
             out.withColumn("_rn", F.row_number().over(w))
@@ -180,6 +190,10 @@ def with_url_prefilter(
     flags = url_quality_flags("url", blocked_words=blocked_words)
     bad = None
     for c in flags.values():
+        # null urls make every flag NULL and filter(~NULL) would drop
+        # the row silently — fold to False so malformed rows flow on
+        # to scoring where they are counted, not vanished
+        c = F.coalesce(c, F.lit(False))
         bad = c if bad is None else (bad | c)
     out = out.filter(~bad)
     if max_docs_per_host is not None:
@@ -272,8 +286,19 @@ def _completed_partitions(spark: SparkSession, lineage_path: str) -> set[int]:
             .collect()
         )
         return {r["partition_id"] for r in rows}
-    except Exception:
-        return set()  # no lineage yet -> nothing completed
+    except Exception as ex:
+        # ONLY path-not-found means "first run"; any other read error
+        # (permissions, corrupted footer) must NOT silently report
+        # zero completed partitions — that would reprocess the whole
+        # corpus and duplicate the append-mode lineage history
+        msg = str(ex)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "FileNotFound" in msg
+        ):
+            return set()
+        raise
 
 
 def run_pipeline(
@@ -365,7 +390,11 @@ def run_pipeline(
         ),
         run_id,
     )
-    metrics.write.mode("append").parquet(metrics_path)
+    # dynamic-overwrite keyed by partition_id, NOT append: a crash
+    # between this write and the lineage append would otherwise
+    # double-count those partitions' metrics on resume (scored is
+    # already idempotent the same way)
+    write_partitioned(metrics, metrics_path, "partition_id")
 
     lineage = spark.createDataFrame(
         [(int(p), "done", run_id) for p in todo],
@@ -388,7 +417,16 @@ def host_metrics_salted(
     (host, rows_scanned, rows_kept, keep_rate)."""
     from data_quality_checker_spark.sources.io import salted_key
 
-    host = F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)", 1)
+    # lowercase first (scheme/host case must not split a host's rows),
+    # never null (a null url would make concat_ws skip the host and
+    # leave bare salt digits as phantom hosts), and label non-matching
+    # urls explicitly instead of colliding on ''
+    raw = F.regexp_extract(
+        F.lower(F.coalesce(F.col("url"), F.lit(""))),
+        r"^[a-z][a-z0-9+.-]*://([^/?#]+)",
+        1,
+    )
+    host = F.when(raw == "", F.lit("(invalid)")).otherwise(raw)
     stage1 = (
         scored.withColumn(
             "_hs", salted_key(host, F.col("url"), salt_buckets)

@@ -52,8 +52,18 @@ def word_alt_pattern(words: tuple[str, ...]) -> str:
     """Whitespace-bounded word-alternation regex whose match count over
     lowered text equals the token-membership count of the split-based
     tokenizer (verified row-for-row on 800k docs). Lookahead keeps the
-    trailing separator unconsumed so adjacent stopwords both count."""
-    return r"(?:^|\s)(?:" + "|".join(words) + r")(?=\s|$)"
+    trailing separator unconsumed so adjacent stopwords both count.
+    Words are regex-escaped: the oracle compares TOKEN MEMBERSHIP, so
+    a curated list entry like 'a$$' must match literally here too
+    (unescaped, '$' would anchor and never match — breaking the
+    pinned F1 parity — and '(' would throw at runtime)."""
+    import re as _re
+
+    return (
+        r"(?:^|\s)(?:"
+        + "|".join(_re.escape(w) for w in words)
+        + r")(?=\s|$)"
+    )
 
 
 def stat_exprs_counts(
@@ -77,7 +87,10 @@ def stat_exprs_counts(
     tok = X.tokens(t)  # single use (array_distinct) — no re-eval
     out: dict[str, Column] = {
         "_wc": F.regexp_count(t, F.lit(r"\S+")),
-        "_nonws": F.length(F.regexp_replace(t, r"\s", "")),
+        # measured over the LOWERCASED text: the oracle/duck/rule_exprs
+        # mean-word-length all sum lowercased token lengths, and
+        # lower() can change length (e.g. U+0130 'İ' -> 'i̇', 2 chars)
+        "_nonws": F.length(F.regexp_replace(lower_col, r"\s", "")),
         "_stopc": F.regexp_count(
             lower_col, F.lit(word_alt_pattern(cfg.stopwords))
         ),

@@ -33,12 +33,17 @@ def _tokens(text: str) -> list[str]:
     return [t for t in _TOKEN_RE.split(text.lower()) if t]
 
 
-def detect_lang_python(text: str | None) -> str:
+def detect_lang_python(
+    text: str | None, toks: list[str] | None = None
+) -> str:
     """The deterministic fallback scorer — shared with plans/oracle.py
-    so Spark/oracle agree by construction."""
+    so Spark/oracle agree by construction. ``toks`` lets a caller
+    supply its own tokenization (oracle.py pins the Java-\\s class,
+    which is narrower than Python's unicode \\s)."""
     if text is None:
         return "und"
-    toks = _tokens(text)
+    if toks is None:
+        toks = _tokens(text)
     sets = {lang: set(STOPWORDS[lang]) for lang in LANGS}
     best_lang, best = "und", 0
     for lang in LANGS:  # fixed order = deterministic tie-break

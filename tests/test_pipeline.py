@@ -404,3 +404,43 @@ def test_all_optional_stages_compose(spark, tmp_path_factory):
         for r in spark.read.parquet(f"{d}/out/scored").collect()
     )
     assert before == after
+
+
+def test_same_timestamp_capture_dedup_is_deterministic(spark):
+    """Two captures of one url with EQUAL warc_ts must resolve to the
+    same kept text on every run and partitioning (review finding: the
+    old tie-break was constant within the window)."""
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("https://x.example/p", ts, bytearray(b"<a>"), "alpha text", "en"),
+        ("https://x.example/p", ts, bytearray(b"<b>"), "beta text", "en"),
+    ]
+    base = synth.pages_df(spark, 40, seed=3)
+    extra = spark.createDataFrame(rows, base.schema)
+    kept = set()
+    for nparts in (1, 7):
+        pages = base.unionByName(extra).repartition(nparts)
+        out = score_pages(pages, PipelineConfig())
+        kept.add(
+            out.filter(F.col("url") == "https://x.example/p")
+            .select("text")
+            .collect()[0]["text"]
+        )
+    assert len(kept) == 1  # same winner regardless of partitioning
+
+
+def test_url_prefilter_keeps_null_urls(spark):
+    """Null-url rows must flow through the prefilter to be counted by
+    scoring, not vanish via filter(~NULL)."""
+    from data_quality_checker_spark.plans.pipeline import (
+        with_url_prefilter,
+    )
+
+    base = synth.pages_df(spark, 30, seed=7)
+    with_null = base.unionByName(
+        base.limit(1).withColumn("url", F.lit(None).cast("string"))
+    )
+    out = with_url_prefilter(with_null)
+    assert out.filter(F.col("url").isNull()).count() == 1
