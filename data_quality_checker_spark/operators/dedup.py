@@ -21,13 +21,14 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from data_quality_checker_spark.functions.hashing import (
-    band_keys,
-    jaccard,
-    minhash_signature,
-    shingles,
-    simhash64,
-)
+from data_quality_checker_spark.functions.hashing import jaccard, shingles
+
+# NOTE: functions/hashing.py also exposes band_keys / minhash_signature
+# / simhash64 as small-scale pure-expression forms; this
+# module deliberately re-expresses them as explode+aggregate plans (see
+# the CollapseProject notes below) and must keep the band-key FORMAT
+# ('b{i}:' + md5(concat_ws(','))) byte-identical with hashing.band_keys
+# for the portable oracle family.
 
 __all__ = [
     "exact_duplicates",
@@ -138,6 +139,13 @@ def near_duplicates_minhash(
     the returned DataFrame once consumed."""
     from data_quality_checker_spark.functions.text import tokens, word_ngrams
 
+    if num_hashes % num_bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be divisible by "
+            f"num_bands={num_bands}: truncation would silently drop "
+            f"the trailing hash components from banding and break the "
+            f"documented recall math"
+        )
     rows_per_band = num_hashes // num_bands
     spark = df.sparkSession
     cached: list[DataFrame] = []
@@ -392,6 +400,18 @@ def sign_lsh_key(
     """Random-hyperplane LSH bucket key (string of sign bits). Planes
     are literal arrays baked into the plan — deterministic, no state."""
     planes = _hyperplanes(dim, num_planes, seed)
+    # dim MUST match the vector length: zip_with pads the shorter side
+    # with NULLs, the dot product goes NULL, every sign bit falls to
+    # '0', and ALL vectors collapse into one bucket — silently
+    # degenerating the LSH join to the n^2 cross product it exists to
+    # prevent. assert_true turns that into a loud per-row failure.
+    guard = F.assert_true(
+        F.size(vec) == F.lit(dim),
+        F.concat(
+            F.lit(f"sign_lsh_key: expected {dim}-dim vector, got "),
+            F.size(vec).cast("string"),
+        ),
+    )
     bits = []
     for p in planes:
         plane = F.array(*[F.lit(float(v)) for v in p])
@@ -401,7 +421,8 @@ def sign_lsh_key(
             lambda acc, x: acc + x,
         )
         bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    # guard is NULL when the assertion passes; coalesce keeps the key
+    return F.coalesce(guard.cast("string"), F.concat(*bits))
 
 
 def embedding_near_duplicates(
@@ -459,7 +480,12 @@ def duplicate_clusters(
     )
     edges = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    ).distinct().persist()
+    # persisted: every propagation hop joins edges again; without the
+    # persist each iteration re-executes the ENTIRE upstream pairs DAG
+    # (the MinHash candidate+verify pipeline when called from
+    # with_near_dup_verdict) — up to max_iter recomputations of the
+    # most expensive stage
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

@@ -150,9 +150,14 @@ def _kolmogorov_p(d: Column, ne: Column, terms: int = 100) -> Column:
     # below lam ~ 0.02 the 100-term alternating tail hasn't decayed and
     # the partial sum oscillates (at lam == 0 it is exactly 0, not the
     # analytic limit 1/2) — there Q(lam) == 1 to >10 decimal places.
-    return F.when(lam < 0.02, F.lit(1.0)).otherwise(
-        F.least(F.lit(1.0), F.greatest(F.lit(0.0), 2.0 * series))
-    )
+    # NULL d or ne (degenerate inputs) must yield a NULL p-value:
+    # greatest(NULL, 0.0) is 0.0 in Spark, which would otherwise
+    # launder "undefined" into "p = 0, certain drift"
+    return F.when(d.isNull() | ne.isNull(), F.lit(None).cast("double")) \
+        .when(lam < 0.02, F.lit(1.0)) \
+        .otherwise(
+            F.least(F.lit(1.0), F.greatest(F.lit(0.0), 2.0 * series))
+        )
 
 
 def ks_two_sample(
@@ -172,7 +177,7 @@ def ks_two_sample(
             F.sum(F.when(in_current, 1).otherwise(0)).alias("_cur"),
             F.sum(F.when(in_current, 0).otherwise(1)).alias("_base"),
         )
-    )
+    ).persist()  # consumed 3x: quantile probe, bucketing, totals
     cum = prefix_sums(g, value_col, ["_cur", "_base"], partitions)
     totals = g.agg(
         F.sum("_cur").cast("double").alias("_n_cur"),
@@ -181,21 +186,29 @@ def ks_two_sample(
     agg = cum.crossJoin(F.broadcast(totals)).agg(
         F.max(
             F.abs(
-                F.col("cum__cur") / F.col("_n_cur")
-                - F.col("cum__base") / F.col("_n_base")
+                # nullif: an EMPTY side must yield d = NULL (with
+                # the zero count visible), not an ANSI DIVIDE_BY_ZERO
+                F.col("cum__cur") / F.nullif(F.col("_n_cur"), F.lit(0.0))
+                - F.col("cum__base")
+                / F.nullif(F.col("_n_base"), F.lit(0.0))
             )
         ).alias("d"),
         F.first("_n_cur").alias("nc"),
         F.first("_n_base").alias("nb"),
     )
-    ne = F.col("nc") * F.col("nb") / (F.col("nc") + F.col("nb"))
+    ne = (
+        # nullif BOTH: an empty side makes ne = 0 and the p-value's
+        # 0.11/sqrt(ne) term would still divide by zero
+        F.nullif(F.col("nc") * F.col("nb"), F.lit(0.0))
+        / F.nullif(F.col("nc") + F.col("nb"), F.lit(0.0))
+    )
     out = agg.select(
         F.col("d"),
         F.col("nb").cast("bigint").alias("n_baseline"),
         F.col("nc").cast("bigint").alias("n_current"),
         _kolmogorov_p(F.col("d"), ne).alias("p_value"),
     )
-    out._cached_deps = getattr(cum, "_cached_deps", ())
+    out._cached_deps = (g,) + tuple(getattr(cum, "_cached_deps", ()))
     return out
 
 
@@ -211,7 +224,7 @@ def ks_uniformity(
         df.filter(F.col(value_col).isNotNull())
         .groupBy(value_col)
         .agg(F.count(F.lit(1)).alias("_cnt"))
-    )
+    ).persist()  # consumed 3x: quantile probe, bucketing, totals
     cum = prefix_sums(g, value_col, ["_cnt"], partitions)
     totals = g.agg(
         F.sum("_cnt").cast("double").alias("_n"),
@@ -219,7 +232,11 @@ def ks_uniformity(
         F.max(value_col).alias("_hi"),
     )
     v = F.col(value_col)
-    fv = (v - F.col("_lo")) / (F.col("_hi") - F.col("_lo"))
+    # nullif: a CONSTANT column (min == max) yields d = NULL — KS
+    # against a zero-width uniform is undefined — not a crash
+    fv = (v - F.col("_lo")) / F.nullif(
+        F.col("_hi") - F.col("_lo"), F.lit(0.0)
+    )
     ecdf_hi = F.col("cum__cnt") / F.col("_n")
     ecdf_lo = (F.col("cum__cnt") - F.col("_cnt")) / F.col("_n")
     agg = (
@@ -234,7 +251,7 @@ def ks_uniformity(
         F.col("n").cast("bigint").alias("n"),
         _kolmogorov_p(F.col("d"), F.col("n")).alias("p_value"),
     )
-    out._cached_deps = getattr(cum, "_cached_deps", ())
+    out._cached_deps = (g,) + tuple(getattr(cum, "_cached_deps", ()))
     return out
 
 
@@ -251,7 +268,9 @@ def chi2_uniformity(df: DataFrame, col: str) -> DataFrame:
     )
     return g.agg(
         (
-            F.sum(F.col("_cnt") * F.col("_cnt"))
+            # square in DOUBLE: a >3e9-row category would overflow
+            # long multiplication under ANSI and abort the job
+            F.sum(F.col("_cnt").cast("double") * F.col("_cnt"))
             / (F.sum("_cnt") / F.count(F.lit(1)))
             - F.sum("_cnt")
         ).alias("chi2"),

@@ -62,7 +62,8 @@ def topk_bruteforce(
         F.col("cosine").desc(), F.col("id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.filter(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 
@@ -123,7 +124,8 @@ def topk_lsh(
         F.col("cosine").desc(), F.col("id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.filter(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 

@@ -53,7 +53,11 @@ def train_trigram_counts(
     token count (the add-one denominator)."""
     base = df.filter(F.col(text_col).isNotNull()).select(
         tokens(text_col).alias("_tk")
-    )
+    ).persist()
+    # persisted: three consumers (tri explode, bi explode, vocab
+    # countDistinct) would otherwise each re-tokenize the full
+    # training slice; the count tables carry the handle as
+    # _cached_deps for release_cache once collected/written
     tri = (
         base.select(F.explode(word_ngrams(F.col("_tk"), 3)).alias("gram"))
         .groupBy("gram")
@@ -67,6 +71,8 @@ def train_trigram_counts(
     vocab = base.select(F.explode("_tk").alias("t")).agg(
         F.countDistinct("t")
     ).collect()[0][0]
+    tri._cached_deps = (base,)
+    bi._cached_deps = (base,)
     return tri, bi, int(vocab or 0)
 
 

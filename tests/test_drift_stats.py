@@ -274,10 +274,13 @@ def test_prefix_sums_persist_handle_and_release(spark):
     res = DR.ks_two_sample(df, "v", F.col("cur"))
     row = res.collect()[0]
     assert row["n_baseline"] == 1000 and row["n_current"] == 1000
+    # two handles now: the grouped source g (scanned by the quantile
+    # probe, the bucketing, AND the totals agg) plus prefix_sums' own
+    # bucketed intermediate
     deps = getattr(res, "_cached_deps", ())
-    assert len(deps) == 1 and deps[0].is_cached
+    assert len(deps) == 2 and all(d.is_cached for d in deps)
     DR.release_cache(res)
-    assert not deps[0].is_cached
+    assert all(not d.is_cached for d in deps)
     # persist=False -> no handle
     g = df.groupBy("v").agg(F.count("*").alias("_c"))
     res2 = DR.prefix_sums(g, "v", ["_c"], persist=False)
@@ -297,3 +300,47 @@ def test_degenerate_column_sets_no_crash(spark):
     assert S.correlation_matrix(one.select("s")).count() == 0
     assert S.target_feature_boxstats(one, "s", ["nope"]).count() == 0
     assert S.target_feature_boxstats(one, "s", []).count() == 0
+
+
+def test_ks_degenerate_inputs_no_crash(spark):
+    """Review regressions: an empty sample side or a constant column
+    yields d = NULL with counts visible — not an ANSI DIVIDE_BY_ZERO
+    job abort."""
+    from data_quality_checker_spark.operators import drift as DR
+
+    df = spark.range(0, 100).select(
+        (F.col("id") % 7).cast("double").alias("v")
+    )
+    r = DR.ks_two_sample(df, "v", F.lit(False)).collect()[0]
+    assert r["n_current"] == 0 and r["n_baseline"] == 100
+    assert r["d"] is None and r["p_value"] is None
+    c = spark.range(0, 10).select(F.lit(5.0).alias("v"))
+    r2 = DR.ks_uniformity(c, "v").collect()[0]
+    assert r2["n"] == 10 and r2["d"] is None
+
+
+def test_lsh_and_banding_guards(spark):
+    """Review regressions: a dim-mismatched vector fails loudly
+    instead of collapsing every row into one LSH bucket (silent n^2
+    join); non-divisible banding is rejected up front."""
+    import pytest
+
+    from data_quality_checker_spark.operators.dedup import (
+        near_duplicates_minhash,
+        sign_lsh_key,
+    )
+
+    vdf = spark.createDataFrame([(1, [1.0] * 16)], ["id", "v"])
+    with pytest.raises(Exception, match="expected 8-dim"):
+        vdf.select(sign_lsh_key(F.col("v"), dim=8).alias("k")).collect()
+    # matching dim still produces a key
+    ok = vdf.select(
+        sign_lsh_key(F.col("v"), dim=16).alias("k")
+    ).collect()[0]["k"]
+    assert len(ok) == 12
+    with pytest.raises(ValueError, match="divisible"):
+        near_duplicates_minhash(
+            vdf.withColumn("text", F.lit("a b c")),
+            num_hashes=32,
+            num_bands=6,
+        )
