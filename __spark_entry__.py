@@ -2678,7 +2678,7 @@ r as (select *, row_number() over (partition by doc_id, n
                                    order by c desc, ng desc) rn
       from c)
 select doc_id, n, ng as top_ngram, c::bigint as top_count,
-       round(c * n / ntok::double, 6) as token_frac
+       round(least(1.0, c * n / ntok::double), 6) as token_frac
 from r where rn = 1
 """
 

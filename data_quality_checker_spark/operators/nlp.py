@@ -459,11 +459,13 @@ def rake_keywords(
         scored = scored.withColumn(
             "score", F.round(F.col("score"), score_round)
         )
+    # top-k FIRST (orderBy+limit compiles to TakeOrderedAndProject —
+    # no single-task global sort of every distinct phrase), then rank
+    # the tiny k-row result with the window
+    top = scored.orderBy(F.col("score").desc(), "phrase").limit(top_k)
     w = Window.orderBy(F.col("score").desc(), F.col("phrase"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
-        .select("phrase", "score", "rank")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "phrase", "score", "rank"
     )
 
 
@@ -662,8 +664,15 @@ def repetition_ngram_metrics(
             "n",
             F.col("_t._ng").alias("top_ngram"),
             F.col("_t._c").alias("top_count"),
+            # least(1): occurrences of a self-overlapping n-gram
+            # ('a a a a a', n=2 -> 4 overlapping hits of 5 tokens)
+            # double-count tokens; the clamp keeps this a fraction
             F.round(
-                F.col("_t._c") * F.col("n") / F.col("_ntok"), 6
+                F.least(
+                    F.lit(1.0),
+                    F.col("_t._c") * F.col("n") / F.col("_ntok"),
+                ),
+                6,
             ).alias("token_frac"),
         )
     )

@@ -150,8 +150,13 @@ def unexpected_values(
     df: DataFrame, column: str, expected: list
 ) -> DataFrame:
     """Rows with values outside an allowlist (dq_checker.py:222-241,
-    validate_categorical_consistency dq_checker.py:698-710)."""
-    return df.filter(~F.col(column).isin(expected))
+    validate_categorical_consistency dq_checker.py:698-710). NULL is
+    outside any allowlist (coalesce: ~isin(NULL) is NULL and a bare
+    filter would silently treat NULL as expected — the pandas
+    reference's ~isin flags NaN)."""
+    return df.filter(
+        F.coalesce(~F.col(column).isin(expected), F.lit(True))
+    )
 
 
 def string_length_outliers(
@@ -215,7 +220,14 @@ def duplicate_columns(df: DataFrame, sample_rows: int | None = None) -> DataFram
     Note: order-insensitive fingerprints are a superset test; exact
     equality additionally needs positional agreement, which callers can
     verify with a follow-up ``sum((a<=>b)::int)==count`` scan.
+
+    ``sample_rows`` bounds the scan to the first N rows (a cheap
+    screen for very wide frames; pairs found on a sample still need
+    the full-scan confirmation above). It was previously accepted and
+    silently ignored (review finding).
     """
+    if sample_rows is not None:
+        df = df.limit(sample_rows)
     cols = df.columns
     agg = df.agg(
         *[

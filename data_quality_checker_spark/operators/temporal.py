@@ -81,25 +81,83 @@ def overlapping_intervals(
     )
 
 
+_INTERVAL_SECONDS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def _interval_to_seconds(interval: str) -> int:
+    parts = interval.strip().split()
+    if len(parts) != 2 or parts[1].lower() not in _INTERVAL_SECONDS:
+        raise ValueError(
+            f"missing_timestamps: interval {interval!r} must be "
+            f"'<n> <unit>' with unit in {sorted(_INTERVAL_SECONDS)}"
+        )
+    return int(parts[0]) * _INTERVAL_SECONDS[parts[1].lower()]
+
+
 def missing_timestamps(
     df: DataFrame, ts_col: str, interval: str = "1 hour"
 ) -> DataFrame:
     """Expected grid minus observed (ts_analyzer.py:213-235):
-    sequence(min,max,interval) -> explode -> left_anti. Returns
-    `missing_ts` rows."""
+    sequence(anchor, max, interval) -> explode -> left_anti. Returns
+    `missing_ts` rows.
+
+    The anchor is the min timestamp truncated to the interval's
+    natural unit, and each OBSERVED timestamp is floored onto that
+    grid (epoch arithmetic), so any '<n> <unit>' interval works —
+    the old form hardcoded hour truncation and mis-bucketed every
+    non-hourly interval (review finding). For '1 hour' the grid and
+    bucketing are identical to before (the oracle twin's contract)."""
+    step = _interval_to_seconds(interval)
+    if step % 86400 == 0:
+        unit = "day"
+    elif step % 3600 == 0:
+        unit = "hour"
+    elif step % 60 == 0:
+        unit = "minute"
+    else:
+        unit = "second"
+    ts_type = dict(df.dtypes)[ts_col]
+
+    def _epoch(c):
+        # TIMESTAMP_NTZ cannot cast straight to long under ANSI; the
+        # session is pinned UTC so the timestamp round-trip is exact
+        return c.cast("timestamp").cast("long")
+
     bounds = df.agg(
-        F.date_trunc("hour", F.min(ts_col)).alias("lo"),
-        F.date_trunc("hour", F.max(ts_col)).alias("hi"),
+        F.date_trunc(unit, F.min(ts_col)).alias("lo"),
+        F.max(ts_col).alias("hi"),
     )
     grid = bounds.select(
         F.explode(
             F.sequence("lo", "hi", F.expr(f"interval {interval}"))
-        ).alias("missing_ts")
+        ).alias("missing_ts"),
+        _epoch(F.col("lo")).alias("_anchor"),
     )
-    observed = df.select(
-        F.date_trunc("hour", F.col(ts_col)).alias("missing_ts")
-    ).distinct()
-    return grid.join(observed, on="missing_ts", how="left_anti")
+    observed = (
+        df.select(_epoch(F.col(ts_col)).alias("_ts"))
+        .crossJoin(
+            F.broadcast(
+                bounds.select(_epoch(F.col("lo")).alias("_anchor"))
+            )
+        )
+        .select(
+            F.timestamp_seconds(
+                F.col("_anchor")
+                + F.floor((F.col("_ts") - F.col("_anchor")) / step)
+                * step
+            )
+            .cast(ts_type)
+            .alias("missing_ts")
+        )
+        .distinct()
+    )
+    return grid.drop("_anchor").join(
+        observed, on="missing_ts", how="left_anti"
+    )
 
 
 def monotonicity(
@@ -117,16 +175,27 @@ def monotonicity(
     grouped = d.groupBy(*keys) if keys else d.groupBy()
     # coalesce(min(...), true): a series with no non-null diffs (single
     # row, or all-null values) is vacuously monotone — matches SQL_MONO.
+    # _has_null: interleaved NULL values make every adjacent diff NULL
+    # (ignored by min), which would certify [5, NULL, 3] as strictly
+    # increasing — pandas' is_monotonic is False for NaN series, so a
+    # series containing any NULL value among non-null ones is not
+    # monotone (review finding).
+    has_null = F.max(F.col(col).isNull()) & F.max(
+        F.col(col).isNotNull()
+    )
     return grouped.agg(
-        F.coalesce(F.min(F.col("_diff") >= 0), F.lit(True)).alias(
-            "non_decreasing"
-        ),
-        F.coalesce(F.min(F.col("_diff") <= 0), F.lit(True)).alias(
-            "non_increasing"
-        ),
-        F.coalesce(F.min(F.col("_diff") > 0), F.lit(True)).alias(
-            "strictly_increasing"
-        ),
+        (
+            F.coalesce(F.min(F.col("_diff") >= 0), F.lit(True))
+            & ~has_null
+        ).alias("non_decreasing"),
+        (
+            F.coalesce(F.min(F.col("_diff") <= 0), F.lit(True))
+            & ~has_null
+        ).alias("non_increasing"),
+        (
+            F.coalesce(F.min(F.col("_diff") > 0), F.lit(True))
+            & ~has_null
+        ).alias("strictly_increasing"),
     )
 
 
@@ -161,7 +230,9 @@ def spikes(
         Window.partitionBy(series_col) if series_col else Window.partitionBy()
     )
     d = d.withColumn("_sd", F.stddev_samp("_d").over(wall))
-    return d.filter(F.abs(F.col("_d")) > k * F.col("_sd")).drop("_sd")
+    return d.filter(F.abs(F.col("_d")) > k * F.col("_sd")).drop(
+        "_sd", "_d"
+    )
 
 
 def anomalies_zscore(
@@ -293,10 +364,17 @@ def forecast_accuracy(
                 200 * F.abs(err) / (F.abs(a) + F.abs(p)),
             )
         ).alias("smape"),
-        # SS_tot = n * var_pop(a), avoiding a second pass for mean(a)
+        # SS_tot = n * var_pop(a), avoiding a second pass for mean(a).
+        # Restricted to MATCHED rows (predicted non-null): SS_res only
+        # sums matched rows, so an all-actuals denominator would
+        # inflate r2 when predictions are missing (review finding)
         (
             F.lit(1.0)
-            - F.sum(err * err) / (F.count(a) * F.var_pop(a))
+            - F.sum(err * err)
+            / (
+                F.count(F.when(p.isNotNull(), a))
+                * F.var_pop(F.when(p.isNotNull(), a))
+            )
         ).alias("r2"),
         F.avg(err).alias("bias"),
     )
@@ -316,7 +394,12 @@ def seasonal_strength(
     d = df.withColumn("_trend", F.avg(value_col).over(w)).withColumn(
         "_resid", F.col(value_col) - F.col("_trend")
     )
-    return d.agg(
+    # aggregate PER SERIES when a key is given: a pooled var_samp
+    # mixes between-series level offsets into the denominator and
+    # reports phantom seasonality for flat multi-series inputs
+    keys = [series_col] if series_col else []
+    grouped = d.groupBy(*keys) if keys else d.groupBy()
+    return grouped.agg(
         F.greatest(
             F.lit(0.0),
             F.lit(1.0) - F.var_samp("_resid") / F.var_samp(value_col),
@@ -628,8 +711,17 @@ def dickey_fuller_stat(
         resid = dy - a @ coef
         dof = len(dy) - 2
         s2 = float(resid @ resid) / dof
-        cov = s2 * np.linalg.inv(a.T @ a)
-        t = coef[1] / math.sqrt(cov[1, 1]) if cov[1, 1] > 0 else float("nan")
+        try:
+            cov = s2 * np.linalg.inv(a.T @ a)
+            t = (
+                coef[1] / math.sqrt(cov[1, 1])
+                if cov[1, 1] > 0
+                else float("nan")
+            )
+        except np.linalg.LinAlgError:
+            # constant series (stuck sensor): singular a.T@a — NaN
+            # for THIS series instead of killing the whole job
+            t = float("nan")
         return pd.DataFrame(
             {"series": [key], "df_stat": [float(t)], "n": [len(y)]}
         )
