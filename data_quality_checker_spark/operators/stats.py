@@ -35,6 +35,9 @@ __all__ = [
     "levene_statistic",
     "levene_test",
     "multivariate_normality",
+    "jarque_bera",
+    "bartlett_test",
+    "detect_multimodal",
     "vif",
     "bootstrap_means",
     "bootstrap_mean_ci",
@@ -58,6 +61,11 @@ def skewness_kurtosis(df: DataFrame, cols: list[str] | None = None) -> DataFrame
     """Per-column skewness + excess kurtosis (stat_analyzer.py:347-373)
     via Spark built-ins (population central moments)."""
     cols = _numeric_cols(df, cols)
+    if not cols:
+        return df.sparkSession.range(1).select(
+            F.lit("").alias("column"), F.lit(0.0).alias("skewness"),
+            F.lit(0.0).alias("kurtosis"),
+        ).limit(0)
     agg = df.agg(
         *[F.skewness(c).alias(f"sk_{c}") for c in cols],
         *[F.kurtosis(c).alias(f"ku_{c}") for c in cols],
@@ -94,6 +102,10 @@ def low_variance_features(df: DataFrame, threshold: float) -> DataFrame:
     """Columns with sample variance below threshold
     (stat_analyzer.py:59-61)."""
     cols = _numeric_cols(df)
+    if not cols:
+        return df.sparkSession.range(1).select(
+            F.lit("").alias("column"), F.lit(0.0).alias("variance")
+        ).limit(0)
     agg = df.agg(*[F.var_samp(c).alias(c) for c in cols])
     return (
         agg.select(
@@ -122,6 +134,11 @@ def correlation_pairs(
     corr expressions in a single scan). Returns (col_a, col_b, corr)."""
     cols = _numeric_cols(df, cols)
     pairs = list(combinations(cols, 2))
+    if not pairs:  # 0/1 numeric columns: agg(*[]) would raise
+        return df.sparkSession.range(1).select(
+            F.lit("").alias("col_a"), F.lit("").alias("col_b"),
+            F.lit(0.0).alias("corr"),
+        ).limit(0)
     agg = df.agg(
         *[F.corr(a, b).alias(f"c_{i}") for i, (a, b) in enumerate(pairs)]
     )
@@ -151,6 +168,10 @@ def data_leaks(
     """Features suspiciously correlated with the target
     (dq_checker.py:265-288). Returns (feature, corr)."""
     feats = [c for c in _numeric_cols(df) if c != target]
+    if not feats:  # target is the only numeric column
+        return df.sparkSession.range(1).select(
+            F.lit("").alias("feature"), F.lit(0.0).alias("corr")
+        ).limit(0)
     agg = df.agg(*[F.corr(c, target).alias(c) for c in feats])
     return (
         agg.select(
@@ -205,6 +226,11 @@ def psi(
     distributive: shared bin edges from the global min/max of the union,
     floor-arithmetic bucketing (portable across engines), two groupBy
     counts, tiny driver-side sum."""
+    # NULLs are excluded: F.least(lit, NULL) returns the literal, so
+    # unfiltered NULL rows would silently land in the TOP bin and
+    # distort both distributions (review finding)
+    cur = cur.filter(F.col(column).isNotNull())
+    base = base.filter(F.col(column).isNotNull())
     u = cur.select(F.col(column).alias("x")).unionByName(
         base.select(F.col(column).alias("x"))
     )
@@ -256,7 +282,7 @@ def mutual_information(df: DataFrame, x: str, y: str) -> float:
 
 
 def _group_stats(df: DataFrame, group: str, value: str):
-    return {
+    out = {
         r["g"]: (r["n"], r["m"], r["v"])
         for r in df.groupBy(F.col(group).alias("g"))
         .agg(
@@ -266,6 +292,16 @@ def _group_stats(df: DataFrame, group: str, value: str):
         )
         .collect()
     }
+    singletons = [g for g, (n, _, v) in out.items() if v is None]
+    if singletons:
+        # var_samp of a 1-row group is NULL; every consumer does
+        # arithmetic on v and would die with an opaque TypeError
+        raise ValueError(
+            f"group(s) {singletons!r} have fewer than 2 non-null "
+            f"values of {value!r} — variance is undefined; filter "
+            f"rare levels before the test"
+        )
+    return out
 
 
 def cohens_d(df: DataFrame, group: str, value: str) -> float:
@@ -288,6 +324,10 @@ def welch_t_test(df: DataFrame, group: str, value: str) -> dict:
         raise ValueError("welch_t_test requires exactly 2 groups")
     (n1, m1, v1), (n2, m2, v2) = stats.values()
     se2 = v1 / n1 + v2 / n2
+    if se2 == 0:
+        # both groups constant: t undefined (scipy yields nan too)
+        return {"t": float("nan"), "dof": float(n1 + n2 - 2),
+                "p_value": float("nan")}
     t = (m1 - m2) / math.sqrt(se2)
     dof = se2**2 / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1))
     p = float("nan")
@@ -384,7 +424,16 @@ def histogram(
     df: DataFrame, column: str, bins: int, lo: float, hi: float
 ) -> DataFrame:
     """Fixed-range histogram via floor arithmetic (engine-portable;
-    stat_analyzer.py:493-497). Returns (bucket, n)."""
+    stat_analyzer.py:493-497). Returns (bucket, n). A degenerate
+    range (hi == lo — a constant column's min/max) puts every non-null
+    row in bucket 0 instead of raising ANSI DIVIDE_BY_ZERO."""
+    if hi == lo:
+        return (
+            df.filter(F.col(column).isNotNull())
+            .select(F.lit(0).cast("bigint").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
     width = (hi - lo) / bins
     return (
         df.filter(F.col(column).isNotNull())
@@ -581,13 +630,17 @@ def detect_multimodal(
         for b in range(bins)
     ]
     top = max(series) or 1.0
-    candidates = [
-        b
-        for b in range(1, bins - 1)
-        if series[b] > series[b - 1]
-        and series[b] >= series[b + 1]
-        and series[b] >= min_prominence * top
-    ]
+
+    def _is_peak(b: int) -> bool:
+        # edge buckets compare one-sided: a mode at the range minimum
+        # (exponential-like data) or maximum is still a mode —
+        # excluding them inverted the multimodality verdict for
+        # edge-moded distributions (review finding)
+        left_ok = b == 0 or series[b] > series[b - 1]
+        right_ok = b == bins - 1 or series[b] >= series[b + 1]
+        return left_ok and right_ok and series[b] >= min_prominence * top
+
+    candidates = [b for b in range(bins) if _is_peak(b)]
     # valley separation: a candidate is a distinct mode only if the
     # histogram dips below half its height between it and every
     # already-accepted (taller) peak
@@ -639,10 +692,16 @@ def levene_statistic(
         F.sum((F.col("_n") - 1) * F.col("_v")).alias("ssw"),
     )
     nn, kk = F.col("N").cast("double"), F.col("k").cast("double")
-    ss_between = F.col("snm2") - F.col("snm") * F.col("snm") / nn
+    ss_between = F.col("snm2") - F.col("snm") * F.col("snm") / F.nullif(
+        nn, F.lit(0.0)
+    )
     return agg.select(
         (
-            ((nn - kk) / (kk - 1.0)) * ss_between / F.col("ssw")
+            # nullif: one group (k=1) or all-constant groups (ssw=0)
+            # make W undefined — NULL, not an ANSI crash
+            ((nn - kk) / F.nullif(kk - 1.0, F.lit(0.0)))
+            * ss_between
+            / F.nullif(F.col("ssw"), F.lit(0.0))
         ).alias("w"),
         (F.col("k") - 1).cast("bigint").alias("dof1"),
         (F.col("N") - F.col("k")).cast("bigint").alias("dof2"),
@@ -724,6 +783,9 @@ def vif(df: DataFrame, cols: list[str] | None = None) -> dict[str, float]:
     import numpy as np
 
     cols = _numeric_cols(df, cols)
+    if len(cols) < 2:
+        # one column cannot be collinear with anything: VIF = 1 exactly
+        return {c: 1.0 for c in cols}
     pairs = list(combinations(cols, 2))
     row = df.agg(
         *[F.corr(a, b).alias(f"c_{i}") for i, (a, b) in enumerate(pairs)]
@@ -812,7 +874,13 @@ def bootstrap_means(
     structs = [
         F.struct(
             F.lit(b).alias("boot"),
-            (F.col(f"_s{b}") / F.col(f"_c{b}")).alias("boot_mean"),
+            # nullif: a replicate whose Poisson weights are all zero
+            # (P = e^-n, realistic for tiny n) yields a NULL mean
+            # instead of an ANSI DIVIDE_BY_ZERO job abort
+            (
+                F.col(f"_s{b}")
+                / F.nullif(F.col(f"_c{b}"), F.lit(0.0))
+            ).alias("boot_mean"),
         )
         for b in range(n_boot)
     ]
@@ -834,6 +902,7 @@ def bootstrap_mean_ci(
     means = sorted(
         r["boot_mean"]
         for r in bootstrap_means(df, column, id_col, n_boot, seed).collect()
+        if r["boot_mean"] is not None
     )
 
     def q(p: float) -> float:

@@ -39,14 +39,23 @@ def salted_key(
     hosts (north rule: salted repartitioning for skewed hosts).
 
     The salt derives from a per-row column (e.g. the full url when the
-    key is the host) — deterministic under task retry, unlike rand()."""
+    key is the host) — deterministic under task retry, unlike rand().
+
+    NULL keys fold to the literal '(null)' group: concat_ws SKIPS a
+    null argument, so the salted key would otherwise degenerate to the
+    bare salt digit and un-salting (substring before '#') would
+    fabricate phantom groups named '0'..'{salt_buckets-1}'."""
     c = F.col(key_col) if isinstance(key_col, str) else key_col
     s = (
         F.col(salt_source_col)
         if isinstance(salt_source_col, str)
         else salt_source_col
     )
-    return F.concat_ws("#", c, F.pmod(F.xxhash64(s), F.lit(salt_buckets)))
+    return F.concat_ws(
+        "#",
+        F.coalesce(c.cast("string"), F.lit("(null)")),
+        F.pmod(F.xxhash64(s), F.lit(salt_buckets)),
+    )
 
 
 def write_partitioned(

@@ -172,3 +172,77 @@ def test_rake_keywords_no_global_sort_of_all_phrases(spark):
     rows = out.collect()
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
     assert 1 <= len(rows) <= 3
+
+
+def test_stats_degenerate_inputs_no_crash(spark):
+    """Batch-5 review regressions: NULL-psi bucketing, singleton
+    groups, zero-variance welch, empty numeric-column sets, constant
+    histogram, levene degenerate groups, null salted keys."""
+    import math
+
+    from data_quality_checker_spark.operators import stats as S
+    from data_quality_checker_spark.sources.io import salted_key
+
+    # psi ignores NULLs instead of binning them into the top bucket
+    base = spark.createDataFrame(
+        [(float(i % 10),) for i in range(100)], "x double"
+    )
+    cur_nulls = spark.createDataFrame(
+        [(float(i % 10),) for i in range(100)]
+        + [(None,)] * 40,
+        "x double",
+    )
+    assert abs(S.psi(cur_nulls, base, "x")) < 1e-9  # same distribution
+
+    # singleton group -> clear error, not TypeError
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0)], "g string, v double"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="fewer than 2"):
+        S.welch_t_test(df, "g", "v")
+
+    # both groups constant -> nan, not ZeroDivisionError
+    const = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)],
+        "g string, v double",
+    )
+    assert math.isnan(S.welch_t_test(const, "g", "v")["t"])
+
+    # one/zero numeric columns -> empty results, not agg(*[]) crash
+    one = spark.createDataFrame([(1.0, "x")], ["v", "s"])
+    assert S.correlation_pairs(one).count() == 0
+    assert S.data_leaks(one, "v").count() == 0
+    assert S.low_variance_features(one.select("s"), 0.1).count() == 0
+    assert S.skewness_kurtosis(one.select("s")).count() == 0
+    assert S.vif(one) == {"v": 1.0}
+
+    # constant-range histogram -> single bucket, not DIVIDE_BY_ZERO
+    h = S.histogram(base, "x", 10, 5.0, 5.0).collect()
+    assert len(h) == 1 and h[0]["bucket"] == 0 and h[0]["n"] == 100
+
+    # levene with all-constant groups -> NULL W, no crash
+    r = S.levene_statistic(const, "g", "v").collect()[0]
+    assert r["w"] is None
+
+    # null keys salt to an explicit '(null)' group, not bare digits
+    sk = spark.createDataFrame(
+        [(None, "u1"), (None, "u2"), ("h", "u3")], "k string, u string"
+    ).select(salted_key("k", "u", 4).alias("s"))
+    keys = {r["s"].split("#")[0] for r in sk.collect()}
+    assert keys == {"(null)", "h"}
+
+
+def test_detect_multimodal_edge_modes(spark):
+    """A mode at the range edge (exponential-like data) is detected."""
+    import numpy as np
+
+    from data_quality_checker_spark.operators import stats as S
+
+    rng = np.random.default_rng(17)
+    df = spark.createDataFrame(
+        [(float(v),) for v in rng.exponential(1.0, 4000)], "x double"
+    )
+    out = S.detect_multimodal(df, "x")
+    assert out["n_peaks"] == 1 and out["peak_buckets"][0] == 0
