@@ -97,7 +97,7 @@ def _pages_parquet(spark, sf: float, cache_root: str = "/tmp/dqc_bench") -> tupl
     pre-partitioned so every parallelism level can read in parallel;
     generation cost never pollutes timing."""
     n = max(10_000, int(8_000_000 * sf))
-    path = f"{cache_root}/pages_sf{sf}_n{n}"
+    path = f"{cache_root}/pages_v2_sf{sf}_n{n}"
     marker = f"{path}/_SUCCESS"
     if not os.path.exists(marker):
         (

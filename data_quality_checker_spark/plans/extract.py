@@ -52,9 +52,13 @@ def extract_text_expr(
     `</p><p>` does not merge words). ``normalize_whitespace`` collapses
     whitespace runs and trims — pair it with sep=" "."""
     c = F.col(html) if isinstance(html, str) else html
-    # cast-then-decode accepts both BINARY and STRING inputs (a string
-    # casts to its UTF-8 bytes, so the round-trip is the identity)
-    s = F.decode(c.cast("binary"), "UTF-8")
+    # cast-then-cast accepts both BINARY and STRING inputs (a string
+    # casts to its UTF-8 bytes, so the round-trip is the identity).
+    # binary->string CAST decodes leniently (malformed bytes become
+    # replacement chars), where F.decode under ANSI throws
+    # MALFORMED_CHARACTER_CODING — one bad crawl page must not abort
+    # the extraction job (review finding, reproduced live)
+    s = c.cast("binary").cast("string")
     for pat in _BLOCK_PATTERNS:
         s = F.regexp_replace(s, pat, "")
     s = F.regexp_replace(s, r"<[^>]*>", sep)
@@ -74,7 +78,17 @@ def with_extracted_text(
 ) -> DataFrame:
     """Adds/overwrites ``out_col`` with the text extracted from
     ``html_col`` — the upstream stage for corpora shipping markup only;
-    everything downstream (rules, scrub, verdict) is unchanged."""
+    everything downstream (rules, scrub, verdict) is unchanged.
+
+    A page whose markup carries NO text content yields NULL (nullif on
+    the empty string), matching the ready-text pipeline's semantics:
+    such a page fires only the `empty` rule, not `empty` + `too_short`
+    (an '' placeholder shifted per-rule drop counts between the two
+    ingestion paths — review finding)."""
     return df.withColumn(
-        out_col, extract_text_expr(html_col, sep, normalize_whitespace)
+        out_col,
+        F.nullif(
+            extract_text_expr(html_col, sep, normalize_whitespace),
+            F.lit(""),
+        ),
     )

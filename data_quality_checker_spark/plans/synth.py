@@ -184,15 +184,28 @@ def pages_df_distributed(spark, n: int, seed: int = 42):
         ),
     )
     toxic = F.concat(words_expr(45), F.lit(" " + TOXIC_WORDS[0]))
+    # restored classes (review finding: the old ladder skipped them, so
+    # benches never exercised the dup-lines line-array path or the
+    # too_many_words gate and overstated throughput on the real mix):
+    # ~5,200 words of text (too_many_words) and 7 duplicated lines
+    # F.repeat keeps these single expressions (a 80x concat_ws of the
+    # word subtree would explode the codegen plan)
+    long_doc = F.repeat(F.concat(words_expr(65), F.lit(" ")), 80)
+    dup_line_txt = F.concat(
+        F.repeat(F.concat(words_expr(8), F.lit("\n")), 7),
+        words_expr(12),
+    )
 
     bucket = F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(100))
     text = (
         F.when(bucket < 55, clean)
         .when(bucket < 63, foreign)
-        .when(bucket < 68, short)
+        .when(bucket < 66, short)
+        .when(bucket < 68, long_doc)
         .when(bucket < 75, F.concat(clean, F.lit(" @#$% *&^! ~~~ ||| @#$% *&^!")))
         .when(bucket < 80, nostop)
         .when(bucket < 85, repeated)
+        .when(bucket < 88, dup_line_txt)
         .when(bucket < 93, pii)
         .when(bucket < 96, toxic)
         .when(bucket < 98, F.lit(""))

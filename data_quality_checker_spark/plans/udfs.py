@@ -26,7 +26,25 @@ from pyspark.sql.functions import pandas_udf
 
 from data_quality_checker_spark.functions.wordlists import LANGS, STOPWORDS
 
-_TOKEN_RE = re.compile(r"\s+")
+# worker-side model cache: an iterator pandas UDF's body re-runs per
+# TASK, so without this a reused Python worker re-reads and re-parses
+# the artifact thousands of times per job (the once-per-worker load
+# the design promises happens HERE, not merely via the driver-side
+# _UDF_CACHE of the udf object)
+_WORKER_MODEL_CACHE: dict = {}
+
+
+def _worker_cached(key, loader):
+    if key not in _WORKER_MODEL_CACHE:
+        _WORKER_MODEL_CACHE[key] = loader()
+    return _WORKER_MODEL_CACHE[key]
+
+
+# the pinned engine tokenization class (oracle.py / models.py / Java
+# \s) — Python's unicode \s would also split on NBSP etc. and diverge
+# from langid_best / the oracle on unicode-whitespace text, breaking
+# the F1 parity invariant (review finding, reproduced)
+_TOKEN_RE = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def _tokens(text: str) -> list[str]:
@@ -105,7 +123,10 @@ def langid_udf(col, model_path: str | None = None):
 
                 local = models.resolve_artifact(wl_path)
                 if local:
-                    predict = models.load_langid_model(local).predict
+                    predict = _worker_cached(
+                        ("langid", local),
+                        lambda: models.load_langid_model(local).predict,
+                    )
             if predict is None and ft_path:
                 try:  # pragma: no cover - fastText not in sandbox
                     import fasttext
@@ -113,7 +134,10 @@ def langid_udf(col, model_path: str | None = None):
                     from data_quality_checker_spark.plans import models
 
                     local = models.resolve_artifact(ft_path)
-                    ft = fasttext.load_model(local or ft_path)
+                    ft = _worker_cached(
+                        ("fasttext", local or ft_path),
+                        lambda: fasttext.load_model(local or ft_path),
+                    )
                     predict = lambda t: ft.predict(  # noqa: E731
                         t.replace("\n", " ")
                     )[0][0].replace("__label__", "")
@@ -152,7 +176,10 @@ def perplexity_udf(col, model_path: str | None = None):
 
                 local = models.resolve_artifact(lm_path)
                 if local:
-                    scorer = lm.load_trigram_lm(local).perplexity
+                    scorer = _worker_cached(
+                        ("lm", local),
+                        lambda: lm.load_trigram_lm(local),
+                    ).perplexity
             for batch in batches:
                 yield batch.map(scorer)
 

@@ -43,19 +43,20 @@ def with_rule_flags(
             "_lines": X.lines(text_col),
         }
     )
-    d = d.withColumns(
-        stat_exprs_counts(cfg, text_col, F.col("_lower"), F.col("_lines"))
+    counts = stat_exprs_counts(
+        cfg, text_col, F.col("_lower"), F.col("_lines")
     )
-    d = d.withColumns(stat_exprs_ratios(cfg, text_col))
+    d = d.withColumns(counts)
+    ratios = stat_exprs_ratios(cfg, text_col)
+    d = d.withColumns(ratios)
     flags = {
         f"{RULE_PREFIX}{name}": F.coalesce(expr, F.lit(False))
         for name, expr in rule_exprs_from_stats(cfg, text_col).items()
     }
-    helper_cols = [
-        "_lower", "_lines", "_wc", "_nonws", "_stopc", "_symc",
-        "_udist", "_mwl", "_stopr", "_symr", "_rep", "_dlf", "_lang",
-        "_tox", *[f"_s_{lang}" for lang in LANGS],
-    ]
+    # derive the drop list from the stat dicts (rules.py owns the
+    # names): a new stat added there must not silently leak an
+    # underscore helper column into every scored output / sink schema
+    helper_cols = ["_lower", "_lines", *counts, *ratios]
     return d.withColumns(flags).drop(*helper_cols)
 
 

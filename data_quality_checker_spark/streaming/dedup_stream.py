@@ -35,8 +35,17 @@ def with_content_digest(
     df: DataFrame, text_col: str = "text", out_col: str = "content_md5"
 ) -> DataFrame:
     """Stable 128-bit content key (md5 of the raw text; engine-portable,
-    same key the batch exact-dedup groups on)."""
-    return df.withColumn(out_col, F.md5(F.coalesce(F.col(text_col), F.lit(""))))
+    same key the batch exact-dedup groups on). NULL text gets its own
+    sentinel key — coalescing to '' would collapse null docs with
+    genuinely EMPTY docs (md5('') = d41d8cd9...), wrongly suppressing
+    an empty document that follows a null one within the watermark,
+    where the batch path keeps both (review finding)."""
+    return df.withColumn(
+        out_col,
+        F.when(
+            F.col(text_col).isNull(), F.lit("<NULL-TEXT>")
+        ).otherwise(F.md5(F.col(text_col))),
+    )
 
 
 def dedup_replays_stream(

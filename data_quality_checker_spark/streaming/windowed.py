@@ -22,10 +22,18 @@ def windowed_event_counts(
     key_col: str = "event_type",
     window: str = "10 minutes",
     watermark: str = "20 minutes",
+    value_col: str | None = "value",
 ) -> DataFrame:
     """(window_start, window_end, key, n, mean_value) per finalized
     tumbling window. Works on both streaming and batch frames (batch
-    ignores the watermark, which is the standard parity contract)."""
+    ignores the watermark, which is the standard parity contract).
+    ``value_col=None`` skips the mean for value-less event frames
+    (the column was previously hardcoded — review finding)."""
+    mean = (
+        F.avg(value_col)
+        if value_col is not None
+        else F.lit(None).cast("double")
+    )
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(
@@ -34,7 +42,7 @@ def windowed_event_counts(
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.avg("value").alias("mean_value"),
+            mean.alias("mean_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

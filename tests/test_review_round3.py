@@ -246,3 +246,63 @@ def test_detect_multimodal_edge_modes(spark):
     )
     out = S.detect_multimodal(df, "x")
     assert out["n_peaks"] == 1 and out["peak_buckets"][0] == 0
+
+
+def test_extract_lenient_on_malformed_bytes(spark):
+    """One invalid-UTF-8 crawl page must not abort extraction (ANSI
+    F.decode threw MALFORMED_CHARACTER_CODING; lenient cast decodes
+    with replacement chars)."""
+    from data_quality_checker_spark.plans.extract import (
+        with_extracted_text,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(b"<p>ok</p>\xff\xfe bad")),
+            (2, bytearray(b"<html><body></body></html>")),
+        ],
+        "id long, html binary",
+    )
+    rows = {r["id"]: r["text"] for r in with_extracted_text(df).collect()}
+    assert "ok" in rows[1]
+    # empty markup extracts to NULL (ready-text semantics: fires only
+    # the `empty` rule, not `empty` + `too_short`)
+    assert rows[2] is None
+
+
+def test_streaming_digest_distinguishes_null_from_empty(spark):
+    from data_quality_checker_spark.streaming.dedup_stream import (
+        with_content_digest,
+    )
+
+    df = spark.createDataFrame([(1, None), (2, "")], "id long, text string")
+    keys = {
+        r["id"]: r["content_md5"]
+        for r in with_content_digest(df).collect()
+    }
+    assert keys[1] != keys[2]  # null doc is not the empty doc
+
+
+def test_windowed_counts_value_col_optional(spark):
+    import datetime
+
+    from data_quality_checker_spark.streaming.windowed import (
+        windowed_event_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, 0, 1), "click")],
+        "ts timestamp, event_type string",
+    )
+    out = windowed_event_counts(df, value_col=None).collect()
+    assert out[0]["n"] == 1 and out[0]["mean_value"] is None
+
+
+def test_udf_tokenizer_matches_oracle_on_nbsp(spark):
+    """The UDF fallback tokenizer pins the Java-\\s class: NBSP-joined
+    tokens must score identically to oracle.detect_lang."""
+    from data_quality_checker_spark.plans import oracle as O
+    from data_quality_checker_spark.plans.udfs import detect_lang_python
+
+    t = "the\xa0of\xa0and\xa0in la la el los de en"
+    assert detect_lang_python(t) == O.detect_lang(t)

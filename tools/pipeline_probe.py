@@ -33,7 +33,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     import os
 
-    path = f"/tmp/dqc_bench/pages_probe_n{n}"
+    path = f"/tmp/dqc_bench/pages_v2_probe_n{n}"
     if not os.path.exists(f"{path}/_SUCCESS"):
         synth.pages_df_distributed(spark, n, seed=42).repartition(
             64

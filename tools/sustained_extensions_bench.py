@@ -38,7 +38,7 @@ def main() -> None:
         shuffle_partitions=256,
     )
     spark.sparkContext.setLogLevel("ERROR")
-    path = f"/tmp/dqc_bench/pages_ext_n{n_docs}"
+    path = f"/tmp/dqc_bench/pages_v2_ext_n{n_docs}"
     if not os.path.exists(f"{path}/_SUCCESS"):
         from data_quality_checker_spark.plans import synth
 
