@@ -1503,7 +1503,9 @@ def q_snapshot_diff(spark, sf):
 
 
 SQL_SNAPSHOT_DIFF = """
-with o as (select doc_id, md5(coalesce(text, '')) fo from documents),
+with o as (select doc_id,
+  case when text is null then '<NULL>' else md5(text) end fo
+  from documents),
 nraw as (
   select doc_id,
          case when doc_id % 7 = 0 then coalesce(text, '') || ' v2'
@@ -1512,7 +1514,9 @@ nraw as (
   union all
   select doc_id + 100000 as doc_id, text
   from documents where doc_id % 11 = 0),
-n as (select doc_id, md5(coalesce(text, '')) fn from nraw)
+n as (select doc_id,
+  case when text is null then '<NULL>' else md5(text) end fn
+  from nraw)
 select coalesce(o.doc_id, n.doc_id) as doc_id,
        case when o.fo is null then 'added'
             when n.fn is null then 'removed'

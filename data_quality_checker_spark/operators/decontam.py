@@ -15,11 +15,15 @@ Plan shape (designed for a 100 TB corpus vs a small benchmark suite):
    eval side only. With ``key_mode='xxhash64'`` the key is an 8-byte
    long, so a multi-million-n-gram suite broadcasts in tens of MB.
 2. ``contamination_report`` never shuffles exploded corpus rows by
-   n-gram: the eval table is broadcast, the explode feeds a map-side
-   broadcast-hash left join, and the per-doc count is a hash aggregate
-   whose partial (map-side) combine collapses each document back to a
-   single row BEFORE the only shuffle (on the doc id). Net cost over
-   the corpus: one scan, one narrow shuffle of one row per document.
+   n-gram when the eval side fits an executor: a row-count guard
+   (``broadcast=None``) broadcasts small eval key tables — the explode
+   then feeds a map-side broadcast-hash left join, and the per-doc
+   count is a hash aggregate whose partial (map-side) combine
+   collapses each document back to a single row BEFORE the only
+   shuffle (on the doc id). Net cost over the corpus: one scan, one
+   narrow shuffle of one row per document. Oversized eval unions
+   (many suites × 13-grams) fall back to a shuffle join keyed on the
+   8-byte hash instead of OOMing the broadcast build side.
 3. No join-back: ``n_ngrams`` is computed pre-explode and carried
    through the aggregate, so clean documents appear in the report with
    ``hit_ngrams = 0`` without a second pass over the corpus.
@@ -103,6 +107,8 @@ def contamination_report(
     key_mode: str = "text",
     lowercase: bool = True,
     eval_is_ngrams: bool = False,
+    broadcast: bool | None = None,
+    broadcast_max_keys: int = 5_000_000,
 ) -> DataFrame:
     """Per-document contamination stats vs the evaluation corpus.
 
@@ -121,14 +127,46 @@ def contamination_report(
     Precondition: ``id_col`` is unique per document — the hit count
     aggregates by it, so duplicate ids would pool their n-grams into
     one report row (dedup on id upstream if unsure).
+
+    Join strategy (100 TB insurance): ``broadcast=True`` forces the
+    broadcast hint (the GPT-3 single-suite case — a few MB of 8-byte
+    keys); ``broadcast=False`` omits the hint, so the join shuffles on
+    the key (AQE may still downgrade to broadcast if the measured size
+    fits — that check is the point); ``broadcast=None`` (default)
+    takes a row-count guard: hint only when the eval key table holds
+    at most ``broadcast_max_keys`` keys (~5M 8-byte keys ≈ 40 MB
+    payload). A many-suite eval union at 13-grams can reach
+    executor-memory scale, where a hard hint would OOM the build side.
+    The guard's count() runs over the EVAL side only; when the keys
+    are derived inline (``eval_is_ngrams=False``) that side is
+    recomputed for the join — cheap by construction (eval suites are
+    tiny next to the corpus), pass a prebuilt/materialized
+    ``eval_ngrams`` table to pay it once.
     """
     if min_hits < 1:
         raise ValueError("min_hits must be >= 1")
-    ev = (
-        eval_source
-        if eval_is_ngrams
-        else eval_ngrams(eval_source, text_col, n, key_mode, lowercase)
-    ).withColumn("_hit", F.lit(1))
+    if key_mode not in _KEY_MODES:
+        # validate HERE too, not only in eval_ngrams: with
+        # eval_is_ngrams=True a typo ('xxhash') would otherwise
+        # silently fall back to text-mode doc keys, match nothing
+        # against a bigint-keyed eval table, and report every
+        # document clean — a silent decontamination no-op
+        raise ValueError(f"key_mode must be one of {_KEY_MODES}")
+    if eval_is_ngrams:
+        ev_type = dict(eval_source.dtypes).get("ng_key")
+        want = "bigint" if key_mode == "xxhash64" else "string"
+        if ev_type != want:
+            raise ValueError(
+                f"prebuilt eval table ng_key is {ev_type!r} but "
+                f"key_mode={key_mode!r} expects {want!r} — the join "
+                "would match nothing"
+            )
+        ev = eval_source
+    else:
+        ev = eval_ngrams(eval_source, text_col, n, key_mode, lowercase)
+    if broadcast is None:
+        broadcast = ev.count() <= broadcast_max_keys
+    ev = ev.withColumn("_hit", F.lit(1))
     ngs = _distinct_ngrams(text_col, n, lowercase)
     exploded = (
         docs.filter(F.col(text_col).isNotNull())
@@ -144,7 +182,7 @@ def contamination_report(
         )
     )
     counted = (
-        exploded.join(F.broadcast(ev), "ng_key", "left")
+        exploded.join(F.broadcast(ev) if broadcast else ev, "ng_key", "left")
         .groupBy(id_col)
         .agg(
             F.max("_n_ngrams").alias("n_ngrams"),
@@ -176,13 +214,16 @@ def drop_contaminated(
     key_mode: str = "xxhash64",
     lowercase: bool = True,
     eval_is_ngrams: bool = False,
+    broadcast: bool | None = None,
+    broadcast_max_keys: int = 5_000_000,
 ) -> DataFrame:
     """Corpus minus contaminated documents (docs with null text are
     kept — they carry no n-grams). The filter is a broadcast-hash
     anti-join of the (small) contaminated-id set against the corpus,
     so the corpus itself is scanned twice but never shuffled wide;
     persist/checkpoint ``docs`` upstream to make the second scan
-    cheap."""
+    cheap. ``broadcast``/``broadcast_max_keys`` forward to
+    :func:`contamination_report` (eval-side join-strategy guard)."""
     bad = (
         contamination_report(
             docs,
@@ -194,6 +235,8 @@ def drop_contaminated(
             key_mode,
             lowercase,
             eval_is_ngrams,
+            broadcast,
+            broadcast_max_keys,
         )
         .filter(F.col("contaminated"))
         .select(id_col)

@@ -142,15 +142,19 @@ def snapshot_diff(
     Precondition: ``key`` is unique within each snapshot (run
     latest-capture dedup first — multiple captures per url would fan
     the join out into conflicting status rows). Same contract as
-    dedup_lines_corpus / contamination_report."""
-    o = old.select(
-        F.col(key),
-        F.md5(F.coalesce(F.col(fingerprint_col), F.lit(""))).alias("_fo"),
-    )
-    n = new.select(
-        F.col(key),
-        F.md5(F.coalesce(F.col(fingerprint_col), F.lit(""))).alias("_fn"),
-    )
+    dedup_lines_corpus / contamination_report.
+
+    NULL convention: a NULL fingerprint column maps to the sentinel
+    ``<NULL>`` (not ``md5('')``), so a document whose text changed
+    between NULL and empty string is classified ``changed`` — the same
+    NULL-vs-empty distinction dedup_stream's content digest makes."""
+
+    def _fp(c):
+        col = F.col(c)
+        return F.when(col.isNull(), F.lit("<NULL>")).otherwise(F.md5(col))
+
+    o = old.select(F.col(key), _fp(fingerprint_col).alias("_fo"))
+    n = new.select(F.col(key), _fp(fingerprint_col).alias("_fn"))
     j = o.join(n, key, "full")
     return j.select(
         key,

@@ -63,16 +63,19 @@ def train_bpe(
     """Learn ``num_merges`` BPE merges from a seeded bounded sample.
     Ties break to the lexicographically smallest pair, so the merge
     list is deterministic for a given sample."""
-    total = df.count()
+    src = df.select(text_col).filter(F.col(text_col).isNotNull())
+    total = src.count()
     frac = min(1.0, (sample_docs * 1.2) / max(total, 1))
-    texts = [
-        r[0]
-        for r in df.select(text_col)
-        .filter(F.col(text_col).isNotNull())
-        .sample(fraction=frac, seed=seed)
-        .limit(sample_docs)
-        .collect()
-    ]
+    # NO limit() after sample (same rationale as stats.shapiro_wilk):
+    # limit takes rows in partition order, so on value-sorted /
+    # range-partitioned corpora the merges would be learned from a
+    # biased head-of-corpus slice. The Bernoulli sample alone is
+    # unbiased; over-draws are cut by a deterministic stride so every
+    # partition keeps proportional representation.
+    texts = [r[0] for r in src.sample(fraction=frac, seed=seed).collect()]
+    if len(texts) > sample_docs:
+        step = len(texts) / sample_docs
+        texts = [texts[int(i * step)] for i in range(sample_docs)]
     freqs = _word_freqs_from_sample(texts)
     words: dict[tuple[str, ...], int] = {
         tuple(w) + (_EOW,): c for w, c in freqs.items()

@@ -265,12 +265,17 @@ def partition_metrics(scored: DataFrame, run_id: str) -> DataFrame:
         F.sum("scrub_phone").alias("scrub_phone"),
         F.sum("scrub_ip").alias("scrub_ip"),
     ]
-    if "contaminated" in scored.columns:
-        aggs.append(
-            F.sum(F.col("contaminated").cast("long")).alias(
-                "drop_contaminated"
-            )
-        )
+    # ALWAYS emit drop_contaminated (0 when the stage didn't run):
+    # resuming the same out_dir with decontam toggled would otherwise
+    # write parquet files with different schemas into one dynamically-
+    # overwritten metrics directory, and plain readers would drop the
+    # column or error without mergeSchema
+    contaminated = (
+        F.col("contaminated").cast("long")
+        if "contaminated" in scored.columns
+        else F.lit(0)
+    )
+    aggs.append(F.sum(contaminated).alias("drop_contaminated"))
     return scored.groupBy("partition_id").agg(*aggs).withColumn(
         "run_id", F.lit(run_id)
     )

@@ -113,6 +113,99 @@ def test_broadcast_plan_shape(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_broadcast_guard_fallback_plan(spark):
+    """broadcast=None takes a row-count guard: over the key threshold
+    the eval join must FALL BACK to a shuffled join (no forced
+    BroadcastHashJoin that could OOM the build side); under it the
+    broadcast hint applies. Results are identical either way."""
+    docs, eval_df = _fixture(spark)
+
+    def plan_of(**kw):
+        return (
+            DC.contamination_report(
+                docs, eval_df, n=5, key_mode="xxhash64", **kw
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    # guard trips (threshold 0 keys) -> no broadcast hint; pin the
+    # autoBroadcastJoinThreshold off so Catalyst can't re-broadcast
+    # the tiny test table on its own and hide the fallback
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fallback = plan_of(broadcast=None, broadcast_max_keys=0)
+        assert "SortMergeJoin" in fallback or "ShuffledHashJoin" in fallback
+        forced_off = plan_of(broadcast=False)
+        assert (
+            "SortMergeJoin" in forced_off
+            or "ShuffledHashJoin" in forced_off
+        )
+        # forced hint still wins over the disabled threshold
+        assert "BroadcastHashJoin" in plan_of(broadcast=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # guard passes (tiny eval) -> broadcast
+    assert "BroadcastHashJoin" in plan_of(
+        broadcast=None, broadcast_max_keys=5_000_000
+    )
+    # verdict parity across strategies
+    a = sorted(
+        tuple(r)
+        for r in DC.contamination_report(
+            docs, eval_df, n=5, key_mode="xxhash64", broadcast=True
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in DC.contamination_report(
+            docs, eval_df, n=5, key_mode="xxhash64", broadcast=False
+        ).collect()
+    )
+    assert a == b
+
+
+def test_key_mode_validation(spark):
+    """A typo'd key_mode must raise loudly, not silently report every
+    document clean; a prebuilt eval table with the wrong key dtype for
+    the requested mode likewise."""
+    import pytest
+
+    docs, eval_df = _fixture(spark)
+    with pytest.raises(ValueError, match="key_mode"):
+        DC.contamination_report(docs, eval_df, key_mode="xxhash")
+    ev_txt = DC.eval_ngrams(eval_df, n=5, key_mode="text")
+    with pytest.raises(ValueError, match="ng_key"):
+        DC.contamination_report(
+            docs, ev_txt, n=5, key_mode="xxhash64", eval_is_ngrams=True
+        )
+    ev_hash = DC.eval_ngrams(eval_df, n=5, key_mode="xxhash64")
+    with pytest.raises(ValueError, match="ng_key"):
+        DC.contamination_report(
+            docs, ev_hash, n=5, key_mode="text", eval_is_ngrams=True
+        )
+
+
+def test_metrics_schema_stable_without_decontam(spark):
+    """partition_metrics always emits drop_contaminated (0 when the
+    stage didn't run) so resumed runs with the stage toggled never mix
+    parquet schemas in one metrics directory."""
+    from data_quality_checker_spark.plans import synth
+    from data_quality_checker_spark.plans.pipeline import (
+        PipelineConfig,
+        partition_metrics,
+        score_pages,
+    )
+
+    scored = score_pages(synth.pages_df(spark, 40, seed=11),
+                         PipelineConfig(num_buckets=4))
+    m = partition_metrics(scored, "run-x")
+    assert "drop_contaminated" in m.columns
+    assert m.agg(F.sum("drop_contaminated")).collect()[0][0] == 0
+
+
 def test_pipeline_decontam_stage(spark):
     """with_decontam_verdict over a scored synthetic corpus: a kept
     page whose text contains an eval 13-gram loses keep_final, clean
@@ -260,11 +353,13 @@ def test_snapshot_diff_classification(spark):
     from data_quality_checker_spark.operators.joins import snapshot_diff
 
     old = spark.createDataFrame(
-        [(1, "same"), (2, "will change"), (3, "gone"), (5, None)],
+        [(1, "same"), (2, "will change"), (3, "gone"), (5, None),
+         (6, None), (7, "")],
         ["url", "text"],
     )
     new = spark.createDataFrame(
-        [(1, "same"), (2, "changed!"), (4, "brand new"), (5, None)],
+        [(1, "same"), (2, "changed!"), (4, "brand new"), (5, None),
+         (6, ""), (7, None)],
         ["url", "text"],
     )
     got = {
@@ -276,7 +371,9 @@ def test_snapshot_diff_classification(spark):
         2: "changed",
         3: "removed",
         4: "added",
-        5: "unchanged",  # null == null via '' fingerprint
+        5: "unchanged",  # null == null via the <NULL> sentinel
+        6: "changed",  # NULL -> '' is a change, not md5('')==md5('')
+        7: "changed",  # '' -> NULL likewise
     }
 
 
