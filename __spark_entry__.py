@@ -1315,10 +1315,13 @@ def q_url_filter(spark, sf):
     reference ancestor; training-data extension). The driver tables
     carry no urls, so each doc plants a deterministic doc_id-derived
     url covering every shape: static-asset extension, raw-IP host,
-    ccTLD second-level domain, bad-word url, oversized query string,
-    plain site. The blocklist anti-join runs first (blocked domains'
-    rows are absent from the result — the row set IS the check), then
-    registrable domain + the four shape flags."""
+    PSL multi-label suffixes (ICANN co.uk/gob.mx, private-section
+    blogspot.com, wildcard *.ck, the !www.ck exception), bad-word
+    url, oversized query string, plain site. The blocklist anti-join
+    runs first (blocked domains' rows are absent from the result —
+    the row set IS the check; blocking ONE blogspot subdomain must
+    not touch its sibling blogs), then registrable domain + the four
+    shape flags."""
     from data_quality_checker_spark.plans import urlfilter as UF
 
     docs = _t(spark, sf, "documents")
@@ -1338,13 +1341,24 @@ def q_url_filter(spark, sf):
         .when(m == 4, F.concat(
             F.lit("https://search.portal.net/find?"),
             F.repeat(F.lit("x"), 300)))
+        .when(m == 5, F.concat(
+            F.lit("https://user"), (F.col("doc_id") % 20).cast("string"),
+            F.lit(".blogspot.com/post/"), did))
+        .when(m == 6, F.concat(
+            F.lit("https://fotos.example.gob.mx/f/"), did))
+        .when(m == 7, F.concat(
+            F.lit("https://pages.h"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".site.ck/p/"), did))
+        .when(m == 8, F.concat(F.lit("https://www.ck/home/"), did))
         .otherwise(F.concat(
             F.lit("https://www.site"), (F.col("doc_id") % 50).cast("string"),
             F.lit(".org/a/"), did))
     )
     df = docs.select("doc_id", url.alias("url"))
     bl = spark.createDataFrame(
-        [("site3.org",), ("site7.org",), ("example.co.uk",)], ["domain"]
+        [("site9.org",), ("site29.org",), ("example.co.uk",),
+         ("user5.blogspot.com",)],
+        ["domain"],
     )
     kept = UF.filter_blocked_domains(df, bl)
     flags = UF.url_quality_flags("url", blocked_words=("casino", "poker"))
@@ -1355,14 +1369,44 @@ def q_url_filter(spark, sf):
     )
 
 
-def _sql_url_filter():
+def _sql_registrable_domain() -> str:
+    """DuckDB twin of urlfilter.registrable_domain as a CASE over a
+    prepared relation exposing (host, p, n) — the PSL sets are
+    interpolated from the SAME module constants the Spark expression
+    uses (single source of truth)."""
     from data_quality_checker_spark.plans.urlfilter import (
-        BAD_EXTENSIONS,
-        CC_SECOND_LEVEL,
+        PSL_EXCEPTIONS,
+        PSL_MULTI2,
+        PSL_MULTI3,
+        PSL_WILDCARD_TLDS,
     )
 
+    def lst(xs):
+        return ", ".join(f"'{x}'" for x in xs)
+
+    ip = "^[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}$"
+    s2 = "p[-2] || '.' || p[-1]"
+    s3 = "p[-3] || '.' || " + s2
+    s4 = "p[-4] || '.' || " + s3
+    return f"""
+  case when regexp_matches(host, '{ip}') then host
+       when n >= 4 and ({s3}) in ({lst(PSL_MULTI3)}) then {s4}
+       when n >= 3 and ({s3}) in ({lst(PSL_MULTI3)}) then host
+       when n >= 2 and ({s2}) in ({lst(PSL_EXCEPTIONS)}) then {s2}
+       when n >= 3 and (({s2}) in ({lst(PSL_MULTI2)})
+                        or p[-1] in ({lst(PSL_WILDCARD_TLDS)}))
+            then {s3}
+       when n >= 2 and (({s2}) in ({lst(PSL_MULTI2)})
+                        or p[-1] in ({lst(PSL_WILDCARD_TLDS)}))
+            then host
+       when n >= 2 then {s2}
+       else host end"""
+
+
+def _sql_url_filter():
+    from data_quality_checker_spark.plans.urlfilter import BAD_EXTENSIONS
+
     ext = "|".join(BAD_EXTENSIONS)
-    ccs = ", ".join(f"'{c}'" for c in CC_SECOND_LEVEL)
     ip = "^[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}$"
     return f"""
 with u as (select doc_id,
@@ -1376,6 +1420,13 @@ with u as (select doc_id,
          || doc_id::varchar
        when doc_id % 10 = 4 then 'https://search.portal.net/find?'
          || repeat('x', 300)
+       when doc_id % 10 = 5 then 'https://user' || (doc_id % 20)::varchar
+         || '.blogspot.com/post/' || doc_id::varchar
+       when doc_id % 10 = 6 then 'https://fotos.example.gob.mx/f/'
+         || doc_id::varchar
+       when doc_id % 10 = 7 then 'https://pages.h' || (doc_id % 5)::varchar
+         || '.site.ck/p/' || doc_id::varchar
+       when doc_id % 10 = 8 then 'https://www.ck/home/' || doc_id::varchar
        else 'https://www.site' || (doc_id % 50)::varchar || '.org/a/'
          || doc_id::varchar end as url
   from documents),
@@ -1385,11 +1436,7 @@ h as (select doc_id, url, lower(url) lu,
 d as (select *, string_split(host, '.') p,
       len(string_split(host, '.')) n from h),
 dom as (select doc_id, lu, host,
-  case when regexp_matches(host, '{ip}') then host
-       when n >= 3 and len(p[-1]) = 2 and p[-2] in ({ccs})
-            then p[-3] || '.' || p[-2] || '.' || p[-1]
-       when n >= 2 then p[-2] || '.' || p[-1]
-       else host end as domain
+  {_sql_registrable_domain()} as domain
   from d)
 select doc_id, domain,
   regexp_matches(regexp_extract(lu,
@@ -1399,7 +1446,8 @@ select doc_id, domain,
   len(regexp_extract(lu, '\\?([^#]*)', 1)) > 256 as url_long_query,
   regexp_matches(lu, '(casino|poker)') as url_blocked_word
 from dom
-where domain not in ('site3.org', 'site7.org', 'example.co.uk')
+where domain not in ('site9.org', 'site29.org', 'example.co.uk',
+                     'user5.blogspot.com')
 """
 
 
@@ -2690,17 +2738,27 @@ from r where rn = 1
 def q_host_cap(spark, sf):
     """Per-host quota capping (urlfilter.cap_per_host exact form —
     RefinedWeb-style; no reference ancestor). Urls planted per doc_id
-    over 17 hosts; cap 10 per host keeps a deterministic md5-ordered
-    sample — the kept-row SET is the check. The threshold (windowless)
-    crawl-scale form is statistically tested in test_urlfilter.py."""
+    over 17 host groups; odd doc_ids live on ROTATING SUBDOMAINS of a
+    co.uk registrable domain (www0/www1/www2.ex{k}.co.uk), so the
+    quota is only exact if the PSL suffix logic collapses them into
+    one host group — a naive last-2-label domain would quota
+    'co.uk' itself. Cap 10 per domain keeps a deterministic
+    md5-ordered sample; the kept-row SET is the check. The threshold
+    (windowless) crawl-scale form is statistically tested in
+    test_urlfilter.py."""
     from data_quality_checker_spark.plans import urlfilter as UF
 
     docs = _t(spark, sf, "documents")
-    url = F.concat(
-        F.lit("https://h"),
-        (F.col("doc_id") % 17).cast("string"),
-        F.lit("-site.org/p/"),
-        F.col("doc_id").cast("string"),
+    did = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 17).cast("string")
+    url = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("https://h"), k, F.lit("-site.org/p/"), did),
+    ).otherwise(
+        F.concat(
+            F.lit("https://www"), (F.col("doc_id") % 3).cast("string"),
+            F.lit(".ex"), k, F.lit(".co.uk/p/"), did,
+        )
     )
     df = docs.select("doc_id", url.alias("url"))
     return UF.cap_per_host(df, max_per_host=10, exact=True).select(
@@ -2709,12 +2767,17 @@ def q_host_cap(spark, sf):
 
 
 SQL_HOST_CAP = """
-with u as (select doc_id, 'https://h' || (doc_id % 17)::varchar
-             || '-site.org/p/' || doc_id::varchar as url
-           from documents),
+with u as (select doc_id,
+  case when doc_id % 2 = 0
+       then 'https://h' || (doc_id % 17)::varchar
+            || '-site.org/p/' || doc_id::varchar
+       else 'https://www' || (doc_id % 3)::varchar || '.ex'
+            || (doc_id % 17)::varchar || '.co.uk/p/' || doc_id::varchar
+  end as url from documents),
 w as (select doc_id, url,
-             count(*) over (partition by doc_id % 17) host_docs,
-             row_number() over (partition by doc_id % 17
+             count(*) over (partition by doc_id % 17, doc_id % 2)
+               host_docs,
+             row_number() over (partition by doc_id % 17, doc_id % 2
                                 order by md5(url), url) rn
       from u)
 select doc_id, host_docs::bigint as host_docs from w where rn <= 10

@@ -5,11 +5,16 @@ No reference ancestor — /root/reference validates tabular columns only;
 this is a training-data-pipeline extension (task brief). Three layers,
 all pure Catalyst (the scan never leaves whole-stage codegen):
 
-- ``url_host`` / ``registrable_domain``: host extraction and a
-  documented-naive eTLD+1 (last two labels, or three when the
-  second-level label is a common country-code second-level like
-  ``co``/``com``/``ac`` under a 2-letter TLD — a public-suffix-list
-  slot, not a replacement for one).
+- ``url_host`` / ``registrable_domain``: host extraction and
+  public-suffix-aware eTLD+1 over a bundled snapshot of the public
+  suffix list (publicsuffix.org — ICANN multi-label suffixes for the
+  high-traffic ccTLDs plus the crawl-frequent private-section hosters
+  like ``blogspot.com``/``github.io``). The suffix sets compile to
+  Catalyst ``isin`` (InSet — a JVM hash-set probe inside whole-stage
+  codegen), which beats a broadcast suffix-dim join at 100 TB: zero
+  join, zero build side, and the same literal lists twin verbatim
+  into DuckDB SQL and the Python mirror. Custom / full-PSL
+  deployments pass their own suffix tuples.
 - ``url_quality_flags``: shape heuristics — static-asset/file
   extensions, localhost/raw-IP hosts, oversized query strings,
   blocked words anywhere in the lowercased url (C4's bad-word URL
@@ -31,11 +36,15 @@ from pyspark.sql import functions as F
 __all__ = [
     "url_host",
     "registrable_domain",
+    "registrable_domain_py",
     "url_quality_flags",
     "filter_blocked_domains",
     "cap_per_host",
     "BAD_EXTENSIONS",
-    "CC_SECOND_LEVEL",
+    "PSL_MULTI2",
+    "PSL_MULTI3",
+    "PSL_WILDCARD_TLDS",
+    "PSL_EXCEPTIONS",
 ]
 
 # static-asset / non-document extensions (path end, before any query)
@@ -45,8 +54,111 @@ BAD_EXTENSIONS = (
     "woff", "woff2", "ttf",
 )
 
-# common country-code second-level labels: <name>.co.uk etc.
-CC_SECOND_LEVEL = ("co", "com", "net", "org", "ac", "gov", "edu")
+# ---------------------------------------------------------------------
+# Bundled snapshot of the public suffix list (publicsuffix.org).
+# A SUBSET by design: the ICANN multi-label suffixes for the ccTLDs
+# that dominate crawl traffic plus the private-section hosting domains
+# a crawl hits constantly (blogspot/github.io/...). Full-PSL
+# deployments pass their complete tuples via the psl2/psl3 parameters
+# — the expression shape is independent of list size (isin compiles
+# to an O(1) hash-set probe either way).
+# ---------------------------------------------------------------------
+
+# two-label public suffixes: registrable domain = last THREE labels
+PSL_MULTI2 = (
+    # ICANN ccTLD second-levels
+    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk",
+    "sch.uk", "ac.uk", "gov.uk", "nhs.uk", "police.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au",
+    "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "geek.nz", "gen.nz", "kiwi.nz", "maori.nz",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br",
+    "art.br", "blog.br", "eco.br",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "ac.in", "edu.in", "gov.in", "res.in", "nic.in", "mil.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "mil.cn",
+    "co.za", "net.za", "org.za", "gov.za", "edu.za", "ac.za",
+    "web.za",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar", "int.ar",
+    "mil.ar",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "av.tr",
+    "bel.tr", "biz.tr", "gen.tr", "web.tr",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "mil.kr", "ac.kr",
+    "pe.kr", "hs.kr", "ms.kr", "es.kr", "sc.kr", "kg.kr",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "game.tw", "ebiz.tw", "club.tw",
+    "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk", "idv.hk",
+    "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg", "per.sg",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my", "mil.my",
+    "name.my",
+    "co.id", "net.id", "or.id", "web.id", "sch.id", "go.id",
+    "ac.id", "mil.id", "biz.id", "my.id", "desa.id", "ponpes.id",
+    "co.th", "net.th", "or.th", "ac.th", "go.th", "in.th", "mi.th",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "int.vn",
+    "ac.vn", "biz.vn", "info.vn", "name.vn", "pro.vn", "health.vn",
+    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph", "ngo.ph",
+    "mil.ph", "i.ph",
+    "co.il", "net.il", "org.il", "ac.il", "gov.il", "muni.il",
+    "idf.il", "k12.il",
+    "ac.ru", "edu.ru", "gov.ru", "int.ru", "mil.ru", "test.ru",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "kiev.ua", "lviv.ua",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "info.pl",
+    "waw.pl", "biz.pl", "mil.pl",
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg", "sci.eg",
+    "mil.eg", "name.eg", "eun.eg",
+    "com.sa", "net.sa", "org.sa", "gov.sa", "edu.sa", "med.sa",
+    "pub.sa", "sch.sa",
+    "com.ng", "net.ng", "org.ng", "gov.ng", "edu.ng", "name.ng",
+    "sch.ng", "mobi.ng", "mil.ng", "i.ng",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke", "me.ke",
+    "mobi.ke", "info.ke",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "asso.fr", "com.fr", "gouv.fr", "nom.fr", "prd.fr", "tm.fr",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co", "nom.co",
+    "mil.co", "rec.co", "web.co", "firm.co", "info.co", "int.co",
+    "com.ve", "net.ve", "org.ve", "co.ve", "edu.ve", "gob.ve",
+    "info.ve", "mil.ve", "web.ve",
+    "co.cl", "gob.cl", "gov.cl", "mil.cl",
+    "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe", "mil.pe",
+    "nom.pe",
+    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk", "fam.pk",
+    "biz.pk", "web.pk", "gob.pk", "gok.pk", "gon.pk", "gop.pk",
+    "gos.pk",
+    # private section: hosting providers where every subdomain is an
+    # independent registrant (the case a naive eTLD+1 collapses into
+    # one mega-host and mis-buckets quotas/blocklists)
+    "blogspot.com", "blogspot.in", "blogspot.de", "blogspot.fr",
+    "blogspot.jp", "blogspot.mx", "blogspot.ca", "blogspot.it",
+    "blogspot.es", "blogspot.nl", "blogspot.se", "blogspot.ch",
+    "blogspot.pt", "blogspot.gr", "blogspot.hu", "blogspot.sg",
+    "github.io", "gitlab.io", "herokuapp.com", "appspot.com",
+    "azurewebsites.net", "cloudfront.net", "netlify.app",
+    "vercel.app", "firebaseapp.com", "web.app", "pages.dev",
+    "workers.dev", "wordpress.com", "tumblr.com", "weebly.com",
+    "wixsite.com", "neocities.org", "readthedocs.io",
+)
+
+# three-label public suffixes: registrable domain = last FOUR labels
+PSL_MULTI3 = (
+    "blogspot.co.uk", "blogspot.com.br", "blogspot.com.au",
+    "blogspot.com.ar", "blogspot.co.nz", "blogspot.co.za",
+    "blogspot.co.il", "blogspot.com.es", "blogspot.com.mx",
+    "s3.amazonaws.com",
+)
+
+# wildcard rules `*.tld`: ANY single label under the TLD is a public
+# suffix, so the registrable domain is the last THREE labels
+PSL_WILDCARD_TLDS = ("bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg")
+
+# exception rules `!host`: carve-outs from a wildcard — the host IS a
+# registrable domain (its public suffix is just the TLD)
+PSL_EXCEPTIONS = ("www.ck",)
 
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
 _IP_HOST_RE = r"^[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}$"
@@ -63,31 +175,71 @@ def url_host(url: Column | str) -> Column:
     return F.regexp_replace(host, r":[0-9]+$", "")
 
 
-def registrable_domain(url: Column | str) -> Column:
-    """Naive eTLD+1: last two dot-labels, or last three when the
-    middle label is a CC_SECOND_LEVEL name under a 2-letter TLD
-    (``example.co.uk`` -> ``example.co.uk``). Raw-IP hosts return the
-    full IP. A real deployment swaps this for a broadcast
-    public-suffix-list table keyed by suffix."""
+def registrable_domain(
+    url: Column | str,
+    psl2: tuple[str, ...] = PSL_MULTI2,
+    psl3: tuple[str, ...] = PSL_MULTI3,
+    wildcard_tlds: tuple[str, ...] = PSL_WILDCARD_TLDS,
+    exceptions: tuple[str, ...] = PSL_EXCEPTIONS,
+) -> Column:
+    """Public-suffix-aware eTLD+1 (publicsuffix.org algorithm over the
+    bundled snapshot; pass full-PSL tuples to override): the
+    registrable domain is the public suffix plus one label, where the
+    public suffix is the LONGEST match among the three-label set, the
+    two-label set, a wildcard ``*.tld`` rule, or the implicit
+    one-label default; ``!host`` exceptions carve a host back out of
+    its wildcard. Hosts that ARE a public suffix (``co.uk``,
+    ``blogspot.com``) return themselves; raw-IP hosts return the full
+    IP. Pure Catalyst — the isin sets compile to InSet hash probes, no
+    join, no shuffle. Mirrored by :func:`registrable_domain_py`
+    (property-pinned) and twinned verbatim in the DuckDB oracles."""
     host = url_host(url)
     parts = F.split(host, r"\.")
     n = F.size(parts)
-    second = F.element_at(parts, -2)
     tld = F.element_at(parts, -1)
-    take3 = (
-        (n >= 3)
-        & (F.length(tld) == 2)
-        & second.isin(*CC_SECOND_LEVEL)
-    )
-    dom3 = F.concat_ws(
-        ".", F.element_at(parts, -3), second, tld
-    )
-    dom2 = F.concat_ws(".", second, tld)
-    return F.when(host.rlike(_IP_HOST_RE), host).otherwise(
-        F.when(n >= 3, F.when(take3, dom3).otherwise(dom2))
-        .when(n == 2, dom2)
+    suf2 = F.concat_ws(".", F.element_at(parts, -2), tld)
+    suf3 = F.concat_ws(".", F.element_at(parts, -3), suf2)
+    dom4 = F.concat_ws(".", F.element_at(parts, -4), suf3)
+    is3 = (n >= 3) & suf3.isin(*psl3)
+    exc = (n >= 2) & suf2.isin(*exceptions)
+    is2 = (n >= 2) & (suf2.isin(*psl2) | tld.isin(*wildcard_tlds))
+    return (
+        F.when(host.rlike(_IP_HOST_RE), host)
+        .when(is3 & (n >= 4), dom4)
+        .when(is3, host)  # host IS a 3-label public suffix
+        .when(exc, suf2)  # exception: public suffix is the bare TLD
+        .when(is2 & (n >= 3), suf3)
+        .when(is2, host)  # host IS a 2-label public suffix
+        .when(n >= 2, suf2)
         .otherwise(host)
     )
+
+
+def registrable_domain_py(
+    host: str,
+    psl2: tuple[str, ...] = PSL_MULTI2,
+    psl3: tuple[str, ...] = PSL_MULTI3,
+    wildcard_tlds: tuple[str, ...] = PSL_WILDCARD_TLDS,
+    exceptions: tuple[str, ...] = PSL_EXCEPTIONS,
+) -> str:
+    """Pure-Python mirror of :func:`registrable_domain` over an
+    already-extracted lowercase host (the property-test oracle; same
+    branch order, same sets)."""
+    import re as _re
+
+    if _re.match(_IP_HOST_RE, host):
+        return host
+    parts = host.split(".") if host else []
+    n = len(parts)
+    suf2 = ".".join(parts[-2:]) if n >= 2 else ""
+    suf3 = ".".join(parts[-3:]) if n >= 3 else ""
+    if n >= 3 and suf3 in psl3:
+        return ".".join(parts[-4:]) if n >= 4 else host
+    if n >= 2 and suf2 in exceptions:
+        return suf2
+    if n >= 2 and (suf2 in psl2 or parts[-1] in wildcard_tlds):
+        return ".".join(parts[-3:]) if n >= 3 else host
+    return suf2 if n >= 2 else host
 
 
 def url_quality_flags(

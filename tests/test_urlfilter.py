@@ -1,5 +1,6 @@
 """URL/domain filtering (plans/urlfilter.py): host extraction with
-ports/userinfo, naive eTLD+1, shape flags, blocklist anti-join plan."""
+ports/userinfo, PSL-aware eTLD+1 (bundled public-suffix snapshot),
+shape flags, blocklist anti-join plan."""
 
 from __future__ import annotations
 
@@ -27,6 +28,72 @@ def test_host_and_domain_extraction(spark):
     for url, (host, dom) in cases.items():
         assert _one(spark, url, UF.url_host("url")) == host, url
         assert _one(spark, url, UF.registrable_domain("url")) == dom, url
+
+
+def test_registrable_domain_psl(spark):
+    """Public-suffix snapshot semantics: ICANN multi-label suffixes,
+    private-section hosters (each blogspot subdomain is its own
+    registrant), 3-label suffixes, wildcard *.ck, the !www.ck
+    exception, and hosts that ARE a public suffix."""
+    cases = {
+        # ICANN 2-label suffixes a naive co/com/net heuristic misses
+        "https://fotos.example.gob.mx/f/1": "example.gob.mx",
+        "https://a.b.example.ne.jp/": "example.ne.jp",
+        "https://x.firma.com.tr/": "firma.com.tr",
+        # private section: subdomains are independent registrants
+        "https://user7.blogspot.com/post/1": "user7.blogspot.com",
+        "https://deep.user7.blogspot.com/": "user7.blogspot.com",
+        "https://proj.github.io/docs": "proj.github.io",
+        "https://app7.herokuapp.com/": "app7.herokuapp.com",
+        # 3-label suffix -> registrable is FOUR labels
+        "https://me.blogspot.co.uk/": "me.blogspot.co.uk",
+        "https://www.me.blogspot.co.uk/": "me.blogspot.co.uk",
+        "https://bucket1.s3.amazonaws.com/key": "bucket1.s3.amazonaws.com",
+        # wildcard *.ck: any label under ck is a public suffix
+        "https://pages.h1.site.ck/p": "h1.site.ck",
+        "https://site.ck/": "site.ck",  # IS a public suffix -> itself
+        # exception !www.ck: carved out of the wildcard
+        "https://www.ck/home": "www.ck",
+        "https://sub.www.ck/x": "www.ck",
+        # hosts that ARE a 2-label public suffix return themselves
+        "https://co.uk/": "co.uk",
+        "https://blogspot.com/": "blogspot.com",
+        # unknown TLD falls back to eTLD+1
+        "https://a.b.example.zz/": "example.zz",
+    }
+    for url, dom in cases.items():
+        assert _one(spark, url, UF.registrable_domain("url")) == dom, url
+
+
+def test_registrable_domain_python_mirror(spark):
+    """The pure-Python mirror agrees with the Catalyst expression on a
+    host battery spanning every branch (the engine-portability pin the
+    DuckDB twin relies on)."""
+    hosts = [
+        "www.example.com", "deep.sub.site.org", "shop.example.co.uk",
+        "x.y.z.example.co.uk", "user7.blogspot.com", "proj.github.io",
+        "me.blogspot.co.uk", "a.me.blogspot.co.uk",
+        "bucket.s3.amazonaws.com", "pages.h1.site.ck", "site.ck",
+        "www.ck", "sub.www.ck", "co.uk", "blogspot.com", "example.zz",
+        "a.b.example.zz", "fotos.example.gob.mx", "e.ne.jp", "ne.jp",
+        "10.1.2.3", "localhost", "ck", "uk", "",
+        "x.ac.in", "y.x.ac.in", "h3-site.org", "www2.ex3.co.uk",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], ["h"])
+    # feed hosts through a synthetic url so url_host() is exercised too
+    got = {
+        r["h"]: r["d"]
+        for r in df.select(
+            "h",
+            UF.registrable_domain(
+                F.concat(F.lit("https://"), F.col("h"), F.lit("/p"))
+            ).alias("d"),
+        ).collect()
+    }
+    for h in hosts:
+        if h == "":  # '' makes an invalid url -> host '' either way
+            continue
+        assert got[h] == UF.registrable_domain_py(h), h
 
 
 def test_quality_flags(spark):
