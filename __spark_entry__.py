@@ -3381,6 +3381,87 @@ from documents where doc_id < 300
 """
 
 
+def q_multimodal_content(spark, sf):
+    """REAL pixel/sample decode (multimodal.content_decode): each doc
+    gets a deterministic VALID payload — 24-bit BMP (varying stride
+    padding) / 16-bit PCM WAV / opaque video blob — built distributed
+    by attach_synth_media; content_decode then parses the BINARY and
+    reports Rec.601 luminance mean/σ + channel clip fraction (image)
+    and full-scale RMS/peak + rail-clip fraction (audio). The DuckDB
+    twin never sees the bytes: it recomputes every statistic
+    ANALYTICALLY from the closed-form pixel/sample ramps, so a stride,
+    offset, channel-order, or normalization bug in the decoder is a
+    value mismatch."""
+    from data_quality_checker_spark.operators.multimodal import (
+        attach_synth_media,
+        content_decode,
+        extract_media_features,
+    )
+
+    docs = _t(spark, sf, "documents").filter("doc_id < 200")
+    media = attach_synth_media(docs, "doc_id")
+    feat = extract_media_features(media, decoder=content_decode)
+    return feat.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "duration_ms",
+        _r6(F.col("lum_mean")).alias("lum_mean"),
+        _r6(F.col("lum_std")).alias("lum_std"),
+        _r6(F.col("rms")).alias("rms"),
+        _r6(F.col("peak")).alias("peak"),
+        _r6(F.col("clip_frac")).alias("clip_frac"),
+    )
+
+
+SQL_MULTIMODAL_CONTENT = """
+with ids as (select doc_id from documents where doc_id < 200),
+img as (select doc_id, (4 + doc_id % 5)::int w, (3 + doc_id % 4)::int h
+        from ids where doc_id % 3 = 0),
+pxx as (select doc_id, h, unnest(range(w)) as x from img),
+px as (select doc_id, x, unnest(range(h)) as y from pxx),
+pxc as (select doc_id,
+              (doc_id   +  7*x + 13*y) % 256 as b,
+              (3*doc_id + 11*x +  5*y) % 256 as g,
+              (5*doc_id +  3*x + 17*y) % 256 as r
+        from px),
+imstat as (select doc_id,
+    avg(0.299*r + 0.587*g + 0.114*b) lum_mean,
+    stddev_pop(0.299*r + 0.587*g + 0.114*b) lum_std,
+    avg(((b = 0 or b = 255)::int + (g = 0 or g = 255)::int
+         + (r = 0 or r = 255)::int) / 3.0) clip_frac
+  from pxc group by doc_id),
+aud as (select doc_id, (200 + doc_id % 100)::bigint n
+        from ids where doc_id % 3 = 1),
+smpi as (select doc_id, unnest(range(n)) as i from aud),
+smp as (select doc_id, ((31*doc_id + 997*i) % 65536) - 32768 as s
+        from smpi),
+austat as (select doc_id,
+    sqrt(avg((s/32768.0)*(s/32768.0))) rms,
+    max(abs(s/32768.0)) peak,
+    avg((abs(s) >= 32767)::int) clip_frac
+  from smp group by doc_id)
+select i.doc_id as media_id, 'image' as kind, i.w as width,
+       i.h as height, null::int as duration_ms,
+       round(s.lum_mean, 6) as lum_mean, round(s.lum_std, 6) as lum_std,
+       null::double as rms, null::double as peak,
+       round(s.clip_frac, 6) as clip_frac
+from img i join imstat s using (doc_id)
+union all
+select a.doc_id, 'audio', null::int, null::int,
+       ((a.n * 2 * 1000) // 16000)::int,
+       null::double, null::double, round(s.rms, 6), round(s.peak, 6),
+       round(s.clip_frac, 6)
+from aud a join austat s using (doc_id)
+union all
+select doc_id, 'video', null::int, null::int, null::int,
+       null::double, null::double, null::double, null::double,
+       null::double
+from ids where doc_id % 3 = 2
+"""
+
+
 # --------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------
@@ -3512,6 +3593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity": q_perplexity,
         # multimodal
         "multimodal_features": q_multimodal_features,
+        "multimodal_content": q_multimodal_content,
     }
 
 
@@ -3621,4 +3703,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_lsh": SQL_ANN_LSH_RECALL,
         "embedding_pairs": SQL_EMB_PAIRS,
         "multimodal_features": SQL_MULTIMODAL,
+        "multimodal_content": SQL_MULTIMODAL_CONTENT,
     }

@@ -1,20 +1,27 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata. The Spark-side plumbing (schema, partitioning, mapInPandas
-batch shape, Arrow transfer of binary) is real and tested; the actual
-codec step is STUBBED — this container has no image/audio libraries —
-behind `decoder=` hooks that default to a deterministic fake and raise
-NotImplementedError when a real decode is requested.
+batch shape, Arrow transfer of binary) is real and tested; the codec
+layer is tiered behind `decoder=` hooks: ``header_decode`` (real
+PNG/BMP/GIF/WAV header metadata), ``content_decode`` (REAL pixel /
+sample statistics for the two formats parseable with numpy alone —
+uncompressed 24-bit BMP and 16-bit PCM WAV), and a deterministic fake;
+compressed formats (JPEG/MP3/H.264) still need PIL/ffmpeg and raise
+via ``_real_decode``.
 
 Design for 100 TB: binary payloads ride in their own column so column
 pruning keeps them out of every non-media plan (same discipline as the
 pipeline's `html`); feature extraction streams Arrow record batches
-through mapInPandas with bounded batch size, never collect()."""
+through mapInPandas with bounded batch size, never collect(); the
+pixel/sample math is vectorized numpy over each payload, no per-row
+Python in the Spark sense."""
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -22,8 +29,12 @@ from pyspark.sql import functions as F
 __all__ = [
     "MEDIA_SCHEMA",
     "attach_fake_media",
+    "attach_synth_media",
     "extract_media_features",
     "header_decode",
+    "content_decode",
+    "synth_bmp",
+    "synth_wav",
     "sample_video_frames",
 ]
 
@@ -52,6 +63,87 @@ def attach_fake_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.lit(None).cast("int").alias("height"),
             F.lit(None).cast("int").alias("duration_ms"),
         ).alias("meta"),
+    )
+
+
+def synth_bmp(media_id: int) -> bytes:
+    """Deterministic VALID uncompressed 24-bit BMP whose pixel values
+    are a closed-form function of (media_id, x, y) — so an oracle can
+    recompute the content statistics analytically without parsing the
+    binary. Width 4..8 varies the row-stride padding (w*3 % 4 covers
+    every case); channels are mod-256 linear ramps (BGR order):
+    B=(id+7x+13y), G=(3id+11x+5y), R=(5id+3x+17y), all % 256."""
+    mid = int(media_id)
+    w = 4 + mid % 5
+    h = 3 + mid % 4
+    stride = (w * 3 + 3) // 4 * 4
+    x = np.arange(w).reshape(1, w)
+    y = np.arange(h).reshape(h, 1)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    px = np.stack(
+        [
+            (mid + 7 * x + 13 * y) % 256,  # B
+            (3 * mid + 11 * x + 5 * y) % 256,  # G
+            (5 * mid + 3 * x + 17 * y) % 256,  # R
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    rows[:, : w * 3] = px.reshape(h, w * 3)
+    body = rows.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + body
+
+
+def synth_wav(media_id: int) -> bytes:
+    """Deterministic VALID 16-bit PCM mono WAV (8 kHz): n=200+id%100
+    samples s_i = ((31*id + 997*i) % 65536) - 32768 — full-scale ramp
+    hitting the rails, again closed-form for the oracle."""
+    mid = int(media_id)
+    n = 200 + mid % 100
+    s = ((31 * mid + 997 * np.arange(n)) % 65536 - 32768).astype("<i2")
+    body = s.tobytes()
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(body), b"WAVE", b"fmt ", 16,
+        1, 1, 8000, 16000, 2, 16, b"data", len(body),
+    )
+    return header + body
+
+
+def attach_synth_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Fixture builder: one REAL decodable payload per row — 24-bit
+    BMP for ``media_id % 3 == 0``, PCM WAV for ``% 3 == 1``, and an
+    opaque (undecodable) blob for video — built distributed inside
+    mapInPandas, deterministic per id."""
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            kinds, payloads = [], []
+            for mid in pdf["media_id"]:
+                m = int(mid) % 3
+                if m == 0:
+                    kinds.append("image")
+                    payloads.append(synth_bmp(mid))
+                elif m == 1:
+                    kinds.append("audio")
+                    payloads.append(synth_wav(mid))
+                else:
+                    kinds.append("video")
+                    payloads.append(b"opaque-video-" + str(mid).encode())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": kinds,
+                    "payload": payloads,
+                }
+            )
+
+    return df.select(F.col(id_col).alias("media_id")).mapInPandas(
+        _build, schema="media_id long, kind string, payload binary"
     )
 
 
@@ -106,17 +198,92 @@ def header_decode(payload: bytes, kind: str) -> dict:
     return out
 
 
+def content_decode(payload: bytes, kind: str) -> dict:
+    """REAL pixel/sample decode for the two formats parseable with
+    numpy alone, layered on :func:`header_decode` metadata:
+
+    - uncompressed 24-bit BMP -> ``lum_mean`` / ``lum_std`` (Rec.601
+      luminance, population σ) and ``clip_frac`` (fraction of channel
+      bytes at 0 or 255) — row-stride padding and top-down (negative
+      height) layouts handled;
+    - 16-bit PCM mono/stereo WAV -> ``rms`` / ``peak`` (full-scale
+      normalized) and ``clip_frac`` (fraction of samples at the rail,
+      |s| >= 32767).
+
+    Compressed formats fall through with content stats None (header
+    metadata only). Pass as ``decoder=content_decode``."""
+    out = header_decode(payload, kind)
+    out.update(
+        {"lum_mean": None, "lum_std": None, "rms": None, "peak": None,
+         "clip_frac": None}
+    )
+    p = payload or b""
+    try:
+        if p[:2] == b"BM" and len(p) >= 54:
+            off = int.from_bytes(p[10:14], "little")
+            w = int.from_bytes(p[18:22], "little", signed=True)
+            h_raw = int.from_bytes(p[22:26], "little", signed=True)
+            bpp = int.from_bytes(p[28:30], "little")
+            comp = int.from_bytes(p[30:34], "little")
+            h = abs(h_raw)
+            stride = (w * 3 + 3) // 4 * 4
+            if (
+                bpp == 24 and comp == 0 and w > 0 and h > 0
+                and len(p) >= off + stride * h
+            ):
+                rows = np.frombuffer(
+                    p, dtype=np.uint8, count=stride * h, offset=off
+                ).reshape(h, stride)
+                # drop per-row padding; BGR channel order
+                px = rows[:, : w * 3].reshape(h, w, 3).astype(np.float64)
+                lum = (
+                    0.299 * px[:, :, 2]
+                    + 0.587 * px[:, :, 1]
+                    + 0.114 * px[:, :, 0]
+                )
+                out["lum_mean"] = float(lum.mean())
+                out["lum_std"] = float(lum.std())  # population σ
+                ch = rows[:, : w * 3]
+                out["clip_frac"] = float(
+                    ((ch == 0) | (ch == 255)).mean()
+                )
+        elif (
+            p[:4] == b"RIFF"
+            and p[8:12] == b"WAVE"
+            and p[12:16] == b"fmt "
+            and len(p) >= 44
+            and p[36:40] == b"data"
+        ):
+            audio_fmt = int.from_bytes(p[20:22], "little")
+            bits = int.from_bytes(p[34:36], "little")
+            data_size = int.from_bytes(p[40:44], "little")
+            n = min(data_size, len(p) - 44) // 2
+            if audio_fmt == 1 and bits == 16 and n > 0:
+                s = np.frombuffer(p, dtype="<i2", count=n, offset=44)
+                norm = s.astype(np.float64) / 32768.0
+                out["rms"] = float(np.sqrt(np.mean(norm * norm)))
+                out["peak"] = float(np.max(np.abs(norm)))
+                out["clip_frac"] = float(np.mean(np.abs(s) >= 32767))
+    except Exception:  # malformed body -> stats unknown, not a crash
+        pass
+    return out
+
+
 def _real_decode(payload: bytes, kind: str) -> dict:  # pragma: no cover
     raise NotImplementedError(
-        "full pixel/sample decoding needs PIL/torchaudio/ffmpeg — not "
-        "present in this environment; header_decode covers PNG/BMP/GIF/"
-        "WAV metadata, _fake_decode gives deterministic stand-ins"
+        "compressed-format decoding (JPEG/MP3/H.264) needs "
+        "PIL/torchaudio/ffmpeg — not present in this environment; "
+        "header_decode covers PNG/BMP/GIF/WAV metadata, content_decode "
+        "covers BMP pixel + WAV PCM statistics, _fake_decode gives "
+        "deterministic stand-ins"
     )
 
 
 FEATURE_SCHEMA = (
     "media_id long, kind string, byte_length long, sha256 string, "
-    "width int, height int, duration_ms int"
+    "width int, height int, duration_ms int, "
+    "lum_mean double, lum_std double, rms double, peak double, "
+    "clip_frac double"
 )
 
 
@@ -150,9 +317,16 @@ def extract_media_features(
                         hashlib.sha256(p or b"").hexdigest()
                         for p in pdf["payload"]
                     ],
-                    "width": [d["width"] for d in decoded],
-                    "height": [d["height"] for d in decoded],
-                    "duration_ms": [d["duration_ms"] for d in decoded],
+                    "width": [d.get("width") for d in decoded],
+                    "height": [d.get("height") for d in decoded],
+                    "duration_ms": [
+                        d.get("duration_ms") for d in decoded
+                    ],
+                    "lum_mean": [d.get("lum_mean") for d in decoded],
+                    "lum_std": [d.get("lum_std") for d in decoded],
+                    "rms": [d.get("rms") for d in decoded],
+                    "peak": [d.get("peak") for d in decoded],
+                    "clip_frac": [d.get("clip_frac") for d in decoded],
                 }
             )
 

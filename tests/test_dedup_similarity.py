@@ -413,6 +413,66 @@ def test_header_decode_real_formats(spark):
     assert _z.decompress(png[8 + 25 + 8 : -12 - 4]) is not None
 
 
+def test_content_decode_pixel_and_pcm_stats(spark):
+    """content_decode parses REAL BMP pixels / WAV PCM samples through
+    the mapInPandas plumbing; stats match the closed-form generators
+    (numpy truth recomputed here), top-down BMPs give identical
+    orientation-invariant stats, and undecodable payloads yield Nones
+    — never crashes."""
+    import numpy as np
+    import struct as _s
+
+    ids = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    media = M.attach_synth_media(ids, "doc_id")
+    got = {
+        r["media_id"]: r
+        for r in M.extract_media_features(
+            media, decoder=M.content_decode
+        ).collect()
+    }
+    for mid in range(0, 12, 3):  # images
+        w, h = 4 + mid % 5, 3 + mid % 4
+        x = np.arange(w).reshape(1, w)
+        y = np.arange(h).reshape(h, 1)
+        b = (mid + 7 * x + 13 * y) % 256
+        g = (3 * mid + 11 * x + 5 * y) % 256
+        rr = (5 * mid + 3 * x + 17 * y) % 256
+        lum = 0.299 * rr + 0.587 * g + 0.114 * b
+        r = got[mid]
+        assert (r["width"], r["height"]) == (w, h)
+        assert abs(r["lum_mean"] - lum.mean()) < 1e-9
+        assert abs(r["lum_std"] - lum.std()) < 1e-9
+        ch = np.stack([b, g, rr])
+        assert abs(r["clip_frac"] - ((ch == 0) | (ch == 255)).mean()) < 1e-9
+        assert r["rms"] is None
+    for mid in range(1, 12, 3):  # audio
+        n = 200 + mid % 100
+        s = ((31 * mid + 997 * np.arange(n)) % 65536 - 32768).astype(float)
+        norm = s / 32768.0
+        r = got[mid]
+        assert r["duration_ms"] == n * 2 * 1000 // 16000
+        assert abs(r["rms"] - np.sqrt((norm * norm).mean())) < 1e-9
+        assert abs(r["peak"] - np.abs(norm).max()) < 1e-9
+        assert abs(r["clip_frac"] - (np.abs(s) >= 32767).mean()) < 1e-9
+        assert r["lum_mean"] is None
+    for mid in range(2, 12, 3):  # opaque video blobs
+        r = got[mid]
+        assert r["lum_mean"] is None and r["rms"] is None
+        assert r["byte_length"] > 0
+
+    # top-down (negative height) BMP: same stats, orientation-free
+    p = bytearray(M.synth_bmp(6))
+    p[22:26] = _s.pack("<i", -(3 + 6 % 4))
+    up = M.content_decode(M.synth_bmp(6), "image")
+    down = M.content_decode(bytes(p), "image")
+    assert abs(up["lum_mean"] - down["lum_mean"]) < 1e-9
+    assert abs(up["clip_frac"] - down["clip_frac"]) < 1e-9
+    # truncated / garbage bodies -> stats None, no crash
+    assert M.content_decode(M.synth_bmp(3)[:40], "image")["lum_mean"] is None
+    assert M.content_decode(b"BMgarbage", "image")["lum_mean"] is None
+    assert M.content_decode(M.synth_wav(4)[:43], "audio")["rms"] is None
+
+
 def test_minhash_prefilter_equivalence_and_liveness(docs):
     """The signature-agreement pre-filter must not change results on a
     corpus whose true pairs sit well above the bar (margin 0.15 keeps
