@@ -2284,6 +2284,80 @@ from ranked where rn = 1
 """
 
 
+def q_spelling_applied(spark, sf):
+    """Applied spelling correction (spelling.with_corrected_text — the
+    opt-in completion of the reference's correct_spelling output,
+    nlp_analyzer.py:39-54): same typo fixture as spelling_suggestions;
+    the check is the md5 of each document's corrected reassembly
+    (whitespace-normalized lowercase tokens with suggestions applied),
+    so a wrong replacement, ordering, or join fan-out anywhere flips a
+    digest. Original text stays untouched (byte-identity invariant)."""
+    from data_quality_checker_spark.operators import spelling as SP
+
+    docs = _t(spark, sf, "documents").filter(
+        "doc_id < 300 and text is not null"
+    )
+    typo = (
+        F.when(F.col("doc_id") % 100 == 0, F.lit(" tha"))
+        .when(F.col("doc_id") % 100 == 1, F.lit(" tabel"))
+        .when(F.col("doc_id") % 100 == 2, F.lit(" fitler"))
+        .when(F.col("doc_id") % 100 == 3, F.lit(" qurey"))
+        .otherwise(F.lit(""))
+    )
+    corrupted = docs.select(
+        "doc_id", F.concat(F.col("text"), typo).alias("text")
+    )
+    sugg = SP.spelling_suggestions(corrupted, min_freq=20)
+    return SP.with_corrected_text(corrupted, sugg).select(
+        "doc_id", F.md5("text_corrected").alias("corrected_md5")
+    )
+
+
+def _sql_spelling_applied() -> str:
+    dels = (
+        "list_distinct(list_concat([{t}], "
+        "list_transform(generate_series(1, len({t})), "
+        "i -> substr({t}, 1, i - 1) || substr({t}, i + 1, 20))))"
+    )
+    return f"""
+with docs as (select doc_id,
+  text || case when doc_id % 100 = 0 then ' tha'
+               when doc_id % 100 = 1 then ' tabel'
+               when doc_id % 100 = 2 then ' fitler'
+               when doc_id % 100 = 3 then ' qurey'
+               else '' end as text
+  from documents where doc_id < 300 and text is not null),
+tf as (select unnest({duck.toks('text')}) as token from docs),
+freqs as (select token, count(*) freq from tf group by 1),
+vocab as (select token vword, freq vfreq from freqs
+          where freq >= 20 and len(token) <= 20),
+susp as (select f.token, f.freq from freqs f
+         anti join vocab v on f.token = v.vword
+         where len(f.token) between 3 and 20),
+sd as (select token, freq, unnest({dels.format(t='token')}) dk from susp),
+vd as (select vword, vfreq, unnest({dels.format(t='vword')}) dk
+       from vocab),
+cand as (select distinct token, freq, vword, vfreq,
+                levenshtein(token, vword) as distance
+         from sd join vd using (dk)
+         where levenshtein(token, vword) <= 2),
+ranked as (select *, row_number() over
+             (partition by token order by distance, vfreq desc, vword)
+             rn
+           from cand),
+sugg as (select token, vword as suggestion from ranked where rn = 1),
+toked as (select doc_id, tk, unnest(tk) as tok,
+                 unnest(range(len(tk))) as pos
+          from (select doc_id, {duck.toks('text')} tk from docs)),
+corr as (select t.doc_id, t.pos, coalesce(s.suggestion, t.tok) ct
+         from toked t left join sugg s on t.tok = s.token),
+agg as (select doc_id, string_agg(ct, ' ' order by pos) corrected
+        from corr group by doc_id)
+select d.doc_id, md5(a.corrected) as corrected_md5
+from docs d left join agg a using (doc_id)
+"""
+
+
 def q_ecdf_value(spark, sf):
     """plot_cdf reframed as data (stats.ecdf_table): the exact
     empirical CDF over events.value — one row per distinct value,
@@ -3564,6 +3638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holiday_weekend_effects": q_holiday_weekend_effects,
         "phone_validity": q_phone_validity,
         "spelling_suggestions": q_spelling_suggestions,
+        "spelling_applied": q_spelling_applied,
         "ecdf_value": q_ecdf_value,
         "correlation_heatmap": q_correlation_heatmap,
         "target_boxstats": q_target_boxstats,
@@ -3673,6 +3748,7 @@ def oracle_sql() -> dict[str, str]:
         "holiday_weekend_effects": SQL_HOLIDAY_WEEKEND,
         "phone_validity": _sql_phone_validity(),
         "spelling_suggestions": _sql_spelling(),
+        "spelling_applied": _sql_spelling_applied(),
         "ecdf_value": SQL_ECDF,
         "correlation_heatmap": _sql_corr_matrix(),
         "target_boxstats": SQL_TARGET_BOXSTATS,

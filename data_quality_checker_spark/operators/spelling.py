@@ -33,7 +33,11 @@ from pyspark.sql import functions as F
 
 from data_quality_checker_spark.functions.text import tokens
 
-__all__ = ["token_frequencies", "spelling_suggestions"]
+__all__ = [
+    "token_frequencies",
+    "spelling_suggestions",
+    "with_corrected_text",
+]
 
 
 def token_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -79,9 +83,19 @@ def spelling_suggestions(
     same self-corpus heuristic SymSpell deployments use when no
     dictionary ships). Tokens longer than ``max_token_len`` are left
     alone (URLs, hashes, identifiers — correcting those is noise).
+
+    Scan economy: ``freqs`` feeds three consumers (vocab filter,
+    suspect anti-join, both delete-key sides), so the self-corpus path
+    persist()s the vocabulary-sized frequency table — the corpus is
+    tokenized ONCE, not three times (plan-pinned in tests). Call
+    ``operators.dedup.release_cache`` on the result when done (same
+    contract as the MinHash operators).
     """
     freqs = token_frequencies(df, text_col)
+    cached: tuple = ()
     if vocab is None:
+        freqs = freqs.persist()
+        cached = (freqs,)
         vocab = freqs.filter(F.col("freq") >= min_freq)
     vocab = vocab.select(
         F.col("token").alias("vword"), F.col("freq").alias("vfreq")
@@ -115,7 +129,7 @@ def spelling_suggestions(
     w = Window.partitionBy("token").orderBy(
         "distance", F.col("vfreq").desc(), F.col("vword")
     )
-    return (
+    out = (
         cands.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(
@@ -126,3 +140,64 @@ def spelling_suggestions(
             "distance",
         )
     )
+    out._cached_deps = cached  # for operators.dedup.release_cache
+    return out
+
+
+def with_corrected_text(
+    df: DataFrame,
+    suggestions: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "text_corrected",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Opt-in APPLICATION of a suggestion table: adds ``out_col`` —
+    the document's tokens rejoined with every suggested token replaced
+    — while leaving ``text_col`` byte-for-byte untouched (completing
+    the reference's correct_spelling output contract,
+    nlp_analyzer.py:39-54, without breaking the scrub byte-identity
+    invariant).
+
+    Contract: ``out_col`` is the WHITESPACE-NORMALIZED lowercase
+    reassembly (single spaces, the ``tokens()`` view of the text) —
+    a derived column for training-data use, not an in-place edit;
+    documents with no tokens (NULL / blank text) get NULL.
+
+    Idempotent by construction: suggestion keys are non-vocabulary
+    tokens, replacements are vocabulary words, so a second application
+    over the same suggestions is the identity.
+
+    Scale shape: posexplode -> equi-join tokens against the (small —
+    misspellings-with-neighbors only) suggestion table (broadcast by
+    default; pass ``broadcast=False`` to let AQE size it) -> one
+    narrow regroup keyed by ``id_col``. The corpus never joins on
+    text, only tokens ride the shuffle.
+
+    Precondition: ``id_col`` is unique (same contract as
+    contamination_report)."""
+    sugg = suggestions.select(
+        F.col("token").alias("_tok"), F.col("suggestion").alias("_sugg")
+    )
+    if broadcast:
+        sugg = F.broadcast(sugg)
+    pos = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("_pos", "_tok"),
+    )
+    fixed = pos.join(sugg, "_tok", "left").select(
+        id_col,
+        F.struct(
+            F.col("_pos").alias("pos"),
+            F.coalesce("_sugg", "_tok").alias("ct"),
+        ).alias("_s"),
+    )
+    corrected = fixed.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list("_s")), lambda s: s["ct"]
+            ),
+        ).alias(out_col)
+    )
+    return df.join(corrected, id_col, "left")

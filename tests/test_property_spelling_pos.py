@@ -9,6 +9,7 @@ import re
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from data_quality_checker_spark.operators import entities as E
 from data_quality_checker_spark.operators import spelling as SP
@@ -85,6 +86,76 @@ def test_spelling_matches_python_mirror(spark, texts):
         for r in SP.spelling_suggestions(df, min_freq=3).collect()
     }
     assert got == _python_suggestions(texts, 3)
+
+
+def test_with_corrected_text_applies_and_is_idempotent(spark):
+    """with_corrected_text replaces suggested tokens in the normalized
+    reassembly, leaves the original text column untouched, NULLs
+    no-token docs, and is a fixed point under re-application."""
+    base = [(i, "the quick brown fox jumps over the lazy dog") for i in range(30)]
+    rows = base + [
+        (100, "teh quick brown fox"),  # 'teh' -> 'the'
+        (101, "THE Quick BROWN fox"),  # case-normalized reassembly
+        (102, None),
+        (103, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sugg = SP.spelling_suggestions(df, min_freq=3)
+    out = {
+        r["doc_id"]: r
+        for r in SP.with_corrected_text(df, sugg).collect()
+    }
+    assert out[100]["text_corrected"] == "the quick brown fox"
+    assert out[100]["text"] == "teh quick brown fox"  # untouched
+    assert out[101]["text_corrected"] == "the quick brown fox"
+    assert out[102]["text_corrected"] is None
+    assert out[103]["text_corrected"] is None  # blank -> no tokens
+    assert (
+        out[0]["text_corrected"]
+        == "the quick brown fox jumps over the lazy dog"
+    )
+    # idempotence: correcting the corrected column changes nothing
+    once = SP.with_corrected_text(df, sugg)
+    twice = SP.with_corrected_text(
+        once.select("doc_id", F.col("text_corrected").alias("text")),
+        sugg,
+    )
+    mismatch = (
+        twice.filter(
+            F.col("text").isNotNull()
+            & (F.col("text") != F.col("text_corrected"))
+        ).count()
+    )
+    assert mismatch == 0
+    from data_quality_checker_spark.operators.dedup import release_cache
+
+    release_cache(sugg)
+
+
+def test_spelling_suggestions_single_corpus_scan(spark, tmp_path_factory):
+    """The frequency table feeds three consumers (vocab filter,
+    suspect anti-join, delete keys); the persist must collapse the
+    corpus tokenization to ONE parquet scan — without it the plan
+    reads the corpus three times."""
+    d = str(tmp_path_factory.mktemp("spell"))
+    spark.createDataFrame(
+        [(i, "alpha beta gamma delta common words") for i in range(40)]
+        + [(100, "alpah beta")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(d)
+    docs = spark.read.parquet(d)
+    sugg = SP.spelling_suggestions(docs, min_freq=3)
+    plan = sugg._jdf.queryExecution().executedPlan().toString()
+    # all three freqs consumers (vocab filter, suspect anti-join,
+    # suspect delete-keys) must read the CACHE, not re-tokenize: every
+    # FileScan in the printed tree is the InMemoryRelation build plan
+    # being echoed per consumer, and each consumer's own read is an
+    # InMemoryTableScan
+    assert plan.count("InMemoryTableScan") == 3, plan
+    assert {r["token"] for r in sugg.collect()} == {"alpah"}
+    from data_quality_checker_spark.operators.dedup import release_cache
+
+    release_cache(sugg)
 
 
 _POS_TEXTS = st.lists(
