@@ -17,10 +17,12 @@ closed function-word list plus suffix rules, evaluated as one CASE
 expression over the exploded token stream. Both are exactly
 SQL-expressible, so unlike a model they carry DuckDB oracle twins.
 Precision is below a trained tagger's by construction; the value at
-crawl scale is a cheap, fully-distributed first pass whose plan shape
-(extract -> explode -> hash-agg) is identical to what a model-backed
-pandas-UDF scorer would use (swap the extractor expression for an
-iterator UDF; see plans/udfs.py for the deployment shape).
+crawl scale is a cheap, fully-distributed first pass. The MODEL-GRADE
+path exists too: plans/postagger.py trains an averaged-perceptron
+tagger (addFile artifact, iterator-UDF scoring, dictionary-routed
+closed classes so it agrees with this module exactly on them) and
+ships model variants pos_distribution_model / entity_candidates_model
+with the same output contracts as the functions below.
 
 All patterns restrict to the RE2-compatible subset (no lookaround, no
 backreferences) so the DuckDB twins run the same regex.

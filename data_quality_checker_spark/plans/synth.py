@@ -129,13 +129,21 @@ def pages_df(spark, n: int, seed: int = 42):
     return spark.createDataFrame(rows, PAGE_SCHEMA)
 
 
-def pages_df_distributed(spark, n: int, seed: int = 42):
+def pages_df_distributed(
+    spark, n: int, seed: int = 42, corpus_version: str = "v2"
+):
     """Fully-distributed deterministic corpus generator for benchmarks:
     spark.range(n) + hash-indexed literal word pools, zero driver-side
     loops — the shape a 100 TB synthetic load test would use. Texts are
     deterministic functions of (id, seed); violation classes are mixed
     in at ~the make_pages rates via hash buckets. (Correctness tests
-    use make_pages, which has an exact Python oracle.)"""
+    use make_pages, which has an exact Python oracle.)
+
+    ``corpus_version``: 'v2' (default) is the honest mix with the
+    too_many_words long-doc and dup-lines classes; 'v1' reproduces the
+    round-1/2 bench ladder that skipped them (wider short/pii bands) —
+    kept ONLY so round-over-round throughput can be compared on the
+    same corpus a past round measured (BENCH.md re-anchor)."""
     from pyspark.sql import functions as F
 
     stop_arr = F.array(*[F.lit(w) for w in _STOP])
@@ -197,20 +205,36 @@ def pages_df_distributed(spark, n: int, seed: int = 42):
     )
 
     bucket = F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(100))
-    text = (
-        F.when(bucket < 55, clean)
-        .when(bucket < 63, foreign)
-        .when(bucket < 66, short)
-        .when(bucket < 68, long_doc)
-        .when(bucket < 75, F.concat(clean, F.lit(" @#$% *&^! ~~~ ||| @#$% *&^!")))
-        .when(bucket < 80, nostop)
-        .when(bucket < 85, repeated)
-        .when(bucket < 88, dup_line_txt)
-        .when(bucket < 93, pii)
-        .when(bucket < 96, toxic)
-        .when(bucket < 98, F.lit(""))
-        .otherwise(F.lit(None).cast("string"))
-    )
+    if corpus_version == "v2":
+        text = (
+            F.when(bucket < 55, clean)
+            .when(bucket < 63, foreign)
+            .when(bucket < 66, short)
+            .when(bucket < 68, long_doc)
+            .when(bucket < 75, F.concat(clean, F.lit(" @#$% *&^! ~~~ ||| @#$% *&^!")))
+            .when(bucket < 80, nostop)
+            .when(bucket < 85, repeated)
+            .when(bucket < 88, dup_line_txt)
+            .when(bucket < 93, pii)
+            .when(bucket < 96, toxic)
+            .when(bucket < 98, F.lit(""))
+            .otherwise(F.lit(None).cast("string"))
+        )
+    elif corpus_version == "v1":
+        text = (
+            F.when(bucket < 55, clean)
+            .when(bucket < 63, foreign)
+            .when(bucket < 68, short)
+            .when(bucket < 75, F.concat(clean, F.lit(" @#$% *&^! ~~~ ||| @#$% *&^!")))
+            .when(bucket < 80, nostop)
+            .when(bucket < 85, repeated)
+            .when(bucket < 93, pii)
+            .when(bucket < 96, toxic)
+            .when(bucket < 98, F.lit(""))
+            .otherwise(F.lit(None).cast("string"))
+        )
+    else:
+        raise ValueError(f"unknown corpus_version: {corpus_version!r}")
     host = F.concat(
         F.lit("host"),
         F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 1)), F.lit(50)),

@@ -22,10 +22,19 @@ from data_quality_checker_spark.plans.pipeline import (
 from data_quality_checker_spark.plans.synth import PAGE_SCHEMA
 
 
-def read_pages_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+def read_pages_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """``max_files_per_trigger`` bounds each micro-batch. It is also
+    the batch's PARALLELISM CAP for the stateless score plan (no
+    shuffle -> tasks == input files), so size it to >= the executor
+    core count: an availableNow backfill on 32 cores with the default
+    8 runs at 25% utilization and loses ~3x wall clock (measured,
+    BENCH.md Streaming section). Low-latency tailing of a live
+    directory is the only reason to keep it small."""
     return (
         spark.readStream.schema(PAGE_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
 
@@ -46,10 +55,15 @@ def run_stream_available_now(
     output_dir: str,
     checkpoint_dir: str,
     cfg: PipelineConfig | None = None,
+    max_files_per_trigger: int = 8,
 ) -> None:
     """Process everything currently in input_dir exactly once and stop
-    (the batch-like trigger used by tests and backfills)."""
-    scored = score_stream(read_pages_stream(spark, input_dir), cfg)
+    (the batch-like trigger used by tests and backfills). For backfill
+    throughput set ``max_files_per_trigger`` >= the core count (see
+    read_pages_stream)."""
+    scored = score_stream(
+        read_pages_stream(spark, input_dir, max_files_per_trigger), cfg
+    )
     q = (
         scored.writeStream.format("parquet")
         .option("path", output_dir)
