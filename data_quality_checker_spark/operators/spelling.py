@@ -151,6 +151,8 @@ def with_corrected_text(
     text_col: str = "text",
     out_col: str = "text_corrected",
     broadcast: bool = True,
+    strategy: str = "auto",
+    max_map_entries: int = 100_000,
 ) -> DataFrame:
     """Opt-in APPLICATION of a suggestion table: adds ``out_col`` —
     the document's tokens rejoined with every suggested token replaced
@@ -168,14 +170,57 @@ def with_corrected_text(
     tokens, replacements are vocabulary words, so a second application
     over the same suggestions is the identity.
 
-    Scale shape: posexplode -> equi-join tokens against the (small —
-    misspellings-with-neighbors only) suggestion table (broadcast by
-    default; pass ``broadcast=False`` to let AQE size it) -> one
-    narrow regroup keyed by ``id_col``. The corpus never joins on
-    text, only tokens ride the shuffle.
+    Two strategies, identical output (parity-pinned in tests):
+
+    - ``'map'`` — the suggestion table (typo TYPES, not corpus
+      tokens: bounded by the vocabulary's misspelling count, normally
+      thousands) collects to a driver map literal and the correction
+      becomes ONE projection — ``transform(tokens, t ->
+      coalesce(map[t], t))`` — ZERO shuffle, zero join, the corpus
+      never moves. This is the 100 TB path.
+    - ``'join'`` — posexplode -> equi-join tokens against the
+      suggestion table (broadcast by default; ``broadcast=False``
+      lets AQE size it) -> one narrow regroup keyed by ``id_col``.
+      For suggestion sets too large to hold driver-side.
+    - ``'auto'`` (default) — row-count guard: 'map' when the table
+      holds at most ``max_map_entries`` rows, else 'join' (same
+      measure-then-choose discipline as contamination_report).
 
     Precondition: ``id_col`` is unique (same contract as
     contamination_report)."""
+    if strategy not in ("auto", "map", "join"):
+        raise ValueError(f"unknown strategy: {strategy!r}")
+    if strategy == "auto":
+        strategy = (
+            "map"
+            if suggestions.limit(max_map_entries + 1).count()
+            <= max_map_entries
+            else "join"
+        )
+    toks = tokens(text_col)
+    if strategy == "map":
+        pairs = {
+            r["token"]: r["suggestion"]
+            for r in suggestions.select("token", "suggestion").collect()
+        }
+        if pairs:
+            ks, vs = zip(*sorted(pairs.items()))
+            m = F.map_from_arrays(
+                F.array(*[F.lit(k) for k in ks]),
+                F.array(*[F.lit(v) for v in vs]),
+            )
+            # try_element_at, not element_at: ANSI mode makes a missing
+            # map key THROW, and almost every token is a missing key
+            fixed = F.transform(
+                toks, lambda t: F.coalesce(F.try_element_at(m, t), t)
+            )
+        else:
+            fixed = toks
+        corrected = F.when(
+            F.col(text_col).isNotNull() & (F.size(toks) > 0),
+            F.concat_ws(" ", fixed),
+        )
+        return df.withColumn(out_col, corrected)
     sugg = suggestions.select(
         F.col("token").alias("_tok"), F.col("suggestion").alias("_sugg")
     )
@@ -183,7 +228,7 @@ def with_corrected_text(
         sugg = F.broadcast(sugg)
     pos = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
-        F.posexplode(tokens(text_col)).alias("_pos", "_tok"),
+        F.posexplode(toks).alias("_pos", "_tok"),
     )
     fixed = pos.join(sugg, "_tok", "left").select(
         id_col,

@@ -132,6 +132,62 @@ def test_with_corrected_text_applies_and_is_idempotent(spark):
     release_cache(sugg)
 
 
+def test_with_corrected_text_map_join_parity_and_plan(spark):
+    """The zero-shuffle map-literal strategy and the explode+join
+    strategy produce identical corrected columns; the map plan
+    contains no real shuffle (the 100 TB path moves no corpus data),
+    and 'auto' picks map for small suggestion tables."""
+    import re as _re
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(30)]
+    rows += [(100, "teh quick brown fox"), (101, None), (102, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sugg = SP.spelling_suggestions(df, min_freq=3)
+    a = {
+        r["doc_id"]: r["text_corrected"]
+        for r in SP.with_corrected_text(df, sugg, strategy="map").collect()
+    }
+    b = {
+        r["doc_id"]: r["text_corrected"]
+        for r in SP.with_corrected_text(df, sugg, strategy="join").collect()
+    }
+    c = {
+        r["doc_id"]: r["text_corrected"]
+        for r in SP.with_corrected_text(df, sugg, strategy="auto").collect()
+    }
+    assert a == b == c
+    assert a[100] == "the quick brown fox"
+    assert a[101] is None and a[102] is None
+
+    plan = (
+        SP.with_corrected_text(df, sugg, strategy="map")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert not _re.search(
+        r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)",
+        plan,
+    ), plan
+    # empty suggestion table: map path is the identity reassembly
+    empty = spark.createDataFrame(
+        [], "token string, freq long, suggestion string, "
+        "suggestion_freq long, distance int"
+    )
+    out = {
+        r["doc_id"]: r["text_corrected"]
+        for r in SP.with_corrected_text(df, empty, strategy="map").collect()
+    }
+    assert out[100] == "teh quick brown fox"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strategy"):
+        SP.with_corrected_text(df, sugg, strategy="bogus")
+    from data_quality_checker_spark.operators.dedup import release_cache
+
+    release_cache(sugg)
+
+
 def test_spelling_suggestions_single_corpus_scan(spark, tmp_path_factory):
     """The frequency table feeds three consumers (vocab filter,
     suspect anti-join, delete keys); the persist must collapse the
