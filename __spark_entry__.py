@@ -1376,8 +1376,10 @@ def _sql_registrable_domain() -> str:
     uses (single source of truth)."""
     from data_quality_checker_spark.plans.urlfilter import (
         PSL_EXCEPTIONS,
+        PSL_EXCEPTIONS3,
         PSL_MULTI2,
         PSL_MULTI3,
+        PSL_WILDCARD2,
         PSL_WILDCARD_TLDS,
     )
 
@@ -1388,17 +1390,22 @@ def _sql_registrable_domain() -> str:
     s2 = "p[-2] || '.' || p[-1]"
     s3 = "p[-3] || '.' || " + s2
     s4 = "p[-4] || '.' || " + s3
+    is3 = (
+        f"(({s3}) in ({lst(PSL_MULTI3)}) "
+        f"or ({s2}) in ({lst(PSL_WILDCARD2)}))"
+    )
+    is2 = (
+        f"(({s2}) in ({lst(PSL_MULTI2)}) "
+        f"or p[-1] in ({lst(PSL_WILDCARD_TLDS)}))"
+    )
     return f"""
   case when regexp_matches(host, '{ip}') then host
-       when n >= 4 and ({s3}) in ({lst(PSL_MULTI3)}) then {s4}
-       when n >= 3 and ({s3}) in ({lst(PSL_MULTI3)}) then host
+       when n >= 3 and ({s3}) in ({lst(PSL_EXCEPTIONS3)}) then {s3}
+       when n >= 4 and {is3} then {s4}
+       when n >= 3 and {is3} then host
        when n >= 2 and ({s2}) in ({lst(PSL_EXCEPTIONS)}) then {s2}
-       when n >= 3 and (({s2}) in ({lst(PSL_MULTI2)})
-                        or p[-1] in ({lst(PSL_WILDCARD_TLDS)}))
-            then {s3}
-       when n >= 2 and (({s2}) in ({lst(PSL_MULTI2)})
-                        or p[-1] in ({lst(PSL_WILDCARD_TLDS)}))
-            then host
+       when n >= 3 and {is2} then {s3}
+       when n >= 2 and {is2} then host
        when n >= 2 then {s2}
        else host end"""
 
@@ -2246,14 +2253,18 @@ def q_spelling_suggestions(spark, sf):
     )
 
 
-def _sql_spelling() -> str:
+def _sql_spelling_ctes(min_freq: int = 20) -> str:
+    """The shared SymSpell CTE chain (typo fixture -> freqs -> vocab
+    -> delete-key join -> ranked suggestions) used by BOTH spelling
+    twins — one source of truth, so a semantics change cannot be
+    mirrored into only one of them."""
     dels = (
         "list_distinct(list_concat([{t}], "
         "list_transform(generate_series(1, len({t})), "
         "i -> substr({t}, 1, i - 1) || substr({t}, i + 1, 20))))"
     )
     return f"""
-with docs as (select
+with docs as (select doc_id,
   text || case when doc_id % 100 = 0 then ' tha'
                when doc_id % 100 = 1 then ' tabel'
                when doc_id % 100 = 2 then ' fitler'
@@ -2263,7 +2274,7 @@ with docs as (select
 tf as (select unnest({duck.toks('text')}) as token from docs),
 freqs as (select token, count(*) freq from tf group by 1),
 vocab as (select token vword, freq vfreq from freqs
-          where freq >= 20 and len(token) <= 20),
+          where freq >= {min_freq} and len(token) <= 20),
 susp as (select f.token, f.freq from freqs f
          anti join vocab v on f.token = v.vword
          where len(f.token) between 3 and 20),
@@ -2277,7 +2288,11 @@ cand as (select distinct token, freq, vword, vfreq,
 ranked as (select *, row_number() over
              (partition by token order by distance, vfreq desc, vword)
              rn
-           from cand)
+           from cand)"""
+
+
+def _sql_spelling() -> str:
+    return f"""{_sql_spelling_ctes()}
 select token, freq, vword as suggestion, vfreq as suggestion_freq,
  distance
 from ranked where rn = 1
@@ -2314,37 +2329,7 @@ def q_spelling_applied(spark, sf):
 
 
 def _sql_spelling_applied() -> str:
-    dels = (
-        "list_distinct(list_concat([{t}], "
-        "list_transform(generate_series(1, len({t})), "
-        "i -> substr({t}, 1, i - 1) || substr({t}, i + 1, 20))))"
-    )
-    return f"""
-with docs as (select doc_id,
-  text || case when doc_id % 100 = 0 then ' tha'
-               when doc_id % 100 = 1 then ' tabel'
-               when doc_id % 100 = 2 then ' fitler'
-               when doc_id % 100 = 3 then ' qurey'
-               else '' end as text
-  from documents where doc_id < 300 and text is not null),
-tf as (select unnest({duck.toks('text')}) as token from docs),
-freqs as (select token, count(*) freq from tf group by 1),
-vocab as (select token vword, freq vfreq from freqs
-          where freq >= 20 and len(token) <= 20),
-susp as (select f.token, f.freq from freqs f
-         anti join vocab v on f.token = v.vword
-         where len(f.token) between 3 and 20),
-sd as (select token, freq, unnest({dels.format(t='token')}) dk from susp),
-vd as (select vword, vfreq, unnest({dels.format(t='vword')}) dk
-       from vocab),
-cand as (select distinct token, freq, vword, vfreq,
-                levenshtein(token, vword) as distance
-         from sd join vd using (dk)
-         where levenshtein(token, vword) <= 2),
-ranked as (select *, row_number() over
-             (partition by token order by distance, vfreq desc, vword)
-             rn
-           from cand),
+    return f"""{_sql_spelling_ctes()},
 sugg as (select token, vword as suggestion from ranked where rn = 1),
 toked as (select doc_id, tk, unnest(tk) as tok,
                  unnest(range(len(tk))) as pos

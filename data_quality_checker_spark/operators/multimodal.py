@@ -263,7 +263,13 @@ def content_decode(payload: bytes, kind: str) -> dict:
                 norm = s.astype(np.float64) / 32768.0
                 out["rms"] = float(np.sqrt(np.mean(norm * norm)))
                 out["peak"] = float(np.max(np.abs(norm)))
-                out["clip_frac"] = float(np.mean(np.abs(s) >= 32767))
+                # NOT np.abs(s): int16 abs(-32768) overflows back to
+                # -32768, silently uncounting full-negative-rail
+                # samples (review finding; the DuckDB twin's integer
+                # abs counts them)
+                out["clip_frac"] = float(
+                    np.mean((s >= 32767) | (s <= -32767))
+                )
     except Exception:  # malformed body -> stats unknown, not a crash
         pass
     return out

@@ -562,18 +562,16 @@ def shapiro_wilk(
     driver-side test: a bounded SEEDED sample -> Royston AS R94 on
     the driver. For unbounded data use :func:`jarque_bera`, the
     distributive moment test. Returns {"w", "p_value", "n"}."""
-    src = df.select(column).na.drop()
-    total = src.count()
-    frac = min(1.0, (max_n * 1.2) / max(total, 1))
-    # NO limit() after sample: limit takes rows in partition order, so
-    # on value-sorted/range-partitioned data it would truncate the
-    # upper tail and falsely reject normality (verified on a sorted
-    # N(50,5) column: W=0.964, p=0). The Bernoulli sample alone is
-    # unbiased; the cap becomes approximate (~1.2*max_n expected).
-    vals = [r[0] for r in src.sample(fraction=frac, seed=seed).collect()]
-    if len(vals) > 2 * max_n:  # safety for adversarial frac rounding
-        step = len(vals) / (2 * max_n)
-        vals = [vals[int(i * step)] for i in range(2 * max_n)]
+    from data_quality_checker_spark.plans.sampling import (
+        stride_sample_column,
+    )
+
+    # shared unbiased bounded draw (no head-of-corpus limit() bias —
+    # see stride_sample_column); cap 2*max_n guards adversarial frac
+    # rounding while keeping the expected ~1.2*max_n draw
+    vals = stride_sample_column(
+        df, column, target=max_n, cap=2 * max_n, seed=seed
+    )
     w, p = _swilk(vals)
     return {"w": w, "p_value": p, "n": len(vals)}
 

@@ -63,19 +63,13 @@ def train_bpe(
     """Learn ``num_merges`` BPE merges from a seeded bounded sample.
     Ties break to the lexicographically smallest pair, so the merge
     list is deterministic for a given sample."""
-    src = df.select(text_col).filter(F.col(text_col).isNotNull())
-    total = src.count()
-    frac = min(1.0, (sample_docs * 1.2) / max(total, 1))
-    # NO limit() after sample (same rationale as stats.shapiro_wilk):
-    # limit takes rows in partition order, so on value-sorted /
-    # range-partitioned corpora the merges would be learned from a
-    # biased head-of-corpus slice. The Bernoulli sample alone is
-    # unbiased; over-draws are cut by a deterministic stride so every
-    # partition keeps proportional representation.
-    texts = [r[0] for r in src.sample(fraction=frac, seed=seed).collect()]
-    if len(texts) > sample_docs:
-        step = len(texts) / sample_docs
-        texts = [texts[int(i * step)] for i in range(sample_docs)]
+    from data_quality_checker_spark.plans.sampling import (
+        stride_sample_column,
+    )
+
+    # shared unbiased bounded draw (no head-of-corpus limit() bias —
+    # see stride_sample_column)
+    texts = stride_sample_column(df, text_col, sample_docs, seed=seed)
     freqs = _word_freqs_from_sample(texts)
     words: dict[tuple[str, ...], int] = {
         tuple(w) + (_EOW,): c for w, c in freqs.items()

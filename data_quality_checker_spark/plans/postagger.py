@@ -179,19 +179,6 @@ class PerceptronTagger:
         return out
 
 
-def _stride_sample_texts(
-    df: DataFrame, text_col: str, sample_docs: int, seed: int
-) -> list[str]:
-    src = df.select(text_col).filter(F.col(text_col).isNotNull())
-    total = src.count()
-    frac = min(1.0, (sample_docs * 1.2) / max(total, 1))
-    texts = [r[0] for r in src.sample(fraction=frac, seed=seed).collect()]
-    if len(texts) > sample_docs:
-        step = len(texts) / sample_docs
-        texts = [texts[int(i * step)] for i in range(sample_docs)]
-    return texts
-
-
 def train_pos_perceptron(
     df: DataFrame | None = None,
     text_col: str = "text",
@@ -210,7 +197,11 @@ def train_pos_perceptron(
     if tagged_sents is None:
         if df is None:
             raise ValueError("need df or tagged_sents")
-        texts = _stride_sample_texts(df, text_col, sample_docs, seed)
+        from data_quality_checker_spark.plans.sampling import (
+            stride_sample_column,
+        )
+
+        texts = stride_sample_column(df, text_col, sample_docs, seed=seed)
         tagged_sents = [
             [(t, pos_tag_python(t)) for t in tokenize(x)]
             for x in texts

@@ -29,9 +29,41 @@ __all__ = [
     "hash_frac_predicate",
     "sample_fractions",
     "weighted_sample",
+    "stride_sample_column",
 ]
 
 _SCALE = float(2**52)
+
+
+def stride_sample_column(
+    df: DataFrame,
+    col: str,
+    target: int,
+    cap: int | None = None,
+    seed: int = 42,
+    oversample: float = 1.2,
+) -> list:
+    """Bounded UNBIASED driver-side sample of one column — the shared
+    primitive behind every sample-trained artifact (BPE merges, the
+    POS perceptron, Shapiro-Wilk): a seeded Bernoulli draw targeting
+    ``target * oversample`` rows, then a deterministic STRIDE cut to
+    ``cap`` (default ``target``).
+
+    NEVER limit() after sample: limit takes rows in partition order,
+    so on value-sorted / range-partitioned data it would truncate the
+    upper tail (verified on a sorted N(50,5) column: Shapiro falsely
+    rejects with W=0.964, p=0). The Bernoulli draw alone is unbiased;
+    the stride keeps every partition proportionally represented when
+    the draw over-shoots. Nulls are excluded."""
+    cap = target if cap is None else cap
+    src = df.select(col).filter(F.col(col).isNotNull())
+    total = src.count()
+    frac = min(1.0, (target * oversample) / max(total, 1))
+    vals = [r[0] for r in src.sample(fraction=frac, seed=seed).collect()]
+    if len(vals) > cap:
+        step = len(vals) / cap
+        vals = [vals[int(i * step)] for i in range(cap)]
+    return vals
 
 
 def hash_frac_predicate(key: Column, p: Column | float) -> Column:

@@ -13,8 +13,9 @@ all pure Catalyst (the scan never leaves whole-stage codegen):
   Catalyst ``isin`` (InSet — a JVM hash-set probe inside whole-stage
   codegen), which beats a broadcast suffix-dim join at 100 TB: zero
   join, zero build side, and the same literal lists twin verbatim
-  into DuckDB SQL and the Python mirror. Custom / full-PSL
-  deployments pass their own suffix tuples.
+  into DuckDB SQL and the Python mirror. Custom deployments pass
+  their own tuples; the representable rule subset (and what is NOT
+  representable) is specified on ``registrable_domain``.
 - ``url_quality_flags``: shape heuristics — static-asset/file
   extensions, localhost/raw-IP hosts, oversized query strings,
   blocked words anywhere in the lowercased url (C4's bad-word URL
@@ -44,7 +45,9 @@ __all__ = [
     "PSL_MULTI2",
     "PSL_MULTI3",
     "PSL_WILDCARD_TLDS",
+    "PSL_WILDCARD2",
     "PSL_EXCEPTIONS",
+    "PSL_EXCEPTIONS3",
 ]
 
 # static-asset / non-document extensions (path end, before any query)
@@ -68,7 +71,7 @@ BAD_EXTENSIONS = (
 PSL_MULTI2 = (
     # ICANN ccTLD second-levels
     "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk",
-    "sch.uk", "ac.uk", "gov.uk", "nhs.uk", "police.uk",
+    "ac.uk", "gov.uk", "nhs.uk", "police.uk",
     "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au",
     "id.au",
     "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
@@ -156,9 +159,25 @@ PSL_MULTI3 = (
 # suffix, so the registrable domain is the last THREE labels
 PSL_WILDCARD_TLDS = ("bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg")
 
+# wildcard rules one level deeper, `*.<label>.<tld>` (e.g. `*.sch.uk`,
+# the jp city domains): any single label under the 2-label base is a
+# public suffix -> registrable domain = last FOUR labels
+PSL_WILDCARD2 = (
+    "sch.uk",
+    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
+    "sapporo.jp", "sendai.jp", "yokohama.jp",
+)
+
 # exception rules `!host`: carve-outs from a wildcard — the host IS a
-# registrable domain (its public suffix is just the TLD)
+# registrable domain. 2-label exceptions carve a PSL_WILDCARD_TLDS
+# rule (public suffix = the bare TLD); 3-label exceptions carve a
+# PSL_WILDCARD2 rule (public suffix = the 2-label base).
 PSL_EXCEPTIONS = ("www.ck",)
+PSL_EXCEPTIONS3 = (
+    "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
+    "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
+    "city.yokohama.jp",
+)
 
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
 _IP_HOST_RE = r"^[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}$"
@@ -181,16 +200,29 @@ def registrable_domain(
     psl3: tuple[str, ...] = PSL_MULTI3,
     wildcard_tlds: tuple[str, ...] = PSL_WILDCARD_TLDS,
     exceptions: tuple[str, ...] = PSL_EXCEPTIONS,
+    wildcard2: tuple[str, ...] = PSL_WILDCARD2,
+    exceptions3: tuple[str, ...] = PSL_EXCEPTIONS3,
 ) -> Column:
     """Public-suffix-aware eTLD+1 (publicsuffix.org algorithm over the
-    bundled snapshot; pass full-PSL tuples to override): the
-    registrable domain is the public suffix plus one label, where the
-    public suffix is the LONGEST match among the three-label set, the
-    two-label set, a wildcard ``*.tld`` rule, or the implicit
-    one-label default; ``!host`` exceptions carve a host back out of
-    its wildcard. Hosts that ARE a public suffix (``co.uk``,
-    ``blogspot.com``) return themselves; raw-IP hosts return the full
-    IP. Pure Catalyst — the isin sets compile to InSet hash probes, no
+    bundled snapshot; pass your own tuples to extend): the registrable
+    domain is the public suffix plus one label, where the public
+    suffix is the LONGEST match among the rule sets; ``!host``
+    exceptions carve a host back out of its wildcard. Hosts that ARE a
+    public suffix (``co.uk``, ``blogspot.com``) return themselves;
+    raw-IP hosts return the full IP.
+
+    Representable rule subset (the shape of the six tuples — NOT every
+    PSL line compiles into it): plain 2- and 3-label suffixes
+    (``co.uk``, ``blogspot.co.uk``), TLD-level wildcards (``*.ck``),
+    2-label-base wildcards (``*.sch.uk``), and the exceptions carving
+    those two wildcard forms (``!www.ck``, ``!city.kawasaki.jp``).
+    That covers every ICANN-section construct; NOT representable are
+    the private-section wildcards with a >=2-label base
+    (``*.compute.amazonaws.com``) and 4-label plain suffixes — hosts
+    under those fall back to the next shorter matching rule,
+    documented here rather than silently claimed.
+
+    Pure Catalyst — the isin sets compile to InSet hash probes, no
     join, no shuffle. Mirrored by :func:`registrable_domain_py`
     (property-pinned) and twinned verbatim in the DuckDB oracles."""
     host = url_host(url)
@@ -200,14 +232,17 @@ def registrable_domain(
     suf2 = F.concat_ws(".", F.element_at(parts, -2), tld)
     suf3 = F.concat_ws(".", F.element_at(parts, -3), suf2)
     dom4 = F.concat_ws(".", F.element_at(parts, -4), suf3)
-    is3 = (n >= 3) & suf3.isin(*psl3)
+    exc3 = (n >= 3) & suf3.isin(*exceptions3)
+    # *.sch.uk and plain 3-label suffixes both make ps = last 3 labels
+    is3 = (n >= 3) & (suf3.isin(*psl3) | suf2.isin(*wildcard2))
     exc = (n >= 2) & suf2.isin(*exceptions)
     is2 = (n >= 2) & (suf2.isin(*psl2) | tld.isin(*wildcard_tlds))
     return (
         F.when(host.rlike(_IP_HOST_RE), host)
+        .when(exc3, suf3)  # !x.y.tld: ps is the 2-label base
         .when(is3 & (n >= 4), dom4)
         .when(is3, host)  # host IS a 3-label public suffix
-        .when(exc, suf2)  # exception: public suffix is the bare TLD
+        .when(exc, suf2)  # !x.tld: ps is the bare TLD
         .when(is2 & (n >= 3), suf3)
         .when(is2, host)  # host IS a 2-label public suffix
         .when(n >= 2, suf2)
@@ -221,6 +256,8 @@ def registrable_domain_py(
     psl3: tuple[str, ...] = PSL_MULTI3,
     wildcard_tlds: tuple[str, ...] = PSL_WILDCARD_TLDS,
     exceptions: tuple[str, ...] = PSL_EXCEPTIONS,
+    wildcard2: tuple[str, ...] = PSL_WILDCARD2,
+    exceptions3: tuple[str, ...] = PSL_EXCEPTIONS3,
 ) -> str:
     """Pure-Python mirror of :func:`registrable_domain` over an
     already-extracted lowercase host (the property-test oracle; same
@@ -233,7 +270,9 @@ def registrable_domain_py(
     n = len(parts)
     suf2 = ".".join(parts[-2:]) if n >= 2 else ""
     suf3 = ".".join(parts[-3:]) if n >= 3 else ""
-    if n >= 3 and suf3 in psl3:
+    if n >= 3 and suf3 in exceptions3:
+        return suf3
+    if n >= 3 and (suf3 in psl3 or suf2 in wildcard2):
         return ".".join(parts[-4:]) if n >= 4 else host
     if n >= 2 and suf2 in exceptions:
         return suf2

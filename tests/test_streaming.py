@@ -74,9 +74,19 @@ def test_stream_parity_mid_scale_distributed_corpus(
     assert got.count() == 20_000
     assert _checksum(got) == _checksum(expect)
 
-    # decontam variant: eval = two kept documents' raw text
-    eval_df = (
-        expect.filter("keep").select("text").limit(2)
+    # decontam variant: eval = two kept documents' raw text —
+    # MATERIALIZED (orderBy + collect) so the streaming leg and the
+    # batch comparison see the same eval rows; a lazy unordered
+    # limit(2) could pick different docs on each evaluation
+    two = (
+        expect.filter("keep")
+        .select("url", "text")
+        .orderBy("url")
+        .limit(2)
+        .collect()
+    )
+    eval_df = spark.createDataFrame(
+        [(r["text"],) for r in two], "text string"
     )
     run_stream_decontam_available_now(
         spark,

@@ -55,6 +55,17 @@ def test_registrable_domain_psl(spark):
         # exception !www.ck: carved out of the wildcard
         "https://www.ck/home": "www.ck",
         "https://sub.www.ck/x": "www.ck",
+        # 2-label-base wildcard *.sch.uk: ps = <school>.sch.uk
+        "https://www.myschool.sch.uk/": "www.myschool.sch.uk",
+        "https://deep.www.myschool.sch.uk/": "www.myschool.sch.uk",
+        "https://myschool.sch.uk/": "myschool.sch.uk",  # IS a ps
+        "https://sch.uk/": "sch.uk",  # only the implicit 'uk' matches
+        # 3-label exception !city.kawasaki.jp carves *.kawasaki.jp
+        "https://city.kawasaki.jp/": "city.kawasaki.jp",
+        "https://ward.city.kawasaki.jp/": "city.kawasaki.jp",
+        "https://foo.shop.kawasaki.jp/": "foo.shop.kawasaki.jp",
+        # hostnames are case-insensitive: url_host lowercases first
+        "https://User5.Blogspot.COM/post": "user5.blogspot.com",
         # hosts that ARE a 2-label public suffix return themselves
         "https://co.uk/": "co.uk",
         "https://blogspot.com/": "blogspot.com",
@@ -78,6 +89,9 @@ def test_registrable_domain_python_mirror(spark):
         "a.b.example.zz", "fotos.example.gob.mx", "e.ne.jp", "ne.jp",
         "10.1.2.3", "localhost", "ck", "uk", "",
         "x.ac.in", "y.x.ac.in", "h3-site.org", "www2.ex3.co.uk",
+        "sch.uk", "myschool.sch.uk", "www.myschool.sch.uk",
+        "a.www.myschool.sch.uk", "city.kawasaki.jp",
+        "ward.city.kawasaki.jp", "shop.kawasaki.jp", "kawasaki.jp",
     ]
     df = spark.createDataFrame([(h,) for h in hosts], ["h"])
     # feed hosts through a synthetic url so url_host() is exercised too
