@@ -2244,7 +2244,9 @@ def q_spelling_suggestions(spark, sf):
     corrupted = docs.select(
         F.concat(F.col("text"), typo).alias("text")
     )
-    return SP.spelling_suggestions(corrupted, min_freq=20).select(
+    return SP.spelling_suggestions(
+        corrupted, min_freq=_SPELL_MIN_FREQ
+    ).select(
         "token",
         "freq",
         "suggestion",
@@ -2253,7 +2255,12 @@ def q_spelling_suggestions(spark, sf):
     )
 
 
-def _sql_spelling_ctes(min_freq: int = 20) -> str:
+# one threshold shared by the Spark queries AND the SQL twins — a
+# change to either side alone cannot desync them
+_SPELL_MIN_FREQ = 20
+
+
+def _sql_spelling_ctes(min_freq: int = _SPELL_MIN_FREQ) -> str:
     """The shared SymSpell CTE chain (typo fixture -> freqs -> vocab
     -> delete-key join -> ranked suggestions) used by BOTH spelling
     twins — one source of truth, so a semantics change cannot be
@@ -2322,7 +2329,7 @@ def q_spelling_applied(spark, sf):
     corrupted = docs.select(
         "doc_id", F.concat(F.col("text"), typo).alias("text")
     )
-    sugg = SP.spelling_suggestions(corrupted, min_freq=20)
+    sugg = SP.spelling_suggestions(corrupted, min_freq=_SPELL_MIN_FREQ)
     return SP.with_corrected_text(corrupted, sugg).select(
         "doc_id", F.md5("text_corrected").alias("corrected_md5")
     )

@@ -568,9 +568,13 @@ def shapiro_wilk(
 
     # shared unbiased bounded draw (no head-of-corpus limit() bias —
     # see stride_sample_column); cap 2*max_n guards adversarial frac
-    # rounding while keeping the expected ~1.2*max_n draw
+    # rounding while keeping the expected ~1.2*max_n draw. na.drop()
+    # BEFORE the sampler: it excludes NaN as well as null (the
+    # sampler's own isNotNull filter lets NaN through, and one NaN
+    # would poison the whole W statistic)
     vals = stride_sample_column(
-        df, column, target=max_n, cap=2 * max_n, seed=seed
+        df.select(column).na.drop(), column,
+        target=max_n, cap=2 * max_n, seed=seed,
     )
     w, p = _swilk(vals)
     return {"w": w, "p_value": p, "n": len(vals)}

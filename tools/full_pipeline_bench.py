@@ -78,11 +78,20 @@ def main() -> None:
     )
 
     # quality-model artifact: weak labels from the rule verdict on a
-    # 50k slice (train cost excluded from the pipeline wall — the
-    # artifact ships with the job in production)
+    # deterministic ~50k hash sample (NOT limit(), which takes rows in
+    # partition order and would train on a biased head-of-corpus
+    # slice); train cost excluded from the pipeline wall — the
+    # artifact ships with the job in production
+    from data_quality_checker_spark.plans.sampling import (
+        hash_frac_predicate,
+    )
+
     t0 = time.time()
     sample = score_pages(
-        pages.limit(50_000), PipelineConfig(dedup_latest_capture=False)
+        pages.filter(
+            hash_frac_predicate(F.col("url"), 50_000 / n_docs)
+        ),
+        PipelineConfig(dedup_latest_capture=False),
     ).select("text", "keep")
     model = train_quality_model(sample)
     model_path = f"{work}/quality_model"
@@ -111,11 +120,16 @@ def main() -> None:
         quality_model_path=model_path,
     )
     full_sec = time.time() - t0
+    assert len(res["processed_partitions"]) == cfg.num_buckets, res
     scored = spark.read.parquet(f"{work}/full/scored")
-    n_scored = scored.count()
-    n_final = scored.filter("keep_final").count()
-    n_contam = scored.filter("contaminated").count()
-    n_neardup = scored.filter("near_dup_of is not null").count()
+    stats = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("keep_final").cast("long")).alias("kept"),
+        F.sum(F.col("contaminated").cast("long")).alias("contam"),
+        F.sum(F.col("near_dup_of").isNotNull().cast("long")).alias("nd"),
+    ).collect()[0]
+    n_scored, n_final = stats["n"], stats["kept"]
+    n_contam, n_neardup = stats["contam"], stats["nd"]
     metrics = spark.read.parquet(f"{work}/full/metrics")
     m_scanned = metrics.agg(F.sum("rows_scanned")).collect()[0][0]
 
