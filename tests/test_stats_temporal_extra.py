@@ -140,6 +140,19 @@ def test_shapiro_wilk_royston(spark):
     rs = S.shapiro_wilk(sorted_norm, "v", max_n=500)
     assert rs["p_value"] > 0.05, rs
 
+    # regression (review finding): NaN rows must be excluded like
+    # nulls — the shared sampler's isNotNull filter alone lets NaN
+    # through and one NaN poisons the whole W statistic
+    import math
+
+    with_nan = spark.createDataFrame(
+        [(float(v),) for v in rng.normal(50, 5, 1500)]
+        + [(float("nan"),)] * 30 + [(None,)] * 30,
+        "v double",
+    )
+    rnan = S.shapiro_wilk(with_nan, "v", max_n=500)
+    assert math.isfinite(rnan["w"]) and rnan["p_value"] > 0.05, rnan
+
 
 def test_holiday_weekend_effects(spark):
     from pyspark.sql import functions as F
