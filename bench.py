@@ -81,6 +81,9 @@ HEADLINE = [
     # round-3 additions: flagship training-data extensions
     "decontamination",
     "line_dedup",
+    # round-4 additions: real content decode + applied correction
+    "multimodal_content",
+    "spelling_applied",
 ]
 
 
