@@ -137,6 +137,11 @@ def contamination_report(
     at most ``broadcast_max_keys`` keys (~5M 8-byte keys ≈ 40 MB
     payload). A many-suite eval union at 13-grams can reach
     executor-memory scale, where a hard hint would OOM the build side.
+    On the shuffle path Spark 4's runtime Bloom-filter injection
+    (spark.sql.optimizer.runtime.bloomFilter.enabled, ON by default)
+    semi-join-reduces the exploded corpus side before the exchange
+    when the eval side fits the 10 MB creation threshold — so even the
+    fallback rarely shuffles clean documents' n-grams.
     The guard's count() runs over the EVAL side only; when the keys
     are derived inline (``eval_is_ngrams=False``) that side is
     recomputed for the join — cheap by construction (eval suites are

@@ -226,3 +226,66 @@ def write_training_shards(
         writer.parquet(path)
     else:
         raise ValueError(f"fmt must be 'parquet' or 'jsonl', got {fmt!r}")
+
+
+def shard_manifest(
+    spark,
+    path: str,
+    fmt: str = "parquet",
+    content_digest_col: str | Column | None = None,
+) -> DataFrame:
+    """Manifest of an exported shard directory — the data-card /
+    reproducibility artifact a training run records next to its corpus
+    (no reference ancestor; training-data extension): one row per
+    shard file with ``(shard, n_rows, n_bytes, content_digest)``.
+
+    ``content_digest`` is ORDER-INSENSITIVE (sum of per-row xxhash64
+    as decimal(38,0) — the repo's streaming-parity checksum trick), so
+    two exports of the same row set with different intra-file order
+    digest identically, while any changed/missing row flips it.
+    ``content_digest_col`` selects what is hashed (defaults to every
+    column; pass e.g. ``F.struct('url','text')`` to pin the contract
+    columns only). n_bytes comes from the file-system listing, not a
+    data scan.
+
+    One distributed scan groups by ``input_file_name()`` — no
+    driver-side file loop; the listing join is a tiny broadcast."""
+    import os as _os
+
+    reader = spark.read
+    df = (
+        reader.parquet(path)
+        if fmt == "parquet"
+        else reader.json(f"{path}/*.gz")
+    )
+    digest_src = (
+        F.struct(*[F.col(c) for c in df.columns])
+        if content_digest_col is None
+        else (
+            F.col(content_digest_col)
+            if isinstance(content_digest_col, str)
+            else content_digest_col
+        )
+    )
+    per_file = (
+        df.withColumn("_f", F.input_file_name())
+        .groupBy("_f")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.xxhash64(digest_src).cast("decimal(38,0)")).alias(
+                "content_digest"
+            ),
+        )
+        # normalize the scheme-qualified input_file_name to a basename
+        .withColumn("shard", F.element_at(F.split("_f", "/"), -1))
+        .drop("_f")
+    )
+    sizes = [
+        (f, _os.path.getsize(_os.path.join(path, f)))
+        for f in sorted(_os.listdir(path))
+        if not f.startswith("_") and not f.startswith(".")
+    ]
+    size_df = spark.createDataFrame(sizes, "shard string, n_bytes long")
+    return per_file.join(F.broadcast(size_df), "shard", "left").select(
+        "shard", "n_rows", "n_bytes", "content_digest"
+    )

@@ -327,3 +327,65 @@ def test_write_training_shards(spark, tmp_path_factory):
     assert gz
     jl = spark.read.json(f"{d}/jl")
     assert jl.count() == 300 and set(jl.columns) == {"url", "text"}
+
+
+def test_shard_manifest(spark, tmp_path_factory):
+    """Manifest: one row per shard file, exact row totals, real byte
+    sizes, and an order-insensitive content digest that is invariant
+    under row reordering but flips when any row changes."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from data_quality_checker_spark.plans import synth
+    from data_quality_checker_spark.sources.io import (
+        shard_manifest,
+        write_training_shards,
+    )
+
+    d = str(tmp_path_factory.mktemp("manifest"))
+    pages = synth.pages_df(spark, 200, seed=19).select("url", "text")
+    write_training_shards(
+        pages, f"{d}/a", max_records_per_file=10**9, num_shards=4
+    )
+    m = shard_manifest(spark, f"{d}/a").collect()
+    files = {
+        f.rsplit("/", 1)[-1]
+        for f in glob.glob(f"{d}/a/part-*.parquet")
+    }
+    assert {r["shard"] for r in m} == files
+    assert sum(r["n_rows"] for r in m) == 200
+    assert all(r["n_bytes"] and r["n_bytes"] > 0 for r in m)
+
+    # same rows, different intra-file order -> identical total digest
+    write_training_shards(
+        pages.orderBy(F.reverse("url")),
+        f"{d}/b",
+        max_records_per_file=10**9,
+        num_shards=4,
+    )
+    def total_digest(p):
+        return sum(
+            r["content_digest"]
+            for r in shard_manifest(spark, p).collect()
+        )
+    assert total_digest(f"{d}/a") == total_digest(f"{d}/b")
+
+    # one changed row -> digest flips
+    write_training_shards(
+        pages.withColumn(
+            "text",
+            F.when(F.col("url").endswith("/p7"), F.lit("tampered"))
+            .otherwise(F.col("text")),
+        ),
+        f"{d}/c",
+        max_records_per_file=10**9,
+        num_shards=4,
+    )
+    assert total_digest(f"{d}/c") != total_digest(f"{d}/a")
+
+    # digest column selection narrows the contract
+    narrow = shard_manifest(
+        spark, f"{d}/a", content_digest_col=F.struct("url")
+    ).collect()
+    assert sum(r["n_rows"] for r in narrow) == 200
