@@ -217,9 +217,16 @@ def build_ivf_index(
     ).withColumnsRenamed({"_id": "id", "_v": "cv"})
     if storage_path is not None:
         spark = corpus.sparkSession
-        assignments.write.partitionBy("cell").mode("overwrite").parquet(
-            f"{storage_path}/assignments"
-        )
+        # repartition BY CELL before the partitioned write: without it
+        # every upstream task writes a file into every cell directory
+        # (tasks x cells small files — measured 8k files for a 1M-row
+        # index, and at crawl scale millions), which throttles the
+        # probed read with open/seek overhead. One shuffle keyed by
+        # cell -> one file per cell; KMeans keeps cells balanced
+        # enough that per-cell tasks don't straggle.
+        assignments.repartition(F.col("cell")).write.partitionBy(
+            "cell"
+        ).mode("overwrite").parquet(f"{storage_path}/assignments")
         spark.createDataFrame(
             centroids, "cell int, centroid array<double>"
         ).write.mode("overwrite").parquet(f"{storage_path}/centroids")
