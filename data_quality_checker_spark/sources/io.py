@@ -239,19 +239,31 @@ def shard_manifest(
     (no reference ancestor; training-data extension): one row per
     shard file with ``(shard, n_rows, n_bytes, content_digest)``.
 
-    ``content_digest`` is ORDER-INSENSITIVE (sum of per-row xxhash64
-    as decimal(38,0) — the repo's streaming-parity checksum trick), so
-    two exports of the same row set with different intra-file order
-    digest identically, while any changed/missing row flips it.
-    ``content_digest_col`` selects what is hashed (defaults to every
-    column; pass e.g. ``F.struct('url','text')`` to pin the contract
-    columns only). n_bytes comes from the file-system listing, not a
-    data scan.
+    ``content_digest`` is ORDER-INSENSITIVE (sum of per-row
+    xxhash64-of-JSON as decimal(38,0) — the repo's streaming-parity
+    checksum trick), so two exports of the same row set with different
+    intra-file order digest identically, while any changed/missing row
+    flips it. Rows are serialized with ``to_json`` before hashing
+    because raw multi-arg ``xxhash64`` SKIPS null inputs — a value
+    migrating between two columns (the other being NULL) would
+    otherwise leave the digest unchanged; JSON keeps the field name
+    attached to every value. ``content_digest_col`` selects what is
+    hashed (defaults to every column; pass e.g.
+    ``F.struct('url','text')`` to pin the contract columns only).
+
+    ``shard`` is the file path RELATIVE to the export root (for flat
+    exports that is the basename; for partitioned layouts the
+    ``key=value/part-...`` suffix keeps it unique). n_bytes comes from
+    a recursive Hadoop FileSystem listing — scheme-agnostic (local,
+    HDFS, object stores), no data scan, and nested/partitioned
+    layouts are fully covered.
 
     One distributed scan groups by ``input_file_name()`` — no
     driver-side file loop; the listing join is a tiny broadcast."""
-    import os as _os
+    import re as _re
 
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError(f"fmt must be 'parquet' or 'jsonl', got {fmt!r}")
     reader = spark.read
     df = (
         reader.parquet(path)
@@ -267,25 +279,52 @@ def shard_manifest(
             else content_digest_col
         )
     )
+    from pyspark.sql.types import StructType as _StructType
+
+    if not isinstance(
+        df.select(digest_src).schema[0].dataType, _StructType
+    ):
+        digest_src = F.struct(digest_src)
+
+    # scheme-strip both sides to one normalized absolute form so the
+    # Spark-side input_file_name URIs and the driver-side Hadoop
+    # listing agree ("file:///x", "file:/x", "hdfs://nn/x" -> "/x")
+    _scheme = r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+"
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    root = _re.sub(_scheme, "/", fs.makeQualified(jpath).toString())
+    root = root.rstrip("/")
+    sizes = []
+    it = fs.listFiles(jpath, True)  # recursive: partitioned layouts
+    while it.hasNext():
+        st = it.next()
+        full = _re.sub(_scheme, "/", st.getPath().toString())
+        rel = full[len(root) + 1:] if full.startswith(root + "/") else full
+        # skip hidden/metadata entries at ANY depth (_SUCCESS, .crc)
+        if any(p[:1] in ("_", ".") for p in rel.split("/")):
+            continue
+        sizes.append((rel, st.getLen()))
+    size_df = spark.createDataFrame(
+        sorted(sizes), "shard string, n_bytes long"
+    )
+
+    nf = F.regexp_replace(F.input_file_name(), _scheme, "/")
+    rel = F.when(
+        nf.startswith(root + "/"), F.substring(nf, len(root) + 2, 2**30)
+    ).otherwise(F.element_at(F.split(nf, "/"), -1))
     per_file = (
-        df.withColumn("_f", F.input_file_name())
-        .groupBy("_f")
+        df.withColumn("shard", rel)
+        .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.xxhash64(digest_src).cast("decimal(38,0)")).alias(
-                "content_digest"
-            ),
+            F.sum(
+                F.xxhash64(F.to_json(digest_src)).cast("decimal(38,0)")
+            ).alias("content_digest"),
         )
-        # normalize the scheme-qualified input_file_name to a basename
-        .withColumn("shard", F.element_at(F.split("_f", "/"), -1))
-        .drop("_f")
     )
-    sizes = [
-        (f, _os.path.getsize(_os.path.join(path, f)))
-        for f in sorted(_os.listdir(path))
-        if not f.startswith("_") and not f.startswith(".")
-    ]
-    size_df = spark.createDataFrame(sizes, "shard string, n_bytes long")
     return per_file.join(F.broadcast(size_df), "shard", "left").select(
         "shard", "n_rows", "n_bytes", "content_digest"
     )

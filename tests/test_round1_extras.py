@@ -389,3 +389,46 @@ def test_shard_manifest(spark, tmp_path_factory):
         spark, f"{d}/a", content_digest_col=F.struct("url")
     ).collect()
     assert sum(r["n_rows"] for r in narrow) == 200
+
+    # unknown fmt raises (parity with write_training_shards), never
+    # silently falls through to the jsonl reader
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fmt"):
+        shard_manifest(spark, f"{d}/a", fmt="json")
+
+    # a value migrating between columns (the other NULL) must flip the
+    # digest: raw multi-arg xxhash64 skips NULLs and would not
+    ab = spark.createDataFrame(
+        [("a", None)], "url string, text string"
+    )
+    ba = spark.createDataFrame(
+        [(None, "a")], "url string, text string"
+    )
+    ab.write.mode("overwrite").parquet(f"{d}/mig_ab")
+    ba.write.mode("overwrite").parquet(f"{d}/mig_ba")
+    assert total_digest(f"{d}/mig_ab") != total_digest(f"{d}/mig_ba")
+
+
+def test_shard_manifest_partitioned(spark, tmp_path_factory):
+    """Partitioned exports: the recursive listing covers leaf files in
+    key=value subdirectories, shard names are root-relative (unique
+    across partition dirs), and every row gets real byte sizes."""
+    from data_quality_checker_spark.plans import synth
+    from data_quality_checker_spark.sources.io import shard_manifest
+
+    d = str(tmp_path_factory.mktemp("manifest_part"))
+    pages = (
+        synth.pages_df(spark, 120, seed=23)
+        .select("url", "text")
+        .withColumn("bucket", F.abs(F.xxhash64("url")) % 3)
+    )
+    pages.repartition("bucket").write.partitionBy("bucket").mode(
+        "overwrite"
+    ).parquet(f"{d}/p")
+    m = shard_manifest(spark, f"{d}/p").collect()
+    assert sum(r["n_rows"] for r in m) == 120
+    shards = [r["shard"] for r in m]
+    assert len(shards) == len(set(shards))
+    assert all(s.startswith("bucket=") and "/" in s for s in shards)
+    assert all(r["n_bytes"] and r["n_bytes"] > 0 for r in m)

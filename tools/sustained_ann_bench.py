@@ -62,7 +62,7 @@ def synth_vectors(
             - 1.0
         )
 
-    if not n_clusters:
+    if not n_clusters or noise is None:
         comps = [
             h_unit(F.col("id"), F.lit(j), F.lit(seed)).cast("float")
             for j in range(dim)

@@ -69,12 +69,18 @@ def main() -> None:
     urls = pages.select("url")
     t0 = time.time()
     flags = UF.url_quality_flags("url", blocked_words=("casino",))
+    # aggregate over EVERY flag: referencing only one would let
+    # Catalyst's column pruning drop the other three from the physical
+    # plan and the leg would not time the work it claims to
     n_dom = (
         urls.select(
             UF.registrable_domain("url").alias("d"),
             *[v.alias(k) for k, v in flags.items()],
         )
-        .agg(F.countDistinct("d"), F.sum(F.col("url_bad_ext").cast("long")))
+        .agg(
+            F.countDistinct("d"),
+            *[F.sum(F.col(k).cast("long")) for k in flags],
+        )
         .collect()[0][0]
     )
     dt = time.time() - t0
@@ -89,29 +95,50 @@ def main() -> None:
     from data_quality_checker_spark.operators import spelling as SP
     from data_quality_checker_spark.operators.dedup import release_cache
 
+    # plant the typo in 0.1% of docs: ~780 occurrences stays BELOW
+    # min_freq=1000, so 'teh' is out-of-vocabulary (a 1% plant put it
+    # IN the self-derived vocab and the leg silently corrected nothing)
     docs = pages.filter("text is not null").select(
         "url",
         F.concat(
             F.col("text"),
-            F.when(F.xxhash64("url") % 100 == 0, F.lit(" teh"))
+            F.when(F.xxhash64("url") % 1000 == 0, F.lit(" teh"))
             .otherwise(F.lit("")),
         ).alias("text"),
     )
-    sugg = SP.spelling_suggestions(docs, min_freq=1000)
+    from data_quality_checker_spark.functions.text import tokens as T
+
+    planted = F.array_contains(T("text"), "teh")
+    n_planted = docs.filter(planted).count()
+    # leg A: BUILD the suggestion table (tokenize + delete-key join +
+    # window) and pin it, so leg B times only the map application
+    t0 = time.time()
+    sugg = SP.spelling_suggestions(docs, min_freq=1000).persist()
+    n_sugg = sugg.count()
+    build_sec = time.time() - t0
     t0 = time.time()
     corrected = SP.with_corrected_text(
         docs, sugg, id_col="url", strategy="map"
     )
+    # corrected = docs whose planted typo token is GONE after the map
+    # (comparing against lower(text) counts whitespace normalization,
+    # not corrections)
     n_changed = corrected.filter(
-        F.col("text_corrected") != F.lower(F.col("text"))
+        planted
+        & ~F.array_contains(F.split("text_corrected", " "), "teh")
     ).count()
     dt = time.time() - t0
     n_text = docs.count()
+    sugg.unpersist()
     release_cache(corrected)
+    assert n_changed == n_planted, (n_changed, n_planted)
     out["spelling_applied_map"] = {
         "rows": n_text,
+        "suggestion_build_sec": round(build_sec, 2),
+        "suggestion_entries": n_sugg,
         "sec": round(dt, 2),
         "rows_per_sec": round(n_text / dt, 1),
+        "docs_planted": n_planted,
         "docs_corrected": n_changed,
     }
 
