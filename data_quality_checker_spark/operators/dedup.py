@@ -101,6 +101,7 @@ def near_duplicates_minhash(
     threshold: float = 0.7,
     storage_path: str | None = None,
     prefilter_margin: float | None = 0.15,
+    one_permutation: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a, id_b, jaccard >= threshold).
 
@@ -127,6 +128,25 @@ def near_duplicates_minhash(
     lower-tail mass below the bar (~3% at 32 hashes / margin 0.15) —
     the same order as banded LSH's own miss rate. Pass None to verify
     every banded candidate exactly.
+
+    ``one_permutation``: One-Permutation Hashing (Li, Owen, Zhang,
+    NIPS 2012) — ONE xxhash64 per shingle, partitioned into
+    ``num_hashes`` bins by hash value, signature component j = min hash
+    landing in bin j. Classic MinHash computes ``num_hashes`` hashes
+    per shingle, and that multiply dominates the sketch phase on long
+    documents (a 400-shingle doc costs 12,800 hashes at 32 components;
+    OPH costs 400). Empty bins (probability (1-1/k)^n_shingles — rare
+    for real documents, material only below ~2-3x num_hashes shingles)
+    are densified deterministically from the set's global minimum
+    hash, so two sets sharing their min (probability = their Jaccard)
+    agree on every filled bin. The signature is a DIFFERENT estimator
+    with the same expectation: banding recall at the margin shifts
+    slightly (gated in tests), while pair PRECISION is untouched — the
+    exact-Jaccard verify join back-stops every candidate either way.
+    Default False because the classic signature is what the portable
+    DuckDB-twin oracles pin; the pipeline's near-dedup stage exposes it
+    as ``PipelineConfig(near_dedup_oph=True)`` (recall-gated, not
+    signature-pinned).
 
     The shingle and signature intermediates are consumed 2-4x (self-join
     branches + the two verify joins; exchange reuse only covers shuffle
@@ -177,21 +197,51 @@ def near_duplicates_minhash(
     # turning the pure-projection form O(n_hashes * n_tokens^2) per doc
     # (measured 68s for 500 docs). The agg form is linear; map-side
     # combine means the shuffle carries one row per doc.
-    hashed = base.select(
-        "id", F.explode("sh").alias("s")
-    ).select(
-        "id",
-        *[
-            F.xxhash64("s", F.lit(j)).alias(f"h{j}")
-            for j in range(num_hashes)
-        ],
-    )
-    sig = materialize(  # tiny (num_hashes longs per doc); joined twice
-        hashed.groupBy("id").agg(
+    if one_permutation:
+        # OPH: one hash per shingle, binned by value; component j =
+        # min hash in bin j; empty bins densified from the global min
+        raw = base.select("id", F.explode("sh").alias("s")).select(
+            "id",
+            F.xxhash64("s").alias("_h"),
+            # bin computed ONCE in the projection, not per-aggregate
+            F.pmod(F.xxhash64("s"), F.lit(num_hashes))
+            .cast("int")
+            .alias("_bin"),
+        )
+        binned = raw.groupBy("id").agg(
+            *[
+                F.min(F.when(F.col("_bin") == j, F.col("_h"))).alias(
+                    f"h{j}"
+                )
+                for j in range(num_hashes)
+            ],
+            F.min("_h").alias("_gmin"),
+        )
+        sig_plan = binned.select(
+            "id",
+            *[
+                F.coalesce(
+                    F.col(f"h{j}"),
+                    F.xxhash64(F.col("_gmin").cast("string"), F.lit(j)),
+                ).alias(f"h{j}")
+                for j in range(num_hashes)
+            ],
+        )
+    else:
+        hashed = base.select(
+            "id", F.explode("sh").alias("s")
+        ).select(
+            "id",
+            *[
+                F.xxhash64("s", F.lit(j)).alias(f"h{j}")
+                for j in range(num_hashes)
+            ],
+        )
+        sig_plan = hashed.groupBy("id").agg(
             *[F.min(f"h{j}").alias(f"h{j}") for j in range(num_hashes)]
-        ),
-        "signatures",
-    )
+        )
+    # tiny (num_hashes longs per doc); joined twice
+    sig = materialize(sig_plan, "signatures")
     band_cols = [
         F.concat(
             F.lit(f"b{b}:"),

@@ -51,6 +51,10 @@ class PipelineConfig:
     # clustering is iterative)
     near_dedup: bool = False
     near_dedup_threshold: float = 0.85
+    # one-permutation hashing for the MinHash sketch (one xxhash64 per
+    # shingle instead of num_hashes) — the crawl-scale sketch; recall
+    # is gated in tests, pair precision unchanged (exact verify join)
+    near_dedup_oph: bool = False
     # optional benchmark-decontamination stage (run_pipeline /
     # with_decontam_verdict): exact n-gram collision vs an eval corpus
     decontam_ngram: int = 13
@@ -148,6 +152,7 @@ def with_near_dup_verdict(
         text_col="text",
         threshold=cfg.near_dedup_threshold,
         storage_path=storage_path,
+        one_permutation=cfg.near_dedup_oph,
     )
     losers = (
         duplicate_clusters(pairs)

@@ -490,6 +490,91 @@ def test_minhash_prefilter_equivalence_and_liveness(docs):
     assert pairset(prefilter_margin=-0.5) == {(0, 1)}
 
 
+def test_minhash_oph_small_fixture(docs):
+    """One-permutation hashing on the small fixture: the exact dup
+    (identical shingle sets -> identical binned signature) always
+    survives banding, every reported pair carries the EXACT verify-join
+    jaccard (so values agree with the classic run wherever both report
+    a pair), and unrelated/short docs stay out."""
+    def pairs(**kw):
+        out = D.near_duplicates_minhash(docs, threshold=0.5, k_shingle=2, **kw)
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+        D.release_cache(out)
+        return got
+
+    base = pairs()
+    oph = pairs(one_permutation=True)
+    assert oph[(0, 1)] == 1.0
+    for k in set(oph) & set(base):
+        assert oph[k] == base[k]
+    assert all(3 not in p and 4 not in p and 5 not in p for p in oph)
+
+
+def test_minhash_oph_recall_gate(spark):
+    """OPH is a different estimator of the same Jaccard: gate its
+    banding recall against exact all-pairs truth on a planted corpus
+    of realistic-length docs (~120 tokens; the regime OPH is for).
+    Precision needs no gate — the exact verify join back-stops every
+    candidate — but assert it anyway from the same truth."""
+    import random
+
+    rnd = random.Random(7)
+    rows, shingles = [], {}
+    for i in range(50):
+        toks = [f"t{rnd.randrange(4000)}" for _ in range(120)]
+        mut = list(toks)
+        for j in rnd.sample(range(120), 5):
+            mut[j] = f"m{rnd.randrange(4000)}"
+        for did, tk in ((2 * i, toks), (2 * i + 1, mut)):
+            rows.append((did, " ".join(tk)))
+            shingles[did] = {
+                " ".join(tk[p : p + 3]) for p in range(len(tk) - 2)
+            }
+    # exact truth (same 3-shingle definition as the operator), kept
+    # comfortably above the bar so banding miss-rate is the only slack
+    truth = set()
+    for i in range(50):
+        a, b = shingles[2 * i], shingles[2 * i + 1]
+        if len(a & b) / len(a | b) >= 0.75:
+            truth.add((2 * i, 2 * i + 1))
+    assert len(truth) >= 40  # the plant actually produced near-dups
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.near_duplicates_minhash(df, threshold=0.7, one_permutation=True)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    D.release_cache(out)
+    assert len(got & truth) / len(truth) >= 0.9  # recall
+    for a, b in got:  # precision: every pair is >= threshold in truth
+        sa, sb = shingles[a], shingles[b]
+        assert len(sa & sb) / len(sa | sb) >= 0.7
+
+
+def test_pipeline_near_dedup_oph_config(spark):
+    """PipelineConfig(near_dedup_oph=True) threads through to the
+    sketcher and yields the same near-dup losers on a corpus whose dup
+    pairs are unambiguous."""
+    from data_quality_checker_spark.plans.pipeline import (
+        PipelineConfig,
+        score_pages,
+        with_near_dup_verdict,
+    )
+    from data_quality_checker_spark.plans import synth
+
+    pages = synth.pages_df(spark, 300, seed=11)
+    scored = score_pages(pages)
+
+    def losers(oph):
+        cfg = PipelineConfig(
+            near_dedup=True, near_dedup_threshold=0.7, near_dedup_oph=oph
+        )
+        out = with_near_dup_verdict(scored, cfg)
+        return {
+            r["url"]: r["near_dup_of"]
+            for r in out.filter("near_dup_of is not null").collect()
+        }
+
+    assert losers(True) == losers(False)
+
+
 def test_duplicate_clusters_raises_on_nonconvergence(spark):
     """A chain of diameter > max_iter must fail loudly (wrong labels
     would silently split the cluster otherwise)."""
