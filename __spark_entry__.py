@@ -1658,6 +1658,57 @@ from c
 """
 
 
+def q_pack_sequences(spark, sf):
+    """GPT-style sequence packing (operators/chunking.py
+    pack_sequences — no reference ancestor; training-data extension):
+    per-bucket concat-and-split into 64-token training sequences,
+    docs spanning boundaries, offsets exact. Engine-portable via the
+    bucket_col/order_col hooks (doc_id % 8 buckets, doc_id order);
+    production defaults hash both."""
+    from data_quality_checker_spark.operators.chunking import (
+        pack_sequences,
+    )
+
+    docs = _t(spark, sf, "documents")
+    out = pack_sequences(
+        docs,
+        max_tokens=64,
+        bucket_col=F.pmod(F.col("doc_id"), F.lit(8)).cast("int"),
+        order_col=F.col("doc_id"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "seq_in_bucket",
+        "seq_id",
+        "doc_token_start",
+        "n_tokens_in_seq",
+        "n_tokens_doc",
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+with d as (select doc_id, doc_id % 8 as bucket, {duck.wc('text')} as n
+           from documents where text is not null),
+b as (select * from d where n > 0),
+s as (select doc_id, bucket, n,
+  (sum(n) over (partition by bucket order by doc_id
+               rows between unbounded preceding and current row)
+  )::bigint cend
+  from b),
+sp as (select doc_id, bucket, n, cend - n as cstart, cend from s),
+e as (select sp.*, u.seq from sp,
+      unnest(generate_series(cstart // 64, (cend - 1) // 64)) u(seq))
+select doc_id, bucket::bigint as bucket, seq::bigint as seq_in_bucket,
+ bucket::varchar || '-' || seq::varchar as seq_id,
+ (greatest(seq * 64, cstart) - cstart)::bigint as doc_token_start,
+ (least((seq + 1) * 64, cend) - greatest(seq * 64, cstart))::bigint
+   as n_tokens_in_seq,
+ n::bigint as n_tokens_doc
+from e
+"""
+
+
 def q_corpus_mix_report(spark, sf):
     """Data-mix accounting (training-data extension): per-source doc
     and token counts with corpus proportions — the table a data-mixing
@@ -1916,6 +1967,154 @@ select doc_id,
  list_min(list_transform(sg, s -> md5('2|' || s))) as sig2,
  list_min(list_transform(sg, s -> md5('3|' || s))) as sig3
 from sh where len(sg) > 0
+"""
+
+
+def q_url_canonical(spark, sf):
+    """URL canonicalization (plans/urlfilter.py canonical_url — no
+    reference ancestor; training-data extension): planted doc_id-
+    derived urls exercise every step — uppercase authority + default
+    port + fragment + utm/tracking params, :80 strip, all-tracking
+    query dropped, bare-/ collapse, schemeless passthrough, the
+    www.ck PSL-exception host surviving www-strip, unsorted params +
+    a bare (no '=') param, and case-sensitive param-name matching
+    (PHPSESSID uppercase is NOT the phpsessid tracking name)."""
+    from data_quality_checker_spark.plans.urlfilter import canonical_url
+
+    docs = _t(spark, sf, "documents")
+    m = F.col("doc_id") % 8
+    did = F.col("doc_id").cast("string")
+    d5 = (F.col("doc_id") % 5).cast("string")
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("HTTPS://WWW.EXAMPLE"), d5, F.lit(".COM:443/Art/"),
+            did, F.lit("?b=2&utm_source=s"), did, F.lit("&a=1#sec")))
+        .when(m == 1, F.concat(
+            F.lit("http://example"), d5, F.lit(".co.uk:80/item/"), did))
+        .when(m == 2, F.concat(
+            F.lit("https://news.site"), d5, F.lit(".com/story/"), did,
+            F.lit("/?gclid=123&ref=tw")))
+        .when(m == 3, F.concat(F.lit("https://host"), did, F.lit(".com/")))
+        .when(m == 4, F.concat(F.lit("www.noscheme"), d5, F.lit(".com/"), did))
+        .when(m == 5, F.concat(F.lit("https://www.ck/page/"), did))
+        .when(m == 6, F.concat(
+            F.lit("https://shop"), d5, F.lit(".example.com/items?z="),
+            did, F.lit("&y=8&x=7&flag")))
+        .otherwise(F.concat(
+            F.lit("https://a.example"), d5, F.lit(".com/p?phpsessid="),
+            did, F.lit("&PHPSESSID=keep&q="), did))
+    )
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        canonical_url(url).alias("url_canonical"),
+    )
+
+
+def _sql_url_canonical() -> str:
+    from data_quality_checker_spark.plans.urlfilter import TRACKING_PARAMS
+
+    tp = ", ".join(f"'{p}'" for p in TRACKING_PARAMS)
+    return rf"""
+with u as (
+ select doc_id,
+  case doc_id % 8
+   when 0 then 'HTTPS://WWW.EXAMPLE' || (doc_id % 5)::varchar ||
+    '.COM:443/Art/' || doc_id::varchar || '?b=2&utm_source=s' ||
+    doc_id::varchar || '&a=1#sec'
+   when 1 then 'http://example' || (doc_id % 5)::varchar ||
+    '.co.uk:80/item/' || doc_id::varchar
+   when 2 then 'https://news.site' || (doc_id % 5)::varchar ||
+    '.com/story/' || doc_id::varchar || '/?gclid=123&ref=tw'
+   when 3 then 'https://host' || doc_id::varchar || '.com/'
+   when 4 then 'www.noscheme' || (doc_id % 5)::varchar || '.com/' ||
+    doc_id::varchar
+   when 5 then 'https://www.ck/page/' || doc_id::varchar
+   when 6 then 'https://shop' || (doc_id % 5)::varchar ||
+    '.example.com/items?z=' || doc_id::varchar || '&y=8&x=7&flag'
+   else 'https://a.example' || (doc_id % 5)::varchar ||
+    '.com/p?phpsessid=' || doc_id::varchar || '&PHPSESSID=keep&q=' ||
+    doc_id::varchar
+  end as url
+ from documents),
+s as (select doc_id, url, string_split(url, '#')[1] nofrag from u),
+a as (select doc_id, url, nofrag,
+  coalesce(regexp_extract(nofrag,
+    '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*'), '') auth,
+  regexp_replace(nofrag,
+    '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*', '') rest
+ from s),
+b as (select doc_id, url, auth,
+  regexp_replace(
+    regexp_replace(lower(auth), ':(80|443)$', ''),
+    '://www\.([^/?#.]+\.[^/?#]*)$', '://\1') auth2,
+  regexp_extract(rest, '^([^?]*)', 1) pth,
+  regexp_replace(rest, '^[^?]*\??', '') qry
+ from a),
+c as (select doc_id, url, auth, auth2, pth,
+  array_to_string(list_sort(list_filter(string_split(qry, '&'),
+    p -> len(p) > 0
+     and not starts_with(string_split(p, '=')[1], 'utm_')
+     and not list_contains([{tp}], string_split(p, '=')[1]))), '&') nq
+ from b)
+select doc_id, url,
+ case when auth = '' then url
+  else auth2 || (case when pth = '/' then '' else pth end) ||
+   (case when len(nq) > 0 then '?' || nq else '' end)
+ end as url_canonical
+from c
+"""
+
+
+def q_minhash_oph_portable(spark, sf):
+    """One-permutation-hashing signature (functions/hashing.py
+    oph_signature_md5) in the md5 family, value-pinned against the
+    DuckDB twin: one digest per shingle, binned by first hex nibble,
+    min per bin, empty bins densified from the global min. The
+    production path (dedup.near_duplicates_minhash with
+    one_permutation=True) uses xxhash64 with the same binned-min
+    estimator; this query pins the estimator's VALUES cross-engine,
+    the recall gate in tests pins its banding behavior."""
+    from data_quality_checker_spark.functions.hashing import (
+        oph_signature_md5,
+        shingles,
+    )
+
+    docs = _t(spark, sf, "documents").filter("doc_id < 200")
+    base = docs.select(
+        "doc_id", shingles("text", 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = base.select(
+        "doc_id", oph_signature_md5(F.col("sh")).alias("s")
+    )
+    return sig.select(
+        "doc_id",
+        *[
+            F.col("s").getItem(j).alias(f"sig{j:x}")
+            for j in range(16)
+        ],
+    )
+
+
+def _sql_minhash_oph() -> str:
+    comps = ",\n ".join(
+        f"coalesce(list_min(list_filter(hs, x -> x[1:1] = '{j:x}')),"
+        f" md5(gmin || '|{j:x}')) as sig{j:x}"
+        for j in range(16)
+    )
+    return f"""
+with t as (select doc_id, {duck.toks('text')} tk
+           from documents where doc_id < 200 and text is not null),
+sh as (select doc_id,
+  list_distinct(list_transform(generate_series(1, len(tk) - 2),
+    i -> array_to_string(tk[i:i+2], ' '))) sg
+  from t where len(tk) >= 3),
+h as (select doc_id, list_transform(sg, s -> md5(s)) hs
+      from sh where len(sg) > 0),
+g as (select doc_id, hs, list_min(hs) gmin from h)
+select doc_id,
+ {comps}
+from g
 """
 
 
@@ -3608,11 +3807,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrubbed_digest": q_scrubbed_digest,
         "pii_extended": q_pii_extended,
         "url_filter": q_url_filter,
+        "url_canonical": q_url_canonical,
         "punct_normalized": q_punct_normalized,
         "corpus_mix_report": q_corpus_mix_report,
         "snapshot_diff": q_snapshot_diff,
         "duplicate_spans": q_duplicate_spans,
         "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
         "host_keep_rates": q_host_keep_rates,
         "top_bigrams": q_top_bigrams,
         "word_frequencies": q_word_frequencies,
@@ -3648,6 +3849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup
         "dedup_subset": q_dedup_subset,
         "minhash_signatures": q_minhash_signatures,
+        "minhash_oph_portable": q_minhash_oph_portable,
         "minhash_lsh_portable": q_minhash_lsh_portable,
         "dedup_clusters": q_dedup_clusters,
         "minhash_neardups": q_minhash_neardups,
@@ -3718,11 +3920,13 @@ def oracle_sql() -> dict[str, str]:
         "scrubbed_digest": _sql_scrub(),
         "pii_extended": _sql_pii_extended(),
         "url_filter": _sql_url_filter(),
+        "url_canonical": _sql_url_canonical(),
         "punct_normalized": _sql_punct_normalized(),
         "corpus_mix_report": SQL_CORPUS_MIX,
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "duplicate_spans": SQL_DUPLICATE_SPANS,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
+        "pack_sequences": SQL_PACK_SEQUENCES,
         "host_keep_rates": SQL_HOST_KEEP_RATES,
         "top_bigrams": SQL_TOP_BIGRAMS,
         "word_frequencies": SQL_WORD_FREQ,
@@ -3757,6 +3961,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "dedup_subset": SQL_DEDUP_SUBSET,
         "minhash_signatures": SQL_MINHASH,
+        "minhash_oph_portable": _sql_minhash_oph(),
         "minhash_lsh_portable": SQL_MINHASH_LSH,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "simhash_portable": _sql_simhash_portable(),

@@ -29,6 +29,7 @@ __all__ = [
     "shingles",
     "minhash_signature",
     "minhash_signature_md5",
+    "oph_signature_md5",
     "band_keys",
     "simhash64",
     "jaccard",
@@ -68,6 +69,41 @@ def minhash_signature_md5(sh: Column, num_hashes: int = 8) -> Column:
         F.array_min(F.transform(sh, _hasher(j))) for j in range(num_hashes)
     ]
     return F.array(*sigs)
+
+
+def oph_signature_md5(sh: Column) -> Column:
+    """array<string> (16 entries) one-permutation MinHash in the md5
+    family — the cross-engine twin of the xxhash64 OPH path in
+    operators/dedup.near_duplicates_minhash(one_permutation=True):
+    ONE md5 per shingle, binned by the digest's first hex nibble
+    (16 bins — a natural radix both engines slice identically);
+    component j = lexicographic min within bin j; empty bins densified
+    deterministically from the set's global min digest
+    (md5(gmin || '|' || hex(j))), so two sets sharing their global
+    minimum (probability = their Jaccard) agree on every empty bin.
+
+    Same CollapseProject caveat as minhash_signature_md5: 17 lambda
+    sites re-inline the shingle subtree — fine for bounded oracle
+    slices, use the operator's explode+agg form at corpus scale."""
+    hashed = F.transform(sh, lambda s: F.md5(s))
+    gmin = F.array_min(hashed)
+
+    def _bin_pred(d: str):
+        # factory, NOT a defaulted second parameter: PySpark passes
+        # (element, index) to any two-parameter lambda, defaults
+        # included, which would silently bind d to the index column
+        return lambda h: F.substring(h, 1, 1) == d
+
+    comps = []
+    for j in range(16):
+        d = f"{j:x}"
+        comps.append(
+            F.coalesce(
+                F.array_min(F.filter(hashed, _bin_pred(d))),
+                F.md5(F.concat(gmin, F.lit(f"|{d}"))),
+            )
+        )
+    return F.array(*comps)
 
 
 def band_keys(sig: Column, num_bands: int, rows_per_band: int) -> Column:

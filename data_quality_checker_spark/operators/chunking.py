@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from data_quality_checker_spark.functions.text import tokens
 
-__all__ = ["chunk_documents"]
+__all__ = ["chunk_documents", "pack_sequences"]
 
 
 def chunk_documents(
@@ -81,4 +81,118 @@ def chunk_documents(
         "chunk_id",
         F.concat_ws(" ", F.col("_ck")).alias("chunk_text"),
         F.size("_ck").alias("n_tokens"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 2048,
+    num_buckets: int = 64,
+    bucket_col=None,
+    token_count_col=None,
+    order_col=None,
+) -> DataFrame:
+    """GPT-style sequence packing: documents are concatenated in a
+    deterministic order and split into fixed ``max_tokens`` training
+    sequences, documents spanning sequence boundaries (the standard
+    pretraining loader prep — zero padding waste except the final
+    sequence per bucket). No reference ancestor; training-data
+    extension.
+
+    Output: one row per (document x sequence it occupies) —
+    ``(id_col, bucket, seq_in_bucket, seq_id, doc_token_start,
+    n_tokens_in_seq, n_tokens_doc)`` where ``doc_token_start`` is the
+    0-based offset INTO THE DOCUMENT of the first token landing in
+    this sequence, so a loader can reassemble every sequence from the
+    documents alone. Zero-token / NULL docs produce no rows.
+
+    Scale shape: concatenation order must be total, but a single
+    global order would serialize the window — so packing is
+    per-bucket (``xxhash64(id) % num_buckets`` by default, or pass
+    ``bucket_col``): one shuffle into ``num_buckets`` ordered
+    partitions, one running-sum window per bucket, one explode. Each
+    bucket wastes at most ``max_tokens - 1`` trailing tokens; at
+    crawl scale buckets number in the thousands and the waste is
+    noise. The order WITHIN a bucket is ``xxhash64(id)`` (hash order
+    = a deterministic shuffle, the mix pretraining wants; retry/
+    resume-stable, never rand() — the repo's sampling rule).
+
+    ``token_count_col``: optional pre-computed token-count column
+    (skips tokenization — e.g. reuse BPE counts); default counts
+    ``tokens(text)``. ``order_col``: optional explicit within-bucket
+    order (ties broken by id) — the engine-portable hook the DuckDB
+    oracle twin uses; default hash order."""
+    from pyspark.sql import Window
+
+    c_id = F.col(id_col)
+    tok_n = (
+        F.col(token_count_col)
+        if isinstance(token_count_col, str)
+        else token_count_col
+        if token_count_col is not None
+        else F.size(tokens(F.col(text_col)))
+    )
+    bucket = (
+        F.col(bucket_col)
+        if isinstance(bucket_col, str)
+        else bucket_col
+        if bucket_col is not None
+        else F.pmod(F.xxhash64(c_id), F.lit(num_buckets)).cast("int")
+    )
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            c_id.alias("_id"),
+            bucket.alias("bucket"),
+            tok_n.cast("long").alias("n_tokens_doc"),
+            (
+                F.col(order_col)
+                if isinstance(order_col, str)
+                else order_col
+                if order_col is not None
+                else F.xxhash64(c_id)
+            ).alias("_ord"),
+        )
+        .filter(F.col("n_tokens_doc") > 0)
+    )
+    w = Window.partitionBy("bucket").orderBy("_ord", "_id")
+    cum = F.sum("n_tokens_doc").over(w)
+    spans = base.select(
+        "_id",
+        "bucket",
+        "n_tokens_doc",
+        (cum - F.col("n_tokens_doc")).alias("_start"),  # global offset
+        cum.alias("_end"),
+    )
+    # sequences this doc touches: start div max .. (end-1) div max —
+    # integer div, not floor(double /): token offsets at 10^12-doc
+    # scale exceed double's 53-bit exact-integer range
+    first_s = F.expr(f"_start div {max_tokens}")
+    last_s = F.expr(f"(_end - 1) div {max_tokens}")
+    out = spans.select(
+        "_id",
+        "bucket",
+        "n_tokens_doc",
+        "_start",
+        "_end",
+        F.explode(F.sequence(first_s, last_s)).alias("seq_in_bucket"),
+    )
+    seq_lo = F.col("seq_in_bucket") * max_tokens
+    seq_hi = seq_lo + max_tokens
+    return out.select(
+        F.col("_id").alias(id_col),
+        "bucket",
+        F.col("seq_in_bucket").cast("long").alias("seq_in_bucket"),
+        F.concat_ws(
+            "-", F.col("bucket"), F.col("seq_in_bucket")
+        ).alias("seq_id"),
+        (F.greatest(seq_lo, F.col("_start")) - F.col("_start"))
+        .cast("long")
+        .alias("doc_token_start"),
+        (F.least(seq_hi, F.col("_end")) - F.greatest(seq_lo, F.col("_start")))
+        .cast("long")
+        .alias("n_tokens_in_seq"),
+        "n_tokens_doc",
     )

@@ -132,21 +132,30 @@ def near_duplicates_minhash(
     ``one_permutation``: One-Permutation Hashing (Li, Owen, Zhang,
     NIPS 2012) — ONE xxhash64 per shingle, partitioned into
     ``num_hashes`` bins by hash value, signature component j = min hash
-    landing in bin j. Classic MinHash computes ``num_hashes`` hashes
-    per shingle, and that multiply dominates the sketch phase on long
-    documents (a 400-shingle doc costs 12,800 hashes at 32 components;
-    OPH costs 400). Empty bins (probability (1-1/k)^n_shingles — rare
-    for real documents, material only below ~2-3x num_hashes shingles)
-    are densified deterministically from the set's global minimum
-    hash, so two sets sharing their min (probability = their Jaccard)
-    agree on every filled bin. The signature is a DIFFERENT estimator
-    with the same expectation: banding recall at the margin shifts
-    slightly (gated in tests), while pair PRECISION is untouched — the
-    exact-Jaccard verify join back-stops every candidate either way.
-    Default False because the classic signature is what the portable
-    DuckDB-twin oracles pin; the pipeline's near-dedup stage exposes it
-    as ``PipelineConfig(near_dedup_oph=True)`` (recall-gated, not
-    signature-pinned).
+    landing in bin j. Empty bins (probability (1-1/k)^n_shingles —
+    rare for real documents, material only below ~2-3x num_hashes
+    shingles) are densified deterministically from the set's global
+    minimum hash, so two sets sharing their min (probability = their
+    Jaccard) agree on every filled bin. The signature is a DIFFERENT
+    estimator with the same expectation: banding recall at the margin
+    shifts slightly (gated in tests), while pair PRECISION is
+    untouched — the exact-Jaccard verify join back-stops every
+    candidate either way.
+
+    HONEST MEASUREMENT (536k kept v2 docs, local[32]): OPH's
+    literature pitch — k-fold sketch speedup from hashing each
+    shingle once instead of k times — does NOT transfer to this
+    engine. At 32 hashes OPH is ~5% faster (38.6s vs 40.7s); at 128
+    it is 32% SLOWER (83.4s vs 63.3s): classic's k plain xxhash64
+    calls run inside whole-stage codegen at near-memory speed, while
+    OPH's k conditional min(when(bin==j)) aggregate updates cost more
+    per row than the hashes they avoid. The sketch phase here is
+    aggregation/shuffle-bound, not hash-bound — OPH pays off in
+    row-at-a-time engines where each hash is function-call-priced.
+    Kept as an option (the estimator is value-pinned cross-engine by
+    the ``minhash_oph_portable`` oracle and recall-gated in tests),
+    exposed as ``PipelineConfig(near_dedup_oph=True)``; default False
+    — classic is also what the portable DuckDB-twin oracles pin.
 
     The shingle and signature intermediates are consumed 2-4x (self-join
     branches + the two verify joins; exchange reuse only covers shuffle
@@ -199,7 +208,17 @@ def near_duplicates_minhash(
     # combine means the shuffle carries one row per doc.
     if one_permutation:
         # OPH: one hash per shingle, binned by value; component j =
-        # min hash in bin j; empty bins densified from the global min
+        # min hash in bin j; empty bins densified from the global min.
+        # Of three measured formulations (536k kept v2 docs, local[32])
+        # this conditional-aggregate form is the best OPH:
+        #   num_hashes=32:  classic 40.7s | this 38.6s | 2-level 49.1s
+        #   num_hashes=128: classic 63.3s | this 83.4s | 2-level 104.0s
+        # (2-level = min per (id,bin) then assemble — its (id,bin)
+        # shuffle has num_hashes x the groups and loses everywhere.)
+        # See the docstring's honest-measurement note: in THIS engine
+        # classic's k plain xxhash64 calls are nearly free inside
+        # whole-stage codegen, so OPH's literature k-x sketch win does
+        # not transfer; keep classic unless profiling says otherwise.
         raw = base.select("id", F.explode("sh").alias("s")).select(
             "id",
             F.xxhash64("s").alias("_h"),

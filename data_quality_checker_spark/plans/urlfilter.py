@@ -39,9 +39,12 @@ __all__ = [
     "registrable_domain",
     "registrable_domain_py",
     "url_quality_flags",
+    "canonical_url",
+    "canonical_url_py",
     "filter_blocked_domains",
     "cap_per_host",
     "BAD_EXTENSIONS",
+    "TRACKING_PARAMS",
     "PSL_MULTI2",
     "PSL_MULTI3",
     "PSL_WILDCARD_TLDS",
@@ -317,6 +320,112 @@ def url_quality_flags(
     else:
         flags["url_blocked_word"] = F.lit(False)
     return flags
+
+
+# query parameters that never affect page content (click/session
+# tracking ids) — the drop set URL canonicalization removes before
+# urls are used as dedup keys. Matched against the param NAME
+# (before '='), case-sensitively; the utm_ prefix family is matched
+# by prefix in canonical_url itself.
+TRACKING_PARAMS = (
+    "gclid", "fbclid", "msclkid", "yclid", "igshid", "mc_cid",
+    "mc_eid", "ref", "ref_src", "cmpid", "spm", "_ga", "sid",
+    "sessionid", "phpsessid", "jsessionid",
+)
+
+_SCHEME_AUTH_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*"
+
+
+def canonical_url(
+    url: Column | str,
+    tracking_params: tuple[str, ...] = TRACKING_PARAMS,
+    strip_www: bool = True,
+) -> Column:
+    """Canonical form of a crawl url — the normalization CCNet/
+    RefinedWeb-style pipelines apply before urls become dedup keys or
+    host-grouping keys, so ``?utm_source=x`` and param order don't
+    split one page into many "distinct" urls. No reference ancestor
+    (training-data extension). Steps, in order:
+
+    1. strip the fragment (``#...``)
+    2. lowercase ``scheme://authority`` (path/query keep their case)
+    3. strip default ports ``:80``/``:443``; with ``strip_www``, strip
+       one leading ``www.`` label when at least two labels remain
+       (``www.ck`` — itself a PSL exception domain — stays intact)
+    4. drop tracking query params: names starting ``utm_`` plus the
+       exact names in ``tracking_params``
+    5. sort surviving params byte-lexicographically
+    6. drop an empty query entirely; collapse the bare ``/`` path
+
+    Pure Catalyst (regexp + array lambda algebra, RE2-portable — no
+    lookahead), twinned in DuckDB SQL and mirrored in
+    ``canonical_url_py`` (property-pinned). Urls without a
+    ``scheme://`` shape pass through unchanged."""
+    c = F.col(url) if isinstance(url, str) else url
+    nofrag = F.split(c, "#", 2).getItem(0)
+    auth = F.regexp_extract(nofrag, f"({_SCHEME_AUTH_RE})", 1)
+    rest = F.regexp_replace(nofrag, _SCHEME_AUTH_RE, "")
+    auth2 = F.regexp_replace(F.lower(auth), r":(80|443)$", "")
+    if strip_www:
+        # require a dot in the remainder so single-label hosts that
+        # happen to BE "www.<tld>" (PSL exception www.ck) survive
+        auth2 = F.regexp_replace(
+            auth2, r"://www\.([^/?#.]+\.[^/?#]*)$", "://$1"
+        )
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_replace(rest, r"^[^?]*\??", "")
+
+    def _keep(p):
+        name = F.split(p, "=", 2).getItem(0)
+        return (
+            (F.length(p) > 0)
+            & ~name.startswith("utm_")
+            & ~name.isin(*tracking_params)
+        )
+
+    newq = F.array_join(F.array_sort(F.filter(F.split(query, "&"), _keep)), "&")
+    out = F.concat(
+        auth2,
+        F.when(path == "/", F.lit("")).otherwise(path),
+        F.when(F.length(newq) > 0, F.concat(F.lit("?"), newq)).otherwise(
+            F.lit("")
+        ),
+    )
+    return F.when(auth == "", c).otherwise(out)
+
+
+def canonical_url_py(
+    url: str | None,
+    tracking_params: tuple[str, ...] = TRACKING_PARAMS,
+    strip_www: bool = True,
+) -> str | None:
+    """Pure-Python mirror of canonical_url (property-pinned, same
+    contract as registrable_domain_py)."""
+    import re as _re
+
+    if url is None:
+        return None
+    nofrag = url.split("#", 1)[0]
+    m = _re.match(_SCHEME_AUTH_RE, nofrag)
+    if not m:
+        return url
+    auth, rest = m.group(0), nofrag[m.end():]
+    auth = _re.sub(r":(80|443)$", "", auth.lower())
+    if strip_www:
+        auth = _re.sub(r"://www\.([^/?#.]+\.[^/?#]*)$", r"://\1", auth)
+    path, _, query = rest.partition("?")
+    kept = sorted(
+        p
+        for p in query.split("&")
+        if p
+        and not p.split("=", 1)[0].startswith("utm_")
+        and p.split("=", 1)[0] not in tracking_params
+    )
+    return (
+        auth
+        + ("" if path == "/" else path)
+        + ("?" + "&".join(kept) if kept else "")
+    )
 
 
 def filter_blocked_domains(

@@ -110,6 +110,61 @@ def test_registrable_domain_python_mirror(spark):
         assert got[h] == UF.registrable_domain_py(h), h
 
 
+def test_canonical_url(spark):
+    """Catalyst canonical_url vs the Python mirror on a battery
+    spanning every normalization step, plus exact expectations for the
+    semantically interesting cases (the same battery shape the DuckDB
+    twin `url_canonical` pins at oracle time)."""
+    cases = {
+        # lowercase authority only; default port; fragment; utm drop;
+        # param sort
+        "HTTPS://WWW.Example.COM:443/Art/X?b=2&utm_source=s&a=1#frag":
+            "https://example.com/Art/X?a=1&b=2",
+        "http://example.co.uk:80/item/9": "http://example.co.uk/item/9",
+        # all-tracking query disappears, '?' and all
+        "https://news.com/story/1/?gclid=1&ref=x": "https://news.com/story/1/",
+        # bare-slash collapse
+        "https://host.com/": "https://host.com",
+        # schemeless passthrough (even with uppercase + params)
+        "www.NoScheme.com/p?utm_source=x": "www.NoScheme.com/p?utm_source=x",
+        # www.ck is a PSL exception domain: one label after www -> keep
+        "https://www.ck/page": "https://www.ck/page",
+        "https://sub.www.ck/page": "https://sub.www.ck/page",
+        # unsorted + valueless param; param VALUES keep case
+        "https://shop.com/i?z=1&y=B&flag": "https://shop.com/i?flag&y=B&z=1",
+        # tracking names are case-sensitive
+        "https://a.com/p?phpsessid=1&PHPSESSID=keep": "https://a.com/p?PHPSESSID=keep",
+        # :8080 is not a default port
+        "https://h.com:8080/x": "https://h.com:8080/x",
+        # empty path, query only
+        "https://h.com?utm_medium=e&k=v": "https://h.com?k=v",
+        # fragment only
+        "https://h.com/a#b": "https://h.com/a",
+        # deep trailing slash preserved (only bare '/' collapses)
+        "https://h.com/a/": "https://h.com/a/",
+    }
+    urls = list(cases)
+    df = spark.createDataFrame([(u,) for u in urls], ["u"])
+    got = {
+        r["u"]: r["c"]
+        for r in df.select(
+            "u", UF.canonical_url("u").alias("c")
+        ).collect()
+    }
+    for u, want in cases.items():
+        assert got[u] == want, (u, got[u], want)
+        assert UF.canonical_url_py(u) == want, (u,)
+    # idempotence: canonicalizing a canonical url is a no-op
+    df2 = spark.createDataFrame([(c,) for c in cases.values()], ["u"])
+    got2 = {
+        r["u"]: r["c"]
+        for r in df2.select("u", UF.canonical_url("u").alias("c")).collect()
+    }
+    for c in cases.values():
+        assert got2[c] == c, c
+    assert UF.canonical_url_py(None) is None
+
+
 def test_quality_flags(spark):
     rows = [
         (1, "https://cdn.site.com/a/b/logo.PNG"),

@@ -142,6 +142,43 @@ def main() -> None:
         "docs_corrected": n_changed,
     }
 
+    # --- MinHash near-dedup sketch: classic vs one-permutation ---
+    # pipeline-faithful input: near-dedup runs AFTER the rule battery,
+    # on kept docs only (the repetitive violation classes would
+    # otherwise flood the band buckets with template pairs — that
+    # ordering is the pipeline's own design, so the leg mirrors it).
+    # Same banding/verify both legs; only the signature estimator
+    # differs, so the delta is the sketch-phase hash cost.
+    from data_quality_checker_spark.operators import dedup as DD
+    from data_quality_checker_spark.plans.pipeline import score_pages
+
+    kept = (
+        score_pages(pages)
+        .filter("keep")
+        .select("url", "text")
+        .persist()
+    )
+    n_kept = kept.count()
+
+    def neardup_leg(oph: bool) -> dict:
+        t0 = time.time()
+        pairs = DD.near_duplicates_minhash(
+            kept, id_col="url", threshold=0.85, one_permutation=oph
+        )
+        n_pairs = pairs.count()
+        dt = time.time() - t0
+        DD.release_cache(pairs)
+        return {
+            "rows": n_kept,
+            "sec": round(dt, 2),
+            "rows_per_sec": round(n_kept / dt, 1),
+            "pairs": n_pairs,
+        }
+
+    out["neardup_classic"] = neardup_leg(False)
+    out["neardup_oph"] = neardup_leg(True)
+    kept.unpersist()
+
     # --- POS perceptron scoring: model trained once, 800k docs ---
     from data_quality_checker_spark.plans import postagger as P
 
