@@ -42,6 +42,12 @@ class PipelineConfig:
     rules: RuleConfig = field(default_factory=RuleConfig)
     num_buckets: int = 64
     dedup_latest_capture: bool = True
+    # group capture-dedup by canonical_url(url) instead of raw url:
+    # utm-tracked / param-shuffled / fragment variants of one page
+    # collapse to a single kept capture (winner keeps its ORIGINAL
+    # url — byte-identity of url-keyed outputs is untouched). Off by
+    # default: raw-url grouping is the reference-faithful contract.
+    dedup_on_canonical_url: bool = False
     # "sql" = pure-Catalyst heuristic langid; "udf" = pandas-UDF path
     # (fastText-ready). Both produce the same labels in this sandbox.
     langid_impl: str = "sql"
@@ -87,10 +93,24 @@ def score_pages(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
         # captures identical in (url, ts, text, lang) are
         # interchangeable for every downstream contract, which is
         # per-url BYTE-IDENTICAL TEXT.
-        w = Window.partitionBy("url").orderBy(
-            F.col("warc_ts").desc(),
-            F.xxhash64("text", "lang"),
-        )
+        if cfg.dedup_on_canonical_url:
+            from data_quality_checker_spark.plans.urlfilter import (
+                canonical_url,
+            )
+
+            # distinct raw urls can collide in one canonical window
+            # with equal (ts, content) — the url tiebreak keeps the
+            # winner deterministic (retry/replay-stable)
+            w = Window.partitionBy(canonical_url(F.col("url"))).orderBy(
+                F.col("warc_ts").desc(),
+                F.xxhash64("text", "lang"),
+                F.col("url"),
+            )
+        else:
+            w = Window.partitionBy("url").orderBy(
+                F.col("warc_ts").desc(),
+                F.xxhash64("text", "lang"),
+            )
         out = (
             out.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)

@@ -101,6 +101,35 @@ def test_latest_capture_dedup(spark, pages, scored):
     assert joined.filter(F.col("warc_ts") != F.col("max_ts")).count() == 0
 
 
+def test_dedup_on_canonical_url(spark):
+    """cfg.dedup_on_canonical_url collapses utm/param/www variants of
+    one page to the single latest capture (winner keeps its ORIGINAL
+    url); default raw-url grouping keeps them all."""
+    import datetime as dt
+
+    t = lambda h: dt.datetime(2026, 1, 1, h)  # noqa: E731
+    rows = [
+        ("https://site.com/a?utm_source=x", t(1), None, "one", "en"),
+        ("https://site.com/a?utm_source=y", t(3), None, "one v2", "en"),
+        ("https://www.site.com/a", t(2), None, "one old", "en"),
+        ("https://site.com/b", t(1), None, "two", "en"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string,"
+        " lang string",
+    )
+    on = score_pages(
+        df, PipelineConfig(dedup_on_canonical_url=True)
+    ).select("url").collect()
+    assert sorted(r["url"] for r in on) == [
+        "https://site.com/a?utm_source=y",  # latest capture, raw url
+        "https://site.com/b",
+    ]
+    off = score_pages(df, PipelineConfig())
+    assert off.count() == 4
+
+
 def test_langid_udf_matches_sql_impl(spark, pages):
     from data_quality_checker_spark.functions import text as X
 
