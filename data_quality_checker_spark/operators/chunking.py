@@ -126,6 +126,10 @@ def pack_sequences(
     oracle twin uses; default hash order."""
     from pyspark.sql import Window
 
+    if max_tokens < 1:
+        raise ValueError("need max_tokens >= 1")
+    if num_buckets < 1:
+        raise ValueError("need num_buckets >= 1")
     c_id = F.col(id_col)
     tok_n = (
         F.col(token_count_col)
@@ -157,7 +161,13 @@ def pack_sequences(
         )
         .filter(F.col("n_tokens_doc") > 0)
     )
-    w = Window.partitionBy("bucket").orderBy("_ord", "_id")
+    # explicit ROWS frame: the default RANGE frame makes orderBy PEERS
+    # (rows tied on (_ord, _id) — duplicate ids) share one cumulative
+    # sum, which would hand two docs the same span and break token
+    # conservation; ROWS gives each row its strict running prefix
+    w = Window.partitionBy("bucket").orderBy("_ord", "_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     cum = F.sum("n_tokens_doc").over(w)
     spans = base.select(
         "_id",

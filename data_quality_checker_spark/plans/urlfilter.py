@@ -349,7 +349,9 @@ def canonical_url(
 
     1. strip the fragment (``#...``)
     2. lowercase ``scheme://authority`` (path/query keep their case)
-    3. strip default ports ``:80``/``:443``; with ``strip_www``, strip
+    3. strip the scheme's OWN default port only (``:80`` for http,
+       ``:443`` for https — ``http://h:443`` is a distinct resource
+       and survives); with ``strip_www``, strip
        one leading ``www.`` label when at least two labels remain
        (``www.ck`` — itself a PSL exception domain — stays intact)
     4. drop tracking query params: names starting ``utm_`` plus the
@@ -365,7 +367,11 @@ def canonical_url(
     nofrag = F.split(c, "#", 2).getItem(0)
     auth = F.regexp_extract(nofrag, f"({_SCHEME_AUTH_RE})", 1)
     rest = F.regexp_replace(nofrag, _SCHEME_AUTH_RE, "")
-    auth2 = F.regexp_replace(F.lower(auth), r":(80|443)$", "")
+    auth2 = F.regexp_replace(
+        F.regexp_replace(F.lower(auth), r"^(http://.*):80$", "$1"),
+        r"^(https://.*):443$",
+        "$1",
+    )
     if strip_www:
         # require a dot in the remainder so single-label hosts that
         # happen to BE "www.<tld>" (PSL exception www.ck) survive
@@ -410,7 +416,9 @@ def canonical_url_py(
     if not m:
         return url
     auth, rest = m.group(0), nofrag[m.end():]
-    auth = _re.sub(r":(80|443)$", "", auth.lower())
+    auth = auth.lower()
+    auth = _re.sub(r"^(http://.*):80$", r"\1", auth)
+    auth = _re.sub(r"^(https://.*):443$", r"\1", auth)
     if strip_www:
         auth = _re.sub(r"://www\.([^/?#.]+\.[^/?#]*)$", r"://\1", auth)
     path, _, query = rest.partition("?")
