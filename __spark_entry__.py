@@ -3000,6 +3000,230 @@ from r where rn = 1
 """
 
 
+def q_c4_clean(spark, sf):
+    """C4 line-level page cleaning (plans/lineclean.py — Raffel et
+    al. 2020 §2.2; no reference ancestor, training-data extension).
+    Fixture docs are single-line, so each non-null doc is planted
+    into a page: a punctuation-less nav line, a javascript line, the
+    doc body forced to end with a period, four proper planted
+    sentences, a lorem-ipsum line for doc_id%5==0, a curly-brace code
+    line for doc_id%7==0, and a too-short 'ok.' line. Every line rule
+    and page flag fires somewhere in the corpus; md5 digests pin
+    byte-identical cleaned text."""
+    from data_quality_checker_spark.plans.lineclean import with_c4_clean
+
+    docs = _t(spark, sf, "documents")
+    planted = F.when(
+        F.col("text").isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.concat(
+            F.lit("Home | About | Contact\n"),
+            F.lit("Enable javascript to continue browsing here.\n"),
+            F.substring("text", 1, 120),
+            F.lit(".\n"),
+            F.lit("This planted sentence number "),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(" ends well.\n"),
+            F.lit("Another planted sentence closes the block properly.\n"),
+            F.lit("It is here to push the page over the sentence bar.\n"),
+            F.lit("And one more for good measure of quality.\n"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("lorem ipsum dolor sit amet.\n"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit("if (x) { return; }\n")
+            ).otherwise(F.lit("")),
+            F.lit("ok."),
+        )
+    )
+    out = with_c4_clean(docs.select("doc_id", planted.alias("text")))
+    return out.select(
+        "doc_id",
+        F.md5(F.coalesce(F.col("text_c4"), F.lit(""))).alias("c4_md5"),
+        F.col("c4_n_lines").cast("bigint").alias("c4_n_lines"),
+        F.col("c4_n_lines_kept").cast("bigint").alias("c4_n_lines_kept"),
+        "c4_lorem_ipsum",
+        "c4_curly_brace",
+        "c4_too_few_sentences",
+        "c4_keep",
+    )
+
+
+SQL_C4_CLEAN = r"""
+with d0 as (select doc_id, case when text is null then null else
+    'Home | About | Contact' || chr(10) ||
+    'Enable javascript to continue browsing here.' || chr(10) ||
+    substr(text, 1, 120) || '.' || chr(10) ||
+    'This planted sentence number ' || (doc_id % 5)::varchar
+      || ' ends well.' || chr(10) ||
+    'Another planted sentence closes the block properly.' || chr(10) ||
+    'It is here to push the page over the sentence bar.' || chr(10) ||
+    'And one more for good measure of quality.' || chr(10) ||
+    case when doc_id % 5 = 0
+         then 'lorem ipsum dolor sit amet.' || chr(10) else '' end ||
+    case when doc_id % 7 = 0
+         then 'if (x) { return; }' || chr(10) else '' end ||
+    'ok.' end as t
+  from documents),
+ls as (select doc_id, t,
+  list_filter(
+    list_transform(string_split(t, chr(10)),
+                   s -> rtrim(s, ' ' || chr(9) || chr(13))),
+    s -> s <> '') as lns
+  from d0),
+k as (select doc_id, t, lns,
+  list_filter(lns, s -> regexp_matches(s, '[.!?"”]$')
+    and len(list_filter(string_split_regex(trim(s), '\s+'),
+                        w -> w <> '')) >= 3
+    and not contains(lower(s), 'javascript')) as kept
+  from ls),
+fin as (select doc_id, t,
+  coalesce(len(lns), 0) as n_lines,
+  coalesce(len(kept), 0) as n_kept,
+  case when t is null then null
+       else array_to_string(kept, chr(10)) end as text_c4,
+  coalesce(contains(lower(t), 'lorem ipsum'), false) as lorem,
+  coalesce(contains(t, '{'), false) as curly
+  from k)
+select doc_id,
+  md5(coalesce(text_c4, '')) as c4_md5,
+  n_lines::bigint as c4_n_lines,
+  n_kept::bigint as c4_n_lines_kept,
+  lorem as c4_lorem_ipsum,
+  curly as c4_curly_brace,
+  (t is null or coalesce(
+      len(regexp_extract_all(text_c4, '[.!?]["”]?(\s|$)')), 0) < 5)
+    as c4_too_few_sentences,
+  (t is not null and not lorem and not curly and coalesce(
+      len(regexp_extract_all(text_c4, '[.!?]["”]?(\s|$)')), 0) >= 5)
+    as c4_keep
+from fin
+"""
+
+
+def q_gopher_signals(spark, sf):
+    """Gopher MassiveWeb document signals beyond the frozen 12-rule
+    battery (plans/gopher.py — Rae et al. 2021 appendix A1.1; no
+    reference ancestor, training-data extension). Planted classes per
+    doc_id%6: all-bullet page, trailing-ellipsis page, hash-heavy
+    page, digits-only page, and the raw fixture prose — each signal's
+    failure bar fires in some class; floats rounded 6dp both sides."""
+    from data_quality_checker_spark.plans.gopher import (
+        with_gopher_signals,
+    )
+
+    docs = _t(spark, sf, "documents")
+    m = F.col("doc_id") % 6
+    body = F.substring("text", 1, 200)
+    planted = (
+        F.when(F.col("text").isNull(), F.lit(None).cast("string"))
+        .when(
+            m == 0,
+            F.lit(
+                "• the first item of the list\n"
+                "• the second item with more detail\n"
+                "• a third bullet to be sure\n"
+            ),
+        )
+        .when(
+            m == 1,
+            F.lit(
+                "this line trails off into more...\n"
+                "and this one also fades away…\n"
+                "the story continues to be written here.\n"
+            ),
+        )
+        .when(m == 2, F.concat(F.lit("## ## tags # everywhere # "), body))
+        .when(m == 3, F.lit("91 82 73 64 55 46 37 28 19 10"))
+        .when(
+            m == 4,
+            F.concat(
+                F.lit(
+                    "The methods of this report have to be read with "
+                    "care, and we note that they are consistent with "
+                    "prior work on the subject of "
+                ),
+                F.substring("text", 1, 40),
+                F.lit("."),
+            ),
+        )
+        .otherwise(body)
+    )
+    out = with_gopher_signals(
+        docs.select("doc_id", planted.alias("text"))
+    )
+    return out.select(
+        "doc_id",
+        _r6("gopher_symbol_word_ratio").alias("symbol_word_ratio"),
+        _r6("gopher_bullet_line_frac").alias("bullet_line_frac"),
+        _r6("gopher_ellipsis_line_frac").alias("ellipsis_line_frac"),
+        _r6("gopher_alpha_word_frac").alias("alpha_word_frac"),
+        F.col("gopher_required_stop_hits")
+        .cast("bigint")
+        .alias("required_stop_hits"),
+        F.col("gopher_keep").alias("gopher_keep"),
+    )
+
+
+SQL_GOPHER = r"""
+with d0 as (select doc_id, case
+    when text is null then null
+    when doc_id % 6 = 0 then '• the first item of the list' || chr(10)
+      || '• the second item with more detail' || chr(10)
+      || '• a third bullet to be sure' || chr(10)
+    when doc_id % 6 = 1 then 'this line trails off into more...'
+      || chr(10) || 'and this one also fades away…' || chr(10)
+      || 'the story continues to be written here.' || chr(10)
+    when doc_id % 6 = 2 then '## ## tags # everywhere # '
+      || substr(text, 1, 200)
+    when doc_id % 6 = 3 then '91 82 73 64 55 46 37 28 19 10'
+    when doc_id % 6 = 4 then 'The methods of this report have to be '
+      || 'read with care, and we note that they are consistent with '
+      || 'prior work on the subject of ' || substr(text, 1, 40) || '.'
+    else substr(text, 1, 200) end as t
+  from documents),
+base as (select doc_id, t,
+  list_filter(string_split_regex(lower(t), '\s+'), w -> w <> '') tk,
+  list_filter(
+    list_transform(string_split(t, chr(10)),
+                   s -> rtrim(s, ' ' || chr(9) || chr(13))),
+    s -> s <> '') lns,
+  length(t) - length(replace(t, '#', '')) n_hash,
+  len(regexp_extract_all(t, '(\.\.\.|…)')) n_ell
+  from d0),
+sig as (select doc_id, t,
+  len(tk) wc, len(lns) n_lines, n_hash, n_ell,
+  case when len(tk) > 0
+       then (n_hash + n_ell)::double / len(tk) end sym,
+  case when len(lns) > 0 then
+    len(list_filter(lns, s -> starts_with(s, '•')
+        or starts_with(s, '‣') or starts_with(s, '▶')
+        or starts_with(s, '●') or starts_with(s, '- ')
+        or starts_with(s, '* ')))::double / len(lns) end bullet,
+  case when len(lns) > 0 then
+    len(list_filter(lns,
+        s -> regexp_matches(s, '(\.\.\.|…)$')))::double / len(lns)
+    end ellip,
+  case when len(tk) > 0 then
+    len(list_filter(tk,
+        w -> regexp_matches(w, '[a-z]')))::double / len(tk) end alpha,
+  coalesce(len(list_intersect(list_distinct(tk),
+    ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])), 0) hits
+  from base)
+select doc_id,
+  round(sym, 6) as symbol_word_ratio,
+  round(bullet, 6) as bullet_line_frac,
+  round(ellip, 6) as ellipsis_line_frac,
+  round(alpha, 6) as alpha_word_frac,
+  hits::bigint as required_stop_hits,
+  coalesce(t is not null and wc > 0 and sym <= 0.1
+    and coalesce(bullet, 0.0) <= 0.9 and coalesce(ellip, 0.0) <= 0.3
+    and alpha >= 0.8 and hits >= 2, false) as gopher_keep
+from sig
+"""
+
+
 def q_host_cap(spark, sf):
     """Per-host quota capping (urlfilter.cap_per_host exact form —
     RefinedWeb-style; no reference ancestor). Urls planted per doc_id
@@ -3842,6 +4066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "decontamination": q_decontamination,
         "line_dedup": q_line_dedup,
+        "c4_clean": q_c4_clean,
+        "gopher_signals": q_gopher_signals,
         "repetition_topgrams": q_repetition_topgrams,
         "host_cap": q_host_cap,
         "source_mix": q_source_mix,
@@ -3955,6 +4181,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "decontamination": SQL_DECONTAMINATION,
         "line_dedup": SQL_LINE_DEDUP,
+        "c4_clean": SQL_C4_CLEAN,
+        "gopher_signals": SQL_GOPHER,
         "repetition_topgrams": SQL_REPETITION,
         "host_cap": SQL_HOST_CAP,
         "source_mix": SQL_SOURCE_MIX,
