@@ -1,6 +1,7 @@
-"""End-to-end pipeline: scan -> [url prefilter] -> dedup -> score ->
-scrub -> verdict -> [near-dedup] -> [decontaminate] -> write scored
-output + metrics + lineage, resumable per partition. Bracketed stages
+"""End-to-end pipeline: scan -> [url prefilter] -> dedup ->
+[c4 line clean] -> score -> [gopher signals] -> scrub -> verdict ->
+[near-dedup] -> [decontaminate] -> write scored output + metrics +
+lineage, resumable per partition. Bracketed stages
 are opt-in (PipelineConfig / run_pipeline kwargs / CLI flags) and
 ordered cheapest-first: url-only predicates run before any text is
 parsed, and per-doc sketching/n-gram stages run only over rows the
@@ -71,6 +72,23 @@ class PipelineConfig:
     url_prefilter: bool = False
     url_blocked_words: tuple[str, ...] = ()
     max_docs_per_host: int | None = None
+    # optional C4 line-level cleaning (plans/lineclean.py), applied
+    # AFTER capture dedup and BEFORE the rule battery — C4's own
+    # ordering (edit lines, then judge pages). The original text is
+    # preserved as ``text_raw``; rules/scrub/output all see the
+    # CLEANED text, and ``keep`` additionally requires ``c4_keep``.
+    # Off by default: the reference byte-identity contract is raw
+    # text per url. NOTE the synthetic bench corpus (plans/synth.py)
+    # is word-soup without sentence punctuation, so C4's
+    # terminal-punctuation + min-sentence rules drop it ENTIRELY
+    # (corpus-true, verified live) — these stages are for prose
+    # corpora; tests/test_webtext_filters.py drives both branches on
+    # sentence-shaped fixtures.
+    c4_line_clean: bool = False
+    # optional Gopher MassiveWeb signals (plans/gopher.py) over the
+    # (possibly cleaned) text; ``keep`` additionally requires
+    # ``gopher_keep``. Off by default.
+    gopher_quality: bool = False
 
 
 def score_pages(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
@@ -116,6 +134,13 @@ def score_pages(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+    if cfg.c4_line_clean:
+        from data_quality_checker_spark.plans.lineclean import (
+            with_c4_clean,
+        )
+
+        out = with_c4_clean(out.withColumn("text_raw", F.col("text")))
+        out = out.withColumn("text", F.col("text_c4")).drop("text_c4")
     out = with_rule_flags(out, cfg.rules)
     if cfg.langid_impl == "udf":
         out = out.withColumn("lang_detected", langid_udf("text"))
@@ -127,7 +152,21 @@ def score_pages(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
         )
     if cfg.with_perplexity:
         out = out.withColumn("perplexity", perplexity_udf("text"))
+    if cfg.gopher_quality:
+        from data_quality_checker_spark.plans.gopher import (
+            with_gopher_signals,
+        )
+
+        out = with_gopher_signals(out)
     out = with_verdict(out, cfg.rules)
+    # the opt-in webtext stages gate keep WITHOUT entering the frozen
+    # fired_rules contract (RULE_NAMES ordering is pinned three ways)
+    if cfg.c4_line_clean:
+        out = out.withColumn("keep", F.col("keep") & F.col("c4_keep"))
+    if cfg.gopher_quality:
+        out = out.withColumn(
+            "keep", F.col("keep") & F.col("gopher_keep")
+        )
     return with_scrub(out, "text")
 
 
@@ -301,6 +340,19 @@ def partition_metrics(scored: DataFrame, run_id: str) -> DataFrame:
         else F.lit(0)
     )
     aggs.append(F.sum(contaminated).alias("drop_contaminated"))
+    # same stable-schema rule for the opt-in webtext stages
+    c4_drop = (
+        (~F.col("c4_keep")).cast("long")
+        if "c4_keep" in scored.columns
+        else F.lit(0)
+    )
+    aggs.append(F.sum(c4_drop).alias("drop_c4_clean"))
+    gopher_drop = (
+        (~F.col("gopher_keep")).cast("long")
+        if "gopher_keep" in scored.columns
+        else F.lit(0)
+    )
+    aggs.append(F.sum(gopher_drop).alias("drop_gopher"))
     return scored.groupBy("partition_id").agg(*aggs).withColumn(
         "run_id", F.lit(run_id)
     )

@@ -155,6 +155,61 @@ def test_c4_and_gopher_match_python(spark, texts):
             assert _close(r[k], go[k]), (k, repr(t))
 
 
+def test_pipeline_webtext_stages_opt_in(spark):
+    """score_pages with c4_line_clean + gopher_quality: cleaned text
+    flows through rules/scrub, keep is gated by both stages, the raw
+    text is preserved, and partition_metrics keeps a stable schema
+    whether the stages ran or not."""
+    import datetime
+
+    from data_quality_checker_spark.plans.pipeline import (
+        PipelineConfig,
+        partition_metrics,
+        score_pages,
+    )
+
+    ts = datetime.datetime(2025, 1, 1)
+    good = (
+        "The quick brown fox jumps over the lazy dog and keeps "
+        "running to be sure of the distance that it can have with "
+        "room to spare. " * 4
+    ).strip()
+    page_good = "\n".join([good[:150] + ".",
+                           "Here is the second good sentence of prose.",
+                           "And that was followed by a third one of course.",
+                           "The fourth sentence is here to help with the bar.",
+                           "Finally the fifth one closes out the page."])
+    page_messy = "Home | About\n" + page_good + "\nEnable javascript now."
+    pages = spark.createDataFrame(
+        [
+            ("https://a.example.org/1", ts, page_good, "en"),
+            ("https://a.example.org/2", ts, page_messy, "en"),
+            ("https://a.example.org/3", ts, "• a\n• b\n• c", "en"),
+        ],
+        "url string, warc_ts timestamp, text string, lang string",
+    )
+    cfg = PipelineConfig(c4_line_clean=True, gopher_quality=True)
+    scored = score_pages(pages, cfg)
+    rows = {r["url"].rsplit("/", 1)[1]: r for r in scored.collect()}
+    assert rows["1"]["keep"] and rows["1"]["c4_keep"]
+    assert rows["1"]["gopher_keep"]
+    # messy page: junk lines removed from the text the battery sees,
+    # raw text preserved
+    assert "javascript" not in rows["2"]["text"].lower()
+    assert "javascript" in rows["2"]["text_raw"].lower()
+    # bullet page fails c4 (no sentences survive) -> keep gated off
+    assert not rows["3"]["c4_keep"] and not rows["3"]["keep"]
+    m_on = partition_metrics(scored, "t").collect()
+    assert sum(r["drop_c4_clean"] for r in m_on) == 1
+    assert sum(r["drop_gopher"] for r in m_on) >= 1
+    # default config: stages off, schema stable with zero counters
+    m_off = partition_metrics(
+        score_pages(pages, PipelineConfig()), "t"
+    ).collect()
+    assert sum(r["drop_c4_clean"] for r in m_off) == 0
+    assert sum(r["drop_gopher"] for r in m_off) == 0
+
+
 def test_c4_then_gopher_compose_single_stage(spark):
     """The two stages over one corpus stay a single shuffle-free
     projection chain (scale pin: no Exchange in the plan)."""
