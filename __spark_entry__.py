@@ -1976,7 +1976,9 @@ def q_url_canonical(spark, sf):
     derived urls exercise every step — uppercase authority + default
     port + fragment + utm/tracking params, :80 strip, all-tracking
     query dropped, bare-/ collapse, schemeless passthrough, the
-    www.ck PSL-exception host surviving www-strip, unsorted params +
+    www.ck PSL-exception host surviving www-strip, the MISMATCHED
+    default port (https://...:80) surviving the scheme-specific
+    strip, unsorted params +
     a bare (no '=') param, and case-sensitive param-name matching
     (PHPSESSID uppercase is NOT the phpsessid tracking name)."""
     from data_quality_checker_spark.plans.urlfilter import canonical_url
@@ -1994,7 +1996,7 @@ def q_url_canonical(spark, sf):
         .when(m == 2, F.concat(
             F.lit("https://news.site"), d5, F.lit(".com/story/"), did,
             F.lit("/?gclid=123&ref=tw")))
-        .when(m == 3, F.concat(F.lit("https://host"), did, F.lit(".com/")))
+        .when(m == 3, F.concat(F.lit("https://host"), did, F.lit(".com:80/")))
         .when(m == 4, F.concat(F.lit("www.noscheme"), d5, F.lit(".com/"), did))
         .when(m == 5, F.concat(F.lit("https://www.ck/page/"), did))
         .when(m == 6, F.concat(
@@ -2026,7 +2028,7 @@ with u as (
     '.co.uk:80/item/' || doc_id::varchar
    when 2 then 'https://news.site' || (doc_id % 5)::varchar ||
     '.com/story/' || doc_id::varchar || '/?gclid=123&ref=tw'
-   when 3 then 'https://host' || doc_id::varchar || '.com/'
+   when 3 then 'https://host' || doc_id::varchar || '.com:80/'
    when 4 then 'www.noscheme' || (doc_id % 5)::varchar || '.com/' ||
     doc_id::varchar
    when 5 then 'https://www.ck/page/' || doc_id::varchar
@@ -2046,7 +2048,9 @@ a as (select doc_id, url, nofrag,
  from s),
 b as (select doc_id, url, auth,
   regexp_replace(
-    regexp_replace(lower(auth), ':(80|443)$', ''),
+    regexp_replace(
+      regexp_replace(lower(auth), '^(http://.*):80$', '\1'),
+      '^(https://.*):443$', '\1'),
     '://www\.([^/?#.]+\.[^/?#]*)$', '://\1') auth2,
   regexp_extract(rest, '^([^?]*)', 1) pth,
   regexp_replace(rest, '^[^?]*\??', '') qry

@@ -84,6 +84,9 @@ HEADLINE = [
     # round-4 additions: real content decode + applied correction
     "multimodal_content",
     "spelling_applied",
+    # round-4 additions: published webtext cleaning stages
+    "c4_clean",
+    "gopher_signals",
 ]
 
 

@@ -147,6 +147,10 @@ def with_gopher_signals(df: DataFrame, text_col: str = "text", **kw) -> DataFram
 _ELLIPSIS_RE_PY = _re.compile(r"(\.\.\.|…)")
 _ELLIPSIS_END_PY = _re.compile(ELLIPSIS_SUFFIX_RE)
 _ALPHA_PY = _re.compile(r"[a-z]")
+# Java \s pinned exactly (ASCII; Python \s would split NBSP and
+# diverge from the Catalyst tokens()) — same contract as
+# plans/lineclean.py / plans/oracle.py
+_WS_RE_PY = _re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def gopher_signals_py(
@@ -168,7 +172,7 @@ def gopher_signals_py(
             "gopher_required_stop_hits": 0,
             "gopher_keep": False,
         }
-    tk = [w for w in _re.split(r"\s+", text.lower()) if w]
+    tk = [w for w in _WS_RE_PY.split(text.lower()) if w]
     wc = len(tk)
     ln = [s.rstrip(" \t\r") for s in text.split("\n")]
     ln = [s for s in ln if s != ""]

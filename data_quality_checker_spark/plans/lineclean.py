@@ -79,7 +79,13 @@ def c4_clean_exprs(
     ln = _lines(t)
 
     def _keep(s: Column) -> Column:
-        words = F.size(F.split(F.trim(s), r"\s+"))
+        # drop empty split tokens (leading whitespace yields one) —
+        # the same tokenization contract as functions/text.tokens;
+        # F.trim strips spaces ONLY, so a tab-leading line would
+        # otherwise count a phantom word (review finding)
+        words = F.size(
+            F.filter(F.split(s, r"\s+"), lambda w: w != F.lit(""))
+        )
         return (
             s.rlike(C4_TERMINAL_RE)
             & (words >= F.lit(min_line_words))
@@ -118,7 +124,11 @@ def with_c4_clean(
     return df.withColumns(exprs)
 
 
-_SENT_RE_PY = _re.compile(r'[.!?]["”]?(?:\s|$)')
+# the Python mirror pins Java's \s class EXACTLY ([ \t\n\x0B\f\r] —
+# ASCII only; Python \s would also match NBSP etc. and diverge on
+# real webtext), same contract as plans/oracle.py / plans/lm.py
+_WS_PY = r"[ \t\n\x0b\f\r]"
+_SENT_RE_PY = _re.compile(r'[.!?]["”]?(?:' + _WS_PY + r"|$)")
 _TERM_RE_PY = _re.compile(C4_TERMINAL_RE)
 
 
@@ -147,7 +157,7 @@ def c4_clean_py(
         s
         for s in ln
         if _TERM_RE_PY.search(s)
-        and len([w for w in _re.split(r"\s+", s.strip()) if w])
+        and len([w for w in _re.split(_WS_PY + "+", s) if w])
         >= min_line_words
         and "javascript" not in s.lower()
     ]

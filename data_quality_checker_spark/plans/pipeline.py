@@ -167,7 +167,17 @@ def score_pages(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
         out = out.withColumn(
             "keep", F.col("keep") & F.col("gopher_keep")
         )
-    return with_scrub(out, "text")
+    out = with_scrub(out, "text")
+    if cfg.c4_line_clean:
+        # the preserved raw text must not leak PII into the scored
+        # output either (review finding): scrub it with the same
+        # patterns. The scrub_* counters deliberately reflect the
+        # pipeline 'text' column only — text_raw is a provenance
+        # column, not a second metrics surface.
+        from data_quality_checker_spark.plans.scrub import scrub_expr
+
+        out = out.withColumn("text_raw", scrub_expr("text_raw"))
+    return out
 
 
 def with_near_dup_verdict(
@@ -466,8 +476,16 @@ def run_pipeline(
         )
     write_partitioned(scored, scored_path, "partition_id")
 
+    # mergeSchema: resuming an out_dir with an opt-in stage TOGGLED
+    # (c4/gopher/decontam) leaves scored files with and without the
+    # stage columns; a single-footer schema sample could then hide
+    # c4_keep/gopher_keep from partition_metrics and silently zero
+    # their drop counters (review finding). Merged, the columns exist
+    # with NULLs for stage-off partitions, which sum ignores.
     metrics = partition_metrics(
-        spark.read.parquet(scored_path).filter(
+        spark.read.option("mergeSchema", "true")
+        .parquet(scored_path)
+        .filter(
             F.col("partition_id").isin(todo)
         ),
         run_id,

@@ -97,7 +97,7 @@ def test_gopher_signals_unit(spark):
 
 _ALPHABET = (
     "the of and to be that have with a b c . ! ? \" ” … # { } \n "
-    "• - * lorem ipsum javascript 0123456789"
+    "• - * lorem ipsum javascript 0123456789\t "
 )
 
 _texts = st.lists(
@@ -112,6 +112,8 @@ _texts = st.lists(
                 "the be to of and that have with.",
                 "a.\nb!\nc?\nd\"\ne”\nf…",
                 "x\t \ny  \r\nz.",
+                "\tok fine here.\n the be to of.",
+                "the be to of and that.",
             ]
         ),
     ),
