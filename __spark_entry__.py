@@ -3228,6 +3228,58 @@ from sig
 """
 
 
+def q_ccnet_buckets(spark, sf):
+    """CCNet-style per-language perplexity terciles (plans/ccnet.py
+    score_buckets exact form — Wenzek et al. 2020; no reference
+    ancestor, training-data extension). Planted deterministic scores
+    (Knuth-hash of doc_id, NULL every 11th doc) over three planted
+    languages; the rank (ntile) form is exactly portable — bucket
+    boundaries never depend on quantile interpolation floats."""
+    from data_quality_checker_spark.plans.ccnet import score_buckets
+
+    docs = _t(spark, sf, "documents")
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    score = F.when(
+        F.col("doc_id") % 11 == 0, F.lit(None).cast("double")
+    ).otherwise(((F.col("doc_id") * 2654435761) % 1000).cast("double"))
+    df = docs.select(
+        "doc_id", lang.alias("lang"), score.alias("perplexity")
+    )
+    out = score_buckets(df)
+    return out.select(
+        "doc_id",
+        "lang",
+        _r6("perplexity").alias("perplexity"),
+        F.col("perplexity_bucket").cast("bigint").alias("bucket"),
+        "bucket_label",
+    )
+
+
+SQL_CCNET = """
+with d as (select doc_id,
+  ['en', 'de', 'fr'][(doc_id % 3 + 1)::int] as lang,
+  case when doc_id % 11 = 0 then null
+       else ((doc_id * 2654435761) % 1000)::double end as perplexity
+  from documents),
+nn as (select doc_id, lang, perplexity,
+       ntile(3) over (partition by lang
+                      order by perplexity, doc_id) as bucket
+       from d where perplexity is not null),
+res as (
+  select doc_id, lang, perplexity, bucket,
+         ['head', 'middle', 'tail'][bucket] as bucket_label from nn
+  union all
+  select doc_id, lang, perplexity, null, null from d
+  where perplexity is null)
+select doc_id, lang, round(perplexity, 6) as perplexity,
+       bucket::bigint as bucket, bucket_label
+from res
+"""
+
+
 def q_host_cap(spark, sf):
     """Per-host quota capping (urlfilter.cap_per_host exact form —
     RefinedWeb-style; no reference ancestor). Urls planted per doc_id
@@ -4072,6 +4124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "c4_clean": q_c4_clean,
         "gopher_signals": q_gopher_signals,
+        "ccnet_buckets": q_ccnet_buckets,
         "repetition_topgrams": q_repetition_topgrams,
         "host_cap": q_host_cap,
         "source_mix": q_source_mix,
@@ -4187,6 +4240,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": SQL_LINE_DEDUP,
         "c4_clean": SQL_C4_CLEAN,
         "gopher_signals": SQL_GOPHER,
+        "ccnet_buckets": SQL_CCNET,
         "repetition_topgrams": SQL_REPETITION,
         "host_cap": SQL_HOST_CAP,
         "source_mix": SQL_SOURCE_MIX,

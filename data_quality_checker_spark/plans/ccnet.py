@@ -1,0 +1,102 @@
+"""CCNet-style per-language perplexity bucketing (Wenzek et al. 2020,
+"CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+Data" — public knowledge). No reference ancestor — training-data-
+pipeline engine surface for the webtext tier.
+
+CCNet splits each language's documents into head / middle / tail by
+language-model perplexity terciles; the head is the training-quality
+slice. This module generalizes that to any numeric score column and
+any bucket count, with two execution strategies:
+
+- ``exact=True`` (default): bucket by RANK — ``ntile(n)`` over
+  ``(score, id)`` per group. Deterministic and exactly portable
+  (DuckDB has the same ntile semantics), no quantile-interpolation
+  float edge at bucket boundaries. Costs one full sort per group
+  partition — fine when each language's rows fit a healthy shuffle
+  partition spread, the wrong plan for one 100 TB language.
+- ``exact=False``: the crawl-scale form — per-group APPROXIMATE
+  percentile boundaries (one aggregate, driver-bounded result, no
+  window, no global sort), broadcast back and compared against the
+  score. Bucket sizes are then approximate near the boundaries
+  (documented trade; accuracy set by ``relative_error``).
+
+Both forms emit the same columns: ``<score>_bucket`` (1-based bucket
+index) and ``bucket_label`` (from ``labels`` when given, else the
+index as string).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["CCNET_LABELS", "score_buckets"]
+
+# CCNet's canonical tercile names, best (lowest perplexity) first
+CCNET_LABELS = ("head", "middle", "tail")
+
+
+def score_buckets(
+    df: DataFrame,
+    score_col: str = "perplexity",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+    labels: tuple[str, ...] | None = CCNET_LABELS,
+    exact: bool = True,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """``df`` plus ``<score_col>_bucket`` (1..n_buckets, 1 = lowest
+    scores = CCNet head) and ``bucket_label``. Rows with a NULL score
+    get NULL bucket/label and do not consume bucket capacity.
+
+    ``labels`` must have ``n_buckets`` entries when given (pass None
+    for numeric-only labeling)."""
+    if n_buckets < 1:
+        raise ValueError("need n_buckets >= 1")
+    if labels is not None and len(labels) != n_buckets:
+        raise ValueError(
+            f"labels has {len(labels)} entries for n_buckets={n_buckets}"
+        )
+    score = F.col(score_col)
+    bucket_col = f"{score_col}_bucket"
+    scored = df.filter(score.isNotNull())
+    nulls = df.filter(score.isNull()).withColumns(
+        {
+            bucket_col: F.lit(None).cast("int"),
+            "bucket_label": F.lit(None).cast("string"),
+        }
+    )
+    if exact:
+        w = Window.partitionBy(group_col).orderBy(
+            score, F.col(id_col)
+        )
+        out = scored.withColumn(bucket_col, F.ntile(n_buckets).over(w))
+    else:
+        # one aggregate -> (group, array<boundary>) — rows per group,
+        # broadcast back; the corpus itself never sorts or re-shuffles
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = scored.groupBy(group_col).agg(
+            F.percentile_approx(
+                score, qs, int(1.0 / relative_error)
+            ).alias("_bounds")
+        )
+        out = scored.join(F.broadcast(bounds), group_col)
+        # bucket = 1 + number of boundaries strictly below the score
+        out = out.withColumn(
+            bucket_col,
+            (
+                F.lit(1)
+                + F.size(
+                    F.filter(F.col("_bounds"), lambda b: b < score)
+                )
+            ).cast("int"),
+        ).drop("_bounds")
+    if labels is not None:
+        label = F.element_at(
+            F.array(*[F.lit(x) for x in labels]), F.col(bucket_col)
+        )
+    else:
+        label = F.col(bucket_col).cast("string")
+    out = out.withColumn("bucket_label", label)
+    return out.unionByName(nulls)
