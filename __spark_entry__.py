@@ -3228,6 +3228,93 @@ from sig
 """
 
 
+def q_mojibake_fix(spark, sf):
+    """Mojibake repair (plans/mojibake.py — no reference ancestor;
+    the reference only counts non-ASCII rows, dq_checker.py:543-557).
+    Each doc plants two corrupted sequences picked from the repair
+    table by doc_id (every table entry fires somewhere in the
+    corpus), docs with doc_id%9==0 stay clean; md5 digests pin the
+    repaired bytes. BOTH engines' repair chains are generated from
+    the one MOJIBAKE_TABLE (the twin via mojibake_sql_expr)."""
+    from data_quality_checker_spark.plans.mojibake import (
+        MOJIBAKE_TABLE,
+        with_mojibake_fix,
+    )
+
+    docs = _t(spark, sf, "documents")
+    bads = F.array(*[F.lit(b) for b, _ in MOJIBAKE_TABLE])
+    n = len(MOJIBAKE_TABLE)
+    pick1 = F.element_at(bads, (F.col("doc_id") % n + 1).cast("int"))
+    pick2 = F.element_at(
+        bads, ((F.col("doc_id") * 7 + 3) % n + 1).cast("int")
+    )
+    planted = F.when(
+        F.col("text").isNull(), F.lit(None).cast("string")
+    ).when(
+        F.col("doc_id") % 9 == 0, F.substring("text", 1, 80)
+    ).otherwise(
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" x"),
+            pick1,
+            F.lit("y "),
+            pick2,
+            F.substring("text", 41, 40),
+        )
+    )
+    out = with_mojibake_fix(
+        docs.select("doc_id", planted.alias("text"))
+    )
+    return out.select(
+        "doc_id",
+        F.md5(F.coalesce(F.col("text_fixed"), F.lit(""))).alias(
+            "fixed_md5"
+        ),
+        "had_mojibake",
+    )
+
+
+def _sql_mojibake() -> str:
+    from data_quality_checker_spark.plans.mojibake import (
+        MOJIBAKE_TABLE,
+        mojibake_sql_expr,
+    )
+
+    def lit(s: str) -> str:
+        parts: list[str] = []
+        run = ""
+        for ch in s:
+            if 32 <= ord(ch) < 127 and ch != "'":
+                run += ch
+            else:
+                if run:
+                    parts.append(f"'{run}'")
+                    run = ""
+                parts.append(f"chr({ord(ch)})")
+        if run:
+            parts.append(f"'{run}'")
+        return " || ".join(parts) if parts else "''"
+
+    n = len(MOJIBAKE_TABLE)
+    bads = ", ".join(lit(b) for b, _ in MOJIBAKE_TABLE)
+    return f"""
+with bl as (select [{bads}] as bads),
+d as (select doc_id,
+  case when text is null then null
+       when doc_id % 9 = 0 then substr(text, 1, 80)
+       else substr(text, 1, 40) || ' x'
+         || bads[(doc_id % {n} + 1)::int] || 'y '
+         || bads[((doc_id * 7 + 3) % {n} + 1)::int]
+         || substr(text, 41, 40) end as t
+  from documents, bl),
+f as (select doc_id, t, {mojibake_sql_expr('t')} as fixed from d)
+select doc_id,
+  md5(coalesce(fixed, '')) as fixed_md5,
+  coalesce(t <> fixed, false) as had_mojibake
+from f
+"""
+
+
 def q_ccnet_buckets(spark, sf):
     """CCNet-style per-language perplexity terciles (plans/ccnet.py
     score_buckets exact form — Wenzek et al. 2020; no reference
@@ -4125,6 +4212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "gopher_signals": q_gopher_signals,
         "ccnet_buckets": q_ccnet_buckets,
+        "mojibake_fix": q_mojibake_fix,
         "repetition_topgrams": q_repetition_topgrams,
         "host_cap": q_host_cap,
         "source_mix": q_source_mix,
@@ -4241,6 +4329,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_clean": SQL_C4_CLEAN,
         "gopher_signals": SQL_GOPHER,
         "ccnet_buckets": SQL_CCNET,
+        "mojibake_fix": _sql_mojibake(),
         "repetition_topgrams": SQL_REPETITION,
         "host_cap": SQL_HOST_CAP,
         "source_mix": SQL_SOURCE_MIX,
