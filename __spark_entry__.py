@@ -2873,6 +2873,10 @@ def q_decontamination(spark, sf):
         id_col="doc_id",
         n=13,
         key_mode="text",
+        # single-suite case: the eval key table is known-small, so
+        # skip the broadcast=None row-count guard (it costs an extra
+        # eval-side job when keys are derived inline)
+        broadcast=True,
     )
 
 
