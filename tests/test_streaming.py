@@ -44,6 +44,33 @@ def test_stream_matches_batch_and_is_exactly_once(spark, tmp_path_factory):
     assert spark.read.parquet(out_dir).count() == expect.count()
 
 
+def test_stream_webtext_stages_match_batch(spark, tmp_path_factory):
+    """The opt-in C4/Gopher stages are pure projections, so they must
+    stream unchanged: availableNow over the same corpus equals the
+    batch plan checksum-for-checksum with both stages on."""
+    in_dir = str(tmp_path_factory.mktemp("stream_wt_in"))
+    out_dir = str(tmp_path_factory.mktemp("stream_wt_out"))
+    ckpt = str(tmp_path_factory.mktemp("stream_wt_ckpt"))
+
+    pages = synth.pages_df(spark, 300, seed=11)
+    pages.write.mode("overwrite").parquet(in_dir)
+
+    cfg = PipelineConfig(
+        dedup_latest_capture=False,
+        c4_line_clean=True,
+        gopher_quality=True,
+    )
+    run_stream_available_now(spark, in_dir, out_dir, ckpt, cfg)
+
+    got = spark.read.parquet(out_dir)
+    expect = score_pages(spark.read.parquet(in_dir), cfg)
+    assert got.count() == expect.count()
+    assert _checksum(got) == _checksum(expect)
+    # the stage columns are present and the raw text is preserved
+    for c in ("c4_keep", "gopher_keep", "text_raw"):
+        assert c in got.columns
+
+
 def test_stream_parity_mid_scale_distributed_corpus(
     spark, tmp_path_factory
 ):
