@@ -3232,6 +3232,54 @@ from sig
 """
 
 
+def q_calibration(spark, sf):
+    """Classifier calibration table (plans/quality_model.py
+    calibration_table — no reference ancestor; the model-quality
+    report for the learned quality filter). Planted deterministic
+    probabilities/labels from doc_id (bin membership must not depend
+    on a trained artifact at oracle time); prob==1.0 clamps into the
+    last bin, NULLs are excluded — both planted."""
+    from data_quality_checker_spark.plans.quality_model import (
+        calibration_table,
+    )
+
+    docs = _t(spark, sf, "documents")
+    prob = F.when(F.col("doc_id") % 13 == 0, F.lit(None)).otherwise(
+        ((F.col("doc_id") * 2654435761) % 1000).cast("double") / 999.0
+    )
+    label = F.when(
+        F.col("doc_id") % 17 == 0, F.lit(None).cast("boolean")
+    ).otherwise((F.col("doc_id") * 48271) % 100 < 60)
+    df = docs.select(
+        "doc_id", prob.alias("quality_prob"), label.alias("keep")
+    )
+    out = calibration_table(df)
+    return out.select(
+        F.col("bin").cast("bigint").alias("bin"),
+        F.col("n").cast("bigint").alias("n"),
+        _r6("mean_prob").alias("mean_prob"),
+        _r6("frac_positive").alias("frac_positive"),
+    )
+
+
+SQL_CALIBRATION = """
+with d as (select doc_id,
+  case when doc_id % 13 = 0 then null
+       else ((doc_id * 2654435761) % 1000)::double / 999.0
+  end as p,
+  case when doc_id % 17 = 0 then null
+       else (doc_id * 48271) % 100 < 60 end as keep
+  from documents),
+b as (select least(floor(p * 10)::int, 9) as bin, p, keep
+      from d where p is not null and keep is not null)
+select bin::bigint as bin, count(*)::bigint as n,
+       round(avg(p), 6) as mean_prob,
+       round(avg(case when keep then 1.0 else 0.0 end), 6)
+         as frac_positive
+from b group by bin order by bin
+"""
+
+
 def q_mojibake_fix(spark, sf):
     """Mojibake repair (plans/mojibake.py — no reference ancestor;
     the reference only counts non-ASCII rows, dq_checker.py:543-557).
@@ -4217,6 +4265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_signals": q_gopher_signals,
         "ccnet_buckets": q_ccnet_buckets,
         "mojibake_fix": q_mojibake_fix,
+        "calibration": q_calibration,
         "repetition_topgrams": q_repetition_topgrams,
         "host_cap": q_host_cap,
         "source_mix": q_source_mix,
@@ -4334,6 +4383,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_signals": SQL_GOPHER,
         "ccnet_buckets": SQL_CCNET,
         "mojibake_fix": _sql_mojibake(),
+        "calibration": SQL_CALIBRATION,
         "repetition_topgrams": SQL_REPETITION,
         "host_cap": SQL_HOST_CAP,
         "source_mix": SQL_SOURCE_MIX,

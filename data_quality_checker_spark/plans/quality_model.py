@@ -27,6 +27,7 @@ __all__ = [
     "with_quality_features",
     "train_quality_model",
     "score_quality",
+    "calibration_table",
 ]
 
 QUALITY_FEATURES = (
@@ -125,4 +126,41 @@ def score_quality(
         out_col, vector_to_array(F.col("probability")).getItem(1)
     ).drop(
         "_raw", "_features", "rawPrediction", "probability", "prediction"
+    )
+
+
+def calibration_table(
+    df: DataFrame,
+    prob_col: str = "quality_prob",
+    label_col: str = "keep",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram data for a scored corpus: one row per
+    probability bin with ``(bin, n, mean_prob, frac_positive)`` — the
+    standard calibration evidence for a learned quality filter (a
+    well-calibrated DCLM-style classifier has mean_prob ~=
+    frac_positive per bin; systematic gaps mean the keep threshold
+    is not operating at the probability it claims).
+
+    One hash aggregate over ``floor(prob * n_bins)`` (prob == 1.0
+    clamps into the last bin); NULL probs/labels are excluded. No
+    reference ancestor — training-data extension (the model-quality
+    report the reference's generate_report has no model for)."""
+    if n_bins < 1:
+        raise ValueError("need n_bins >= 1")
+    p = F.col(prob_col)
+    bin_ = F.least(
+        F.floor(p * F.lit(n_bins)).cast("int"), F.lit(n_bins - 1)
+    )
+    return (
+        df.filter(p.isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(p).alias("mean_prob"),
+            F.avg(F.col(label_col).cast("double")).alias(
+                "frac_positive"
+            ),
+        )
+        .orderBy("bin")
     )

@@ -104,3 +104,39 @@ def test_pipeline_quality_model_scoring(spark, tmp_path_factory):
         F.avg(F.when(~F.col("keep"), F.col("quality_prob"))).alias("d"),
     ).collect()[0]
     assert row["k"] > row["d"]  # classifier separates the verdicts
+
+
+def test_calibration_table(spark):
+    from data_quality_checker_spark.plans.quality_model import (
+        calibration_table,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        # prob spread over [0, 1] incl. an exact 1.0 (clamps to bin 9)
+        (F.col("id") % 101).cast("double") / 100.0,
+    ).toDF("doc_id", "quality_prob").withColumn(
+        "keep", (F.col("doc_id") % 10) < 6
+    ).withColumn(
+        "quality_prob",
+        F.when(F.col("doc_id") % 50 == 0, F.lit(None)).otherwise(
+            F.col("quality_prob")
+        ),
+    )
+    out = calibration_table(df)
+    rows = out.collect()
+    bins = [r["bin"] for r in rows]
+    assert bins == sorted(bins) and set(bins) <= set(range(10))
+    assert sum(r["n"] for r in rows) == df.filter(
+        F.col("quality_prob").isNotNull()
+    ).count()
+    for r in rows:
+        lo, hi = r["bin"] / 10.0, (r["bin"] + 1) / 10.0
+        # bin 9 also holds the clamped 1.0 probs
+        hi = 1.0 + 1e-9 if r["bin"] == 9 else hi
+        assert lo - 1e-9 <= r["mean_prob"] <= hi + 1e-9
+        assert 0.0 <= r["frac_positive"] <= 1.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        calibration_table(df, n_bins=0)
