@@ -68,6 +68,19 @@ def main() -> None:
         "md5-threshold form; implies --url-prefilter)",
     )
     p.add_argument(
+        "--c4-line-clean",
+        action="store_true",
+        help="C4 line-level cleaning before the rule battery "
+        "(plans/lineclean.py): edits lines, preserves text_raw "
+        "(scrubbed), gates keep on the page flags",
+    )
+    p.add_argument(
+        "--gopher-signals",
+        action="store_true",
+        help="Gopher MassiveWeb document signals (plans/gopher.py): "
+        "adds the signal columns and gates keep on gopher_keep",
+    )
+    p.add_argument(
         "--quality-model",
         help="path of a trained quality-classifier PipelineModel "
         "(plans/quality_model.py): adds a quality_prob column to the "
@@ -127,6 +140,8 @@ def main() -> None:
             or args.max_docs_per_host
         ),
         max_docs_per_host=args.max_docs_per_host,
+        c4_line_clean=args.c4_line_clean,
+        gopher_quality=args.gopher_signals,
     )
     decontam_eval = (
         spark.read.parquet(args.decontaminate_eval)
