@@ -3329,26 +3329,12 @@ def q_mojibake_fix(spark, sf):
 def _sql_mojibake() -> str:
     from data_quality_checker_spark.plans.mojibake import (
         MOJIBAKE_TABLE,
+        duck_string_lit,
         mojibake_sql_expr,
     )
 
-    def lit(s: str) -> str:
-        parts: list[str] = []
-        run = ""
-        for ch in s:
-            if 32 <= ord(ch) < 127 and ch != "'":
-                run += ch
-            else:
-                if run:
-                    parts.append(f"'{run}'")
-                    run = ""
-                parts.append(f"chr({ord(ch)})")
-        if run:
-            parts.append(f"'{run}'")
-        return " || ".join(parts) if parts else "''"
-
     n = len(MOJIBAKE_TABLE)
-    bads = ", ".join(lit(b) for b, _ in MOJIBAKE_TABLE)
+    bads = ", ".join(duck_string_lit(b) for b, _ in MOJIBAKE_TABLE)
     return f"""
 with bl as (select [{bads}] as bads),
 d as (select doc_id,

@@ -48,10 +48,17 @@ def score_buckets(
 ) -> DataFrame:
     """``df`` plus ``<score_col>_bucket`` (1..n_buckets, 1 = lowest
     scores = CCNet head) and ``bucket_label``. Rows with a NULL score
-    get NULL bucket/label and do not consume bucket capacity.
+    get NULL bucket/label and do not consume bucket capacity; rows
+    with a NULL group form their own group (both strategies — the
+    approx join is null-safe; review finding: a plain equi-join
+    silently dropped unlabeled-language docs from the approx path).
 
     ``labels`` must have ``n_buckets`` entries when given (pass None
-    for numeric-only labeling)."""
+    for numeric-only labeling).
+
+    Single pass over ``df`` — no filter/union split, so the upstream
+    plan executes once (review finding: the split form scanned the
+    source twice)."""
     if n_buckets < 1:
         raise ValueError("need n_buckets >= 1")
     if labels is not None and len(labels) != n_buckets:
@@ -60,43 +67,61 @@ def score_buckets(
         )
     score = F.col(score_col)
     bucket_col = f"{score_col}_bucket"
-    scored = df.filter(score.isNotNull())
-    nulls = df.filter(score.isNull()).withColumns(
-        {
-            bucket_col: F.lit(None).cast("int"),
-            "bucket_label": F.lit(None).cast("string"),
-        }
-    )
-    if exact:
-        w = Window.partitionBy(group_col).orderBy(
-            score, F.col(id_col)
+    if n_buckets == 1:
+        # short-circuit: percentile_approx([]) would yield NULL bounds
+        bucket = F.when(score.isNotNull(), F.lit(1)).cast("int")
+        out = df.withColumn(bucket_col, bucket)
+    elif exact:
+        # NULL scores join their own window partition (cheap — they
+        # sort by id only) and are masked to NULL afterwards, so they
+        # never consume a real bucket slot
+        w = Window.partitionBy(
+            F.col(group_col), score.isNull()
+        ).orderBy(score, F.col(id_col))
+        out = df.withColumn(
+            bucket_col,
+            F.when(score.isNotNull(), F.ntile(n_buckets).over(w)).cast(
+                "int"
+            ),
         )
-        out = scored.withColumn(bucket_col, F.ntile(n_buckets).over(w))
     else:
         # one aggregate -> (group, array<boundary>) — rows per group,
         # broadcast back; the corpus itself never sorts or re-shuffles
         qs = [i / n_buckets for i in range(1, n_buckets)]
-        bounds = scored.groupBy(group_col).agg(
+        bounds = df.filter(score.isNotNull()).groupBy(group_col).agg(
             F.percentile_approx(
                 score, qs, int(1.0 / relative_error)
             ).alias("_bounds")
-        )
-        out = scored.join(F.broadcast(bounds), group_col)
-        # bucket = 1 + number of boundaries strictly below the score
-        out = out.withColumn(
+        ).withColumnRenamed(group_col, "_bgroup")
+        joined = df.join(
+            F.broadcast(bounds),
+            F.col(group_col).eqNullSafe(F.col("_bgroup")),
+            "left",
+        ).drop("_bgroup")
+        # bucket = 1 + number of boundaries strictly below the score;
+        # NULL score (or an all-NULL group with no bounds row) -> NULL
+        out = joined.withColumn(
             bucket_col,
-            (
+            F.when(
+                score.isNotNull() & F.col("_bounds").isNotNull(),
                 F.lit(1)
                 + F.size(
                     F.filter(F.col("_bounds"), lambda b: b < score)
-                )
+                ),
             ).cast("int"),
         ).drop("_bounds")
     if labels is not None:
-        label = F.element_at(
-            F.array(*[F.lit(x) for x in labels]), F.col(bucket_col)
+        # the NULL-bucket guard is NOT optional: this Spark build's
+        # element_at(arr, NULL-int-column) resolves the NULL index as
+        # -1 and returns the LAST element instead of NULL (probed
+        # live — a NULL-score doc would silently label as the worst
+        # bucket)
+        label = F.when(
+            F.col(bucket_col).isNotNull(),
+            F.element_at(
+                F.array(*[F.lit(x) for x in labels]), F.col(bucket_col)
+            ),
         )
     else:
         label = F.col(bucket_col).cast("string")
-    out = out.withColumn("bucket_label", label)
-    return out.unionByName(nulls)
+    return out.withColumn("bucket_label", label)

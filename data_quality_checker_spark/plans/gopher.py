@@ -27,7 +27,8 @@ the paper's defaults.
 Engine contract (Spark / DuckDB twin / Python mirror): lines per
 functions/text.lines (split on ``\\n``, trailing ``[ \\t\\r]``
 stripped, empties dropped); words = lowercase whitespace tokens;
-patterns RE2-portable. Zero shuffle, zero UDF; docs with no words
+patterns RE2-portable (the repo-wide ``\\x0B`` exclusion applies —
+see functions/text.py and plans/lineclean.py). Zero shuffle, zero UDF; docs with no words
 yield NULL ratio signals and fail the keep bar (word-free pages are
 not prose), mirroring the battery's convention for empty docs.
 """

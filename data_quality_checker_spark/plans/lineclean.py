@@ -22,6 +22,10 @@ Heuristics implemented (each a parameter, defaults = the paper's):
 Engine contract (Spark / DuckDB twin / Python mirror): lines split on
 ``\\n`` with trailing ``[ \\t\\r]`` stripped (functions/text.lines);
 words split on whitespace runs; patterns in the RE2-portable subset.
+The one known class divergence is repo-wide (functions/text.py):
+Java/Python ``\\s`` includes ``\\x0B``, RE2's (DuckDB) does not — the
+engine corpus contract excludes vertical tabs, so the twins agree on
+every oracle-checked corpus.
 The Python mirror :func:`c4_clean_py` is property-pinned against the
 Catalyst form (tests/test_property_extensions.py pattern).
 

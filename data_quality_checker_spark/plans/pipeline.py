@@ -344,25 +344,37 @@ def partition_metrics(scored: DataFrame, run_id: str) -> DataFrame:
     # write parquet files with different schemas into one dynamically-
     # overwritten metrics directory, and plain readers would drop the
     # column or error without mergeSchema
+    # coalesce the SUM, not just the column: a resumed run with the
+    # stage toggled OFF reads mergeSchema'd scored files where the
+    # stage column exists but is all-NULL for the new partitions —
+    # sum(all NULL) is NULL, and the contract is ALWAYS 0 when the
+    # stage didn't run (review finding, reproduced)
     contaminated = (
         F.col("contaminated").cast("long")
         if "contaminated" in scored.columns
         else F.lit(0)
     )
-    aggs.append(F.sum(contaminated).alias("drop_contaminated"))
-    # same stable-schema rule for the opt-in webtext stages
+    aggs.append(
+        F.coalesce(F.sum(contaminated), F.lit(0)).alias(
+            "drop_contaminated"
+        )
+    )
     c4_drop = (
         (~F.col("c4_keep")).cast("long")
         if "c4_keep" in scored.columns
         else F.lit(0)
     )
-    aggs.append(F.sum(c4_drop).alias("drop_c4_clean"))
+    aggs.append(
+        F.coalesce(F.sum(c4_drop), F.lit(0)).alias("drop_c4_clean")
+    )
     gopher_drop = (
         (~F.col("gopher_keep")).cast("long")
         if "gopher_keep" in scored.columns
         else F.lit(0)
     )
-    aggs.append(F.sum(gopher_drop).alias("drop_gopher"))
+    aggs.append(
+        F.coalesce(F.sum(gopher_drop), F.lit(0)).alias("drop_gopher")
+    )
     return scored.groupBy("partition_id").agg(*aggs).withColumn(
         "run_id", F.lit(run_id)
     )

@@ -79,6 +79,31 @@ def test_nulls_and_labels(spark):
     ) == {"1", "2"}
 
 
+def test_null_group_and_single_bucket(spark):
+    """Review findings: NULL group_col rows must survive BOTH
+    strategies (the approx join is null-safe), and n_buckets=1 must
+    assign bucket 1 everywhere on both paths."""
+    df = _mk(spark, 60).withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 4 == 0, F.lit(None)).otherwise(
+            F.col("lang")
+        ),
+    )
+    for exact in (True, False):
+        out = score_buckets(df, exact=exact)
+        assert out.count() == 60, exact
+        nulls = out.filter(F.col("lang").isNull())
+        assert nulls.count() == 15
+        assert (
+            nulls.filter(F.col("perplexity_bucket").isNull()).count()
+            == 0
+        ), exact  # NULL group is a group, not a drop
+        one = score_buckets(df, n_buckets=1, labels=None, exact=exact)
+        assert (
+            one.filter(F.col("perplexity_bucket") == 1).count() == 60
+        ), exact
+
+
 def test_approx_form_no_sort_no_corpus_shuffle(spark):
     """The exact=False path must not sort or window the corpus: one
     aggregate for boundaries, broadcast join back."""
