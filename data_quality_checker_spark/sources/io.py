@@ -297,18 +297,9 @@ def shard_manifest(
     )
     root = _re.sub(_scheme, "/", fs.makeQualified(jpath).toString())
     root = root.rstrip("/")
-    sizes = []
-    it = fs.listFiles(jpath, True)  # recursive: partitioned layouts
-    while it.hasNext():
-        st = it.next()
-        full = _re.sub(_scheme, "/", st.getPath().toString())
-        rel = full[len(root) + 1:] if full.startswith(root + "/") else full
-        # skip hidden/metadata entries at ANY depth (_SUCCESS, .crc)
-        if any(p[:1] in ("_", ".") for p in rel.split("/")):
-            continue
-        sizes.append((rel, st.getLen()))
+    # recursive listing shared with compact_parquet (one implementation)
     size_df = spark.createDataFrame(
-        sorted(sizes), "shard string, n_bytes long"
+        list_data_files(spark, path), "shard string, n_bytes long"
     )
 
     nf = F.regexp_replace(F.input_file_name(), _scheme, "/")
@@ -328,3 +319,88 @@ def shard_manifest(
     return per_file.join(F.broadcast(size_df), "shard", "left").select(
         "shard", "n_rows", "n_bytes", "content_digest"
     )
+
+
+def list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """Recursive (relative_path, n_bytes) listing of a data directory
+    via the Hadoop FileSystem API — scheme-agnostic (local, HDFS,
+    object stores), no data scan; hidden/metadata entries (_SUCCESS,
+    .crc) are skipped at any depth. The same listing shard_manifest
+    performs, exposed for operational tooling."""
+    import re as _re
+
+    _scheme = r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+"
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    root = _re.sub(_scheme, "/", fs.makeQualified(jpath).toString())
+    root = root.rstrip("/")
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        full = _re.sub(_scheme, "/", st.getPath().toString())
+        rel = full[len(root) + 1:] if full.startswith(root + "/") else full
+        if any(p[:1] in ("_", ".") for p in rel.split("/")):
+            continue
+        out.append((rel, st.getLen()))
+    return sorted(out)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_mb: int = 256,
+    partition_col: str | None = None,
+) -> dict:
+    """Small-files compaction — the maintenance job every long-lived
+    parquet sink needs at crawl scale (a resumable pipeline writing
+    per-partition dynamic overwrites accumulates files far below the
+    HDFS/object-store sweet spot; scans then pay per-file open cost
+    and the NameNode/listing pays per-object).
+
+    Reads ``in_path`` and rewrites it to ``out_path`` with
+    ``ceil(on-disk bytes / target_mb)`` output tasks:
+
+    - unpartitioned: ``repartition(n)`` — n near-equal files.
+    - with ``partition_col``: ``repartition(n, partition_col)`` then
+      ``partitionBy`` — rows of one partition value co-locate in one
+      task, so each value compacts to ONE file per directory (the
+      classic many-tiny-files-per-partition repair). A partition
+      value larger than a healthy single file keeps its one big file
+      — split such values upstream (salting) if that matters.
+
+    DELIBERATELY never in-place: Spark refuses to overwrite a path it
+    is reading, and a same-path rewrite is non-atomic on every real
+    filesystem — write to ``out_path`` and swap directories in the
+    orchestrator. target sizing uses the COMPRESSED on-disk bytes, so
+    output files land near ``target_mb`` compressed (same codec).
+
+    Returns ``{"files_before", "bytes_before", "target_files",
+    "files_after"}``."""
+    import math
+
+    if target_mb < 1:
+        raise ValueError("need target_mb >= 1")
+    before = list_data_files(spark, in_path)
+    total = sum(b for _, b in before)
+    n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(in_path)
+    if partition_col is None:
+        out = df.repartition(n)
+        out.write.mode("overwrite").parquet(out_path)
+    else:
+        out = df.repartition(n, F.col(partition_col))
+        out.write.mode("overwrite").partitionBy(partition_col).parquet(
+            out_path
+        )
+    after = list_data_files(spark, out_path)
+    return {
+        "files_before": len(before),
+        "bytes_before": total,
+        "target_files": n,
+        "files_after": len(after),
+    }

@@ -432,3 +432,37 @@ def test_shard_manifest_partitioned(spark, tmp_path_factory):
     assert len(shards) == len(set(shards))
     assert all(s.startswith("bucket=") and "/" in s for s in shards)
     assert all(r["n_bytes"] and r["n_bytes"] > 0 for r in m)
+
+
+def test_compact_parquet(spark, tmp_path_factory):
+    from data_quality_checker_spark.sources.io import (
+        compact_parquet,
+        list_data_files,
+    )
+
+    d = tmp_path_factory.mktemp("compact")
+    src, dst = str(d / "src"), str(d / "dst")
+    df = spark.range(20_000).selectExpr(
+        "id", "id % 4 as pid", "repeat(uuid(), 4) as payload"
+    )
+    df.repartition(40).write.partitionBy("pid").parquet(src)
+    n_before = len(list_data_files(spark, src))
+    assert n_before >= 40  # the small-files mess
+    stats = compact_parquet(
+        spark, src, dst, target_mb=256, partition_col="pid"
+    )
+    assert stats["files_before"] == n_before
+    # one file per partition value (4 values, tiny corpus)
+    assert stats["files_after"] <= 8
+    got = spark.read.parquet(dst)
+    assert got.count() == 20_000
+    assert [r["pid"] for r in got.select("pid").distinct().collect()] is not None
+    assert set(got.columns) == {"id", "pid", "payload"}
+    # unpartitioned form: row parity + close to target_files
+    stats2 = compact_parquet(spark, src, str(d / "flat"), target_mb=256)
+    assert stats2["files_after"] == stats2["target_files"] == 1
+    assert spark.read.parquet(str(d / "flat")).count() == 20_000
+    import pytest
+
+    with pytest.raises(ValueError):
+        compact_parquet(spark, src, str(d / "x"), target_mb=0)
