@@ -3232,6 +3232,62 @@ from sig
 """
 
 
+def q_mixture_plan(spark, sf):
+    """Token-budget mixture planning (plans/sampling.plan_mixture —
+    no reference ancestor; the DoReMi/Chinchilla-style step before
+    per-source sampling). Three planted sources with doc_id-derived
+    token counts; 'code' is weighted 0 (planned out), 'web':'books'
+    = 2:1 against a budget that caps one source at fraction 1.0.
+    Floats rounded 6dp; token expectations floor()ed both sides
+    (DuckDB's double->int cast ROUNDS — the repo gotcha)."""
+    from data_quality_checker_spark.plans.sampling import plan_mixture
+
+    docs = _t(spark, sf, "documents")
+    df = docs.select(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("web"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("books"))
+        .otherwise(F.lit("code"))
+        .alias("source"),
+        (F.col("doc_id") % 100 + 1).alias("n_tokens"),
+    )
+    out = plan_mixture(
+        df, {"web": 2.0, "books": 1.0}, budget_tokens=20_000
+    )
+    return out.select(
+        "source",
+        "available_tokens",
+        _r6("weight").alias("weight"),
+        "target_tokens",
+        _r6("fraction").alias("fraction"),
+        "expected_tokens",
+    )
+
+
+SQL_MIXTURE_PLAN = """
+with d as (select
+  case when doc_id % 3 = 0 then 'web'
+       when doc_id % 3 = 1 then 'books' else 'code' end as source,
+  (doc_id % 100 + 1) as n_tokens
+  from documents),
+a as (select source, sum(n_tokens)::bigint as avail
+      from d group by source),
+w as (select source, avail,
+  case source when 'web' then 2.0 / 3.0
+              when 'books' then 1.0 / 3.0 else 0.0 end as wt
+  from a),
+f as (select source, avail, wt,
+  case when avail = 0 then 0.0
+       else least(1.0, 20000 * wt / avail) end as frac
+  from w)
+select source, avail as available_tokens,
+  round(wt, 6) as weight,
+  floor(20000 * wt)::bigint as target_tokens,
+  round(frac, 6) as fraction,
+  floor(avail * frac)::bigint as expected_tokens
+from f order by source
+"""
+
+
 def q_calibration(spark, sf):
     """Classifier calibration table (plans/quality_model.py
     calibration_table — no reference ancestor; the model-quality
@@ -4252,6 +4308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "mojibake_fix": q_mojibake_fix,
         "calibration": q_calibration,
+        "mixture_plan": q_mixture_plan,
         "repetition_topgrams": q_repetition_topgrams,
         "host_cap": q_host_cap,
         "source_mix": q_source_mix,
@@ -4370,6 +4427,7 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_buckets": SQL_CCNET,
         "mojibake_fix": _sql_mojibake(),
         "calibration": SQL_CALIBRATION,
+        "mixture_plan": SQL_MIXTURE_PLAN,
         "repetition_topgrams": SQL_REPETITION,
         "host_cap": SQL_HOST_CAP,
         "source_mix": SQL_SOURCE_MIX,

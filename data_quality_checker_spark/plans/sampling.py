@@ -30,6 +30,7 @@ __all__ = [
     "sample_fractions",
     "weighted_sample",
     "stride_sample_column",
+    "plan_mixture",
 ]
 
 _SCALE = float(2**52)
@@ -140,4 +141,63 @@ def weighted_sample(
     return df.filter(
         w.isNotNull() & (w > 0)
         & hash_frac_predicate(F.col(key_col), p)
+    )
+
+
+def plan_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Token-budget mixture planning: given target mixture ``weights``
+    (relative proportions per source — they are normalized here) and a
+    total ``budget_tokens``, compute the per-source Bernoulli keep
+    fraction that realizes the mix from what each source actually has:
+
+    ``fraction_s = min(1, budget * weight_s / available_s)``
+
+    One aggregate over the corpus -> one tiny row per source
+    (``source, available_tokens, weight, target_tokens, fraction,
+    expected_tokens``); feed the fractions to :func:`sample_fractions`
+    to apply. Sources with a capped fraction (1.0) deliver fewer
+    tokens than their target — the ``expected_tokens`` column makes
+    the shortfall explicit so the caller can re-weight or
+    up-epoch that source (the Chinchilla/DoReMi-style planning step a
+    mixing pipeline runs before sampling; no reference ancestor —
+    training-data extension).
+
+    Sources present in the corpus but absent from ``weights`` get
+    weight 0 (fraction 0, planned out); weights naming absent sources
+    raise — a silent typo there would starve the mix."""
+    if budget_tokens < 0:
+        raise ValueError("need budget_tokens >= 0")
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("weights must sum to > 0")
+    avail = df.groupBy(source_col).agg(
+        F.sum(F.col(token_col)).cast("long").alias("available_tokens")
+    )
+    rows = {r[source_col]: r["available_tokens"] for r in avail.collect()}
+    missing = set(weights) - set(rows)
+    if missing:
+        raise ValueError(
+            f"weights name sources absent from the corpus: "
+            f"{sorted(missing)}"
+        )
+    spark = df.sparkSession
+    out = []
+    for s in sorted(rows):
+        w = float(weights.get(s, 0.0)) / total_w
+        available = int(rows[s] or 0)
+        target = budget_tokens * w
+        frac = 0.0 if available == 0 else min(1.0, target / available)
+        out.append(
+            (s, available, w, int(target), frac, int(available * frac))
+        )
+    return spark.createDataFrame(
+        out,
+        "source string, available_tokens long, weight double, "
+        "target_tokens long, fraction double, expected_tokens long",
     )

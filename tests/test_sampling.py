@@ -99,3 +99,48 @@ def test_sampling_predicate_works_on_streams(spark, tmp_path_factory):
         r["doc_id"] for r in spark.read.parquet(f"{d}/out").collect()
     )
     assert stream_ids == batch_ids
+
+
+def test_plan_mixture(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_quality_checker_spark.plans.sampling import plan_mixture
+
+    df = spark.range(1000).select(
+        F.when(F.col("id") % 3 == 0, "web")
+        .when(F.col("id") % 3 == 1, "books")
+        .otherwise("code")
+        .alias("source"),
+        (F.col("id") % 100 + 1).alias("n_tokens"),
+    )
+    plan = {
+        r["source"]: r
+        for r in plan_mixture(
+            df, {"web": 2.0, "books": 1.0}, budget_tokens=20_000
+        ).collect()
+    }
+    # code has weight 0 -> planned out but still listed
+    assert plan["code"]["fraction"] == 0.0
+    assert plan["code"]["expected_tokens"] == 0
+    # weights normalized 2:1
+    assert abs(plan["web"]["weight"] - 2 / 3) < 1e-12
+    # books target may exceed its supply -> capped at 1.0
+    for s in ("web", "books"):
+        assert 0.0 < plan[s]["fraction"] <= 1.0
+        assert (
+            plan[s]["expected_tokens"]
+            <= plan[s]["available_tokens"]
+        )
+    # full budget >> supply: every weighted source caps at 1.0
+    big = {
+        r["source"]: r
+        for r in plan_mixture(
+            df, {"web": 1.0, "books": 1.0}, budget_tokens=10**9
+        ).collect()
+    }
+    assert big["web"]["fraction"] == 1.0 == big["books"]["fraction"]
+    with pytest.raises(ValueError):
+        plan_mixture(df, {"nope": 1.0}, budget_tokens=100)
+    with pytest.raises(ValueError):
+        plan_mixture(df, {}, budget_tokens=100)
