@@ -217,20 +217,39 @@ def near_duplicates_minhash(
     # NO array_distinct here: min() is idempotent over duplicate
     # shingles, and distinct is an O(n^2) interpreted pass per doc
     # (the verify step's jaccard() dedups internally where it matters).
+    # The token array is BOUND ONCE as a higher-order-function lambda
+    # variable (the registrable_domain pattern). A separate
+    # `select(tokens alias _tk).select(word_ngrams(_tk))` projection
+    # does NOT protect against re-tokenization: the optimizer
+    # collapses the projects and inlines the tokenize subtree into
+    # every lambda invocation — O(n_tokens^2) splits per doc,
+    # observed live as a wedged 1M-doc run once the corpus carried
+    # 5,200-word documents (executor stacks all inside
+    # StringSplit/Lower under SimpleHigherOrderFunction). Binding via
+    # transform(array(tokens), tk -> ...) pins exactly one
+    # tokenization per row no matter how the plan is rewritten.
+    def _ngrams_bound(tk: Column) -> Column:
+        def _one(i: Column) -> Column:
+            g = F.concat_ws(" ", F.slice(tk, i + 1, k_shingle))
+            return F.xxhash64(g) if shingle_mode == "hash" else g
+        empty_t = (
+            "array<bigint>" if shingle_mode == "hash" else "array<string>"
+        )
+        return F.when(
+            F.size(tk) >= k_shingle,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - k_shingle), _one
+            ),
+        ).otherwise(F.array().cast(empty_t))
+
+    sh_expr = F.element_at(
+        F.transform(F.array(tokens(text_col)), _ngrams_bound), 1
+    )
     shingled = (
         df.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("id"), tokens(text_col).alias("_tk"))
-        .select("id", word_ngrams(F.col("_tk"), k_shingle).alias("sh"))
+        .select(F.col(id_col).alias("id"), sh_expr.alias("sh"))
         .filter(F.size("sh") > 0)
     )
-    if shingle_mode == "hash":
-        # carry 8-byte hashes from here on (see docstring)
-        shingled = shingled.select(
-            "id",
-            F.transform(
-                F.col("sh"), lambda s: F.xxhash64(s)
-            ).alias("sh"),
-        )
     base = materialize(shingled, "shingles")
     # Signature via explode + min-aggregation rather than nested
     # array_min(transform(...)) expressions: Catalyst's CollapseProject
