@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from data_quality_checker_spark.functions.wordlists import LANGS, STOPWORDS
 
 __all__ = [
+    "bind_once",
     "tokens",
     "word_count",
     "char_count",
@@ -54,6 +55,22 @@ _WS = r"\s+"
 
 def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
+
+
+def bind_once(value: Column, build) -> Column:
+    """Evaluate ``value`` exactly once per row and hand it to
+    ``build`` as a higher-order-function lambda VARIABLE
+    (``element_at(transform(array(value), v -> build(v)), 1)``).
+
+    Catalyst has no let-binding: when a lambda body references a
+    computed expression (directly, or through a projected alias that
+    CollapseProject folds back in), the expression re-evaluates on
+    EVERY lambda invocation — per-element work times the element
+    count, O(n^2) for tokenize-then-slide shapes. The HOF variable is
+    a true binding the optimizer cannot inline through. Same pattern
+    as plans/urlfilter.registrable_domain (9x) and the MinHash
+    shingler (un-wedged a 1M-doc run)."""
+    return F.element_at(F.transform(F.array(value), build), 1)
 
 
 def tokens(text: Column | str, lowercase: bool = True) -> Column:
@@ -208,14 +225,28 @@ def doc_fingerprint(text: Column | str) -> Column:
 
 def word_ngrams(tok: Column, n: int, sep: str = " ") -> Column:
     """array<string> of word n-grams from a token array (empty when
-    fewer than n tokens) — ancestor: nlp_analyzer.py:175-196."""
-    return F.when(
-        F.size(tok) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(tok) - n),
-            lambda i: F.concat_ws(sep, F.slice(tok, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    fewer than n tokens) — ancestor: nlp_analyzer.py:175-196.
+
+    The token argument is BOUND ONCE as a higher-order-function
+    lambda variable before the per-index slice lambda references it.
+    Without the binding, a caller passing a computed expression
+    (``word_ngrams(tokens(text), 3)`` — or a projected alias of it,
+    which the optimizer collapses right back) gets that expression
+    re-evaluated on EVERY lambda invocation: O(n_tokens^2)
+    tokenizations per document, which wedged a 1M-doc dedup run once
+    the corpus carried 5,200-word docs. The binding pins one
+    evaluation per row under any plan rewrite."""
+
+    def _bound(tk: Column) -> Column:
+        return F.when(
+            F.size(tk) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - n),
+                lambda i: F.concat_ws(sep, F.slice(tk, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(tok, _bound)
 
 
 # 1:1 unicode punctuation folding (curly quotes, dashes, NBSP) — the

@@ -58,23 +58,31 @@ def chunk_documents(
     # covers up to s + overlap), so the last start is the largest
     # multiple of step with s <= n - overlap - min_chunk_tokens —
     # anything later is fully contained in the previous chunk
-    last_start = F.greatest(
-        F.lit(0),
-        F.floor(
-            (F.size("_tk") - F.lit(overlap + min_chunk_tokens))
-            / F.lit(step)
+    def _chunks_bound(tk):
+        # tk is a HOF lambda variable (functions/text.bind_once): the
+        # token array evaluates ONCE per row even if the optimizer
+        # collapses the _tk projection back into this expression —
+        # an inlined tokenize would otherwise re-run per chunk start
+        last_start = F.greatest(
+            F.lit(0),
+            F.floor(
+                (F.size(tk) - F.lit(overlap + min_chunk_tokens))
+                / F.lit(step)
+            )
+            * F.lit(step),
+        ).cast("int")
+        starts = F.sequence(F.lit(0), last_start, F.lit(step))
+        return F.transform(
+            starts, lambda s: F.slice(tk, s + 1, max_tokens)
         )
-        * F.lit(step),
-    ).cast("int")
-    starts = F.sequence(F.lit(0), last_start, F.lit(step))
+
+    from data_quality_checker_spark.functions.text import bind_once
+
     chunks = base.select(
         id_col,
-        F.posexplode(
-            F.transform(
-                starts,
-                lambda s: F.slice(F.col("_tk"), s + 1, max_tokens),
-            )
-        ).alias("chunk_id", "_ck"),
+        F.posexplode(bind_once(F.col("_tk"), _chunks_bound)).alias(
+            "chunk_id", "_ck"
+        ),
     )
     return chunks.select(
         id_col,
