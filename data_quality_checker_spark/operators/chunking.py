@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from data_quality_checker_spark.functions.text import tokens
+from data_quality_checker_spark.functions.text import bind_once, tokens
 
 __all__ = ["chunk_documents", "pack_sequences"]
 
@@ -75,8 +75,6 @@ def chunk_documents(
         return F.transform(
             starts, lambda s: F.slice(tk, s + 1, max_tokens)
         )
-
-    from data_quality_checker_spark.functions.text import bind_once
 
     chunks = base.select(
         id_col,

@@ -100,7 +100,7 @@ def near_duplicates_minhash(
     num_bands: int = 8,
     threshold: float = 0.7,
     storage_path: str | None = None,
-    prefilter_margin: float | None = 0.15,
+    prefilter_margin: float | None = None,
     one_permutation: bool = False,
     shingle_mode: str = "hash",
 ) -> DataFrame:
@@ -136,18 +136,25 @@ def near_duplicates_minhash(
     arrays back -> exact Jaccard filter. Candidates scale with
     collisions, never with n^2.
 
-    The pre-filter (``prefilter_margin``): on template-heavy corpora
-    the exact-Jaccard verify join dominates — its payload is the full
-    shingle arrays (measured 22.9M candidate pairs on 1M synthetic
-    docs). The MinHash estimator ``matching signature components /
-    num_hashes`` is computable from the already-materialized signature
-    table (num_hashes longs per side, ~100x smaller than shingles), so
-    candidates with estimate < threshold - margin are dropped before
-    the arrays are ever joined. This is a recall trade at the margin:
-    a TRUE pair at exactly j = threshold loses ~Binom(num_hashes, j)
-    lower-tail mass below the bar (~3% at 32 hashes / margin 0.15) —
-    the same order as banded LSH's own miss rate. Pass None to verify
-    every banded candidate exactly.
+    The pre-filter (``prefilter_margin``, default None = off): the
+    MinHash estimator ``matching signature components / num_hashes``
+    is computable from the already-materialized signature table, so
+    candidates with estimate < threshold - margin can be dropped
+    before the shingle arrays are joined. This is a recall trade at
+    the margin: a TRUE pair at exactly j = threshold loses
+    ~Binom(num_hashes, j) lower-tail mass below the bar (~3% at 32
+    hashes / margin 0.15) — the same order as banded LSH's own miss
+    rate. HONEST MEASUREMENT, mode-dependent: with STRING shingles
+    (round 3, shingle_mode='text') the verify payload dominated and
+    the pre-filter cut the 1M-doc sustained run 433 s -> 231 s
+    (-47%, identical pairs). With the HASHED-shingle default the
+    verify payload is ~10x smaller and the pre-filter's own two
+    num_hashes-long signature joins cost more than they save on the
+    same corpus and banding (8x4 keeps false candidates rare by
+    design): 213 s OFF vs 253-297 s ON across three 1M-doc legs.
+    Hence default None under shingle_mode='hash'; pass ~0.15 for
+    shingle_mode='text' or low-band configs where false candidates
+    flood the verify join.
 
     ``one_permutation``: One-Permutation Hashing (Li, Owen, Zhang,
     NIPS 2012) — ONE xxhash64 per shingle, partitioned into
@@ -186,7 +193,7 @@ def near_duplicates_minhash(
     footprint, and nothing stays cached in a long-lived session. When
     None they are persist()ed in memory; call :func:`release_cache` on
     the returned DataFrame once consumed."""
-    from data_quality_checker_spark.functions.text import tokens, word_ngrams
+    from data_quality_checker_spark.functions.text import bind_once, tokens
 
     if num_hashes % num_bands != 0:
         raise ValueError(
@@ -218,16 +225,14 @@ def near_duplicates_minhash(
     # shingles, and distinct is an O(n^2) interpreted pass per doc
     # (the verify step's jaccard() dedups internally where it matters).
     # The token array is BOUND ONCE as a higher-order-function lambda
-    # variable (the registrable_domain pattern). A separate
-    # `select(tokens alias _tk).select(word_ngrams(_tk))` projection
-    # does NOT protect against re-tokenization: the optimizer
-    # collapses the projects and inlines the tokenize subtree into
-    # every lambda invocation — O(n_tokens^2) splits per doc,
-    # observed live as a wedged 1M-doc run once the corpus carried
-    # 5,200-word documents (executor stacks all inside
-    # StringSplit/Lower under SimpleHigherOrderFunction). Binding via
-    # transform(array(tokens), tk -> ...) pins exactly one
-    # tokenization per row no matter how the plan is rewritten.
+    # variable (functions/text.bind_once — the registrable_domain
+    # pattern). A separate `select(tokens alias _tk).select(...)`
+    # projection does NOT protect against re-tokenization: the
+    # optimizer collapses the projects and inlines the tokenize
+    # subtree into every lambda invocation — O(n_tokens^2) splits per
+    # doc, observed live as a wedged 1M-doc run once the corpus
+    # carried 5,200-word documents (executor stacks all inside
+    # StringSplit/Lower under SimpleHigherOrderFunction).
     def _ngrams_bound(tk: Column) -> Column:
         def _one(i: Column) -> Column:
             g = F.concat_ws(" ", F.slice(tk, i + 1, k_shingle))
@@ -242,9 +247,7 @@ def near_duplicates_minhash(
             ),
         ).otherwise(F.array().cast(empty_t))
 
-    sh_expr = F.element_at(
-        F.transform(F.array(tokens(text_col)), _ngrams_bound), 1
-    )
+    sh_expr = bind_once(tokens(text_col), _ngrams_bound)
     shingled = (
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("id"), sh_expr.alias("sh"))

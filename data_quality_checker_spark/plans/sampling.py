@@ -170,9 +170,20 @@ def plan_mixture(
 
     Sources present in the corpus but absent from ``weights`` get
     weight 0 (fraction 0, planned out); weights naming absent sources
-    raise — a silent typo there would starve the mix."""
+    raise — a silent typo there would starve the mix. Rows with a NULL
+    ``source_col`` are excluded from planning and reported as the
+    ``<NULL>`` source with weight/fraction 0 (missing source metadata
+    is routine in crawl data; a plan row makes the excluded volume
+    loud instead of crashing or silently dropping it)."""
     if budget_tokens < 0:
         raise ValueError("need budget_tokens >= 0")
+    negative = {s: w for s, w in weights.items() if float(w) < 0}
+    if negative:
+        # a negative weight would pass the sum check, flow through as
+        # a negative fraction and silently starve that source at the
+        # hash-predicate clamp — exactly the quiet failure this
+        # planning step exists to surface
+        raise ValueError(f"weights must be >= 0, got {negative}")
     total_w = float(sum(weights.values()))
     if total_w <= 0:
         raise ValueError("weights must sum to > 0")
@@ -180,6 +191,7 @@ def plan_mixture(
         F.sum(F.col(token_col)).cast("long").alias("available_tokens")
     )
     rows = {r[source_col]: r["available_tokens"] for r in avail.collect()}
+    null_avail = rows.pop(None, None)
     missing = set(weights) - set(rows)
     if missing:
         raise ValueError(
@@ -196,6 +208,8 @@ def plan_mixture(
         out.append(
             (s, available, w, int(target), frac, int(available * frac))
         )
+    if null_avail is not None:
+        out.append(("<NULL>", int(null_avail or 0), 0.0, 0, 0.0, 0))
     return spark.createDataFrame(
         out,
         "source string, available_tokens long, weight double, "

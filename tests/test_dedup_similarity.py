@@ -485,9 +485,38 @@ def test_minhash_prefilter_equivalence_and_liveness(docs):
         D.release_cache(df)
         return out
 
-    assert pairset() == pairset(prefilter_margin=None)
+    # margin 0.15 must not change results (default is now None — off)
+    assert pairset(prefilter_margin=0.15) == pairset()
     # bar = 0.5 - (-0.5) = 1.0 -> only signature-identical pairs pass
     assert pairset(prefilter_margin=-0.5) == {(0, 1)}
+
+
+def test_minhash_shingle_mode_equivalence(spark, docs, tmp_path):
+    """shingle_mode='hash' (default) and 'text' must be byte-identical
+    end to end: both feed xxhash64(text-shingle) into the signature
+    components (hash mode pre-hashes in the shingler, text mode hashes
+    at sketch time), so the parquet-materialized signature tables and
+    the verified (pair, jaccard) sets must agree exactly. Pins the
+    documented mode-equivalence so a future edit to either _bh branch
+    fails loudly instead of silently diverging the crawl-scale form
+    from the engine-portable oracle form."""
+    out = {}
+    for mode in ("hash", "text"):
+        root = str(tmp_path / mode)
+        df = D.near_duplicates_minhash(
+            docs, threshold=0.5, k_shingle=2,
+            shingle_mode=mode, storage_path=root,
+        )
+        out[mode] = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in df.collect()
+        }
+        sig = spark.read.parquet(f"{root}/signatures")
+        out[mode + "_sig"] = sorted(
+            tuple(r) for r in sig.orderBy("id").collect()
+        )
+    assert out["hash"] == out["text"] and (0, 1) in out["hash"]
+    assert out["hash_sig"] == out["text_sig"]
 
 
 def test_minhash_oph_small_fixture(docs):

@@ -456,7 +456,9 @@ def test_compact_parquet(spark, tmp_path_factory):
     assert stats["files_after"] <= 8
     got = spark.read.parquet(dst)
     assert got.count() == 20_000
-    assert [r["pid"] for r in got.select("pid").distinct().collect()] is not None
+    assert {
+        r["pid"] for r in got.select("pid").distinct().collect()
+    } == {0, 1, 2, 3}
     assert set(got.columns) == {"id", "pid", "payload"}
     # unpartitioned form: row parity + close to target_files
     stats2 = compact_parquet(spark, src, str(d / "flat"), target_mb=256)

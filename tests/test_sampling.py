@@ -144,3 +144,35 @@ def test_plan_mixture(spark):
         plan_mixture(df, {"nope": 1.0}, budget_tokens=100)
     with pytest.raises(ValueError):
         plan_mixture(df, {}, budget_tokens=100)
+    # a negative weight passes the sum check but would starve its
+    # source via a negative fraction -> must raise loudly
+    with pytest.raises(ValueError, match="weights must be >= 0"):
+        plan_mixture(df, {"web": -1.0, "books": 4.0}, budget_tokens=100)
+
+
+def test_plan_mixture_null_source(spark):
+    """Rows with NULL source (routine missing crawl metadata) must not
+    crash planning; they surface as a '<NULL>' row with weight /
+    fraction 0 so the excluded volume is visible."""
+    from pyspark.sql import functions as F
+
+    from data_quality_checker_spark.plans.sampling import plan_mixture
+
+    df = spark.range(300).select(
+        F.when(F.col("id") % 3 == 0, "web")
+        .when(F.col("id") % 3 == 1, "books")
+        .alias("source"),  # id % 3 == 2 -> NULL source
+        (F.col("id") % 50 + 1).alias("n_tokens"),
+    )
+    plan = {
+        r["source"]: r
+        for r in plan_mixture(
+            df, {"web": 1.0, "books": 1.0}, budget_tokens=1_000
+        ).collect()
+    }
+    assert set(plan) == {"web", "books", "<NULL>"}
+    null_row = plan["<NULL>"]
+    assert null_row["weight"] == 0.0 == null_row["fraction"]
+    assert null_row["expected_tokens"] == 0
+    # the excluded volume is reported, not hidden
+    assert null_row["available_tokens"] > 0
