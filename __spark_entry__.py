@@ -30,6 +30,7 @@ from data_quality_checker_spark.operators import drift as DR
 from data_quality_checker_spark.operators import joins as J
 from data_quality_checker_spark.operators import nlp as N
 from data_quality_checker_spark.operators import quality as Q
+from data_quality_checker_spark.operators import semdedup as SD
 from data_quality_checker_spark.operators import similarity as SIM
 from data_quality_checker_spark.operators import stats as S
 from data_quality_checker_spark.operators import temporal as T
@@ -4016,6 +4017,126 @@ where a.vec_id < b.vec_id
 """
 
 
+def _semdedup_input(spark, sf):
+    """Planted semantic-dup corpus: fixture embeddings are mutually
+    dissimilar (1 pair above cosine 0.5 at sf0.01), so near-dup mass
+    is planted as deterministic clones — vec_id+1000 with the
+    NONLINEAR element perturbation x + 0.02*x^2 (a linear scale would
+    leave cosine at exactly 1.0). The identical expression runs in
+    the DuckDB twin (the repo's planting convention)."""
+    emb = (
+        _t(spark, sf, "embeddings")
+        .filter("vec_id < 120")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+    )
+    clones = emb.filter("vec_id < 40").select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("v", lambda x: x + F.lit(0.02) * x * x).alias("v"),
+    )
+    return emb.unionAll(clones)
+
+
+def q_semantic_dedup_pairs(spark, sf):
+    """SemDeDup pair stage (operators/semdedup.semantic_dedup_pairs —
+    Abbas et al. 2023; reference ancestor stops at pairwise search,
+    nlp_analyzer.py:886-918): hash-seeded centroids, argmax-cosine
+    cell assignment, within-cell tau-pairs. lloyd_iters=0 keeps the
+    whole plan a pure function of the rows, which the DuckDB twin
+    reproduces relationally."""
+    u = _semdedup_input(spark, sf)
+    out = SD.semantic_dedup_pairs(
+        u, id_col="vec_id", vec_col="v", k=6, tau=0.95
+    )
+    return out.select(
+        "id_a", "id_b", "cell_id", _r6(F.col("cosine")).alias("cosine")
+    )
+
+
+SQL_SEMDEDUP_PLANT = """
+e0 as (select vec_id, embedding::DOUBLE[] v from embeddings
+       where vec_id < 120),
+clones as (select vec_id + 1000 as vec_id,
+                  list_transform(v, x -> x + 0.02*x*x) as v
+           from e0 where vec_id < 40),
+u as (select * from e0 union all select * from clones),
+seeds as (
+  select row_number() over (order by md5(vec_id::varchar), vec_id) - 1
+           as cell_id,
+         v as centroid
+  from u
+  qualify row_number() over (order by md5(vec_id::varchar), vec_id) <= 6
+),
+scored as (
+  select u.vec_id as id, s.cell_id,
+         list_cosine_similarity(u.v, s.centroid) as c
+  from u cross join seeds s
+), assign as (
+  select id, cell_id, c as cos_centroid
+  from scored
+  qualify row_number() over (partition by id
+                             order by c desc, cell_id) = 1
+),
+kv as (select a.id, a.cell_id, a.cos_centroid, u.v
+       from assign a join u on u.vec_id = a.id),
+prs as (
+  select a.id as id_a, b.id as id_b, a.cell_id,
+         list_cosine_similarity(a.v, b.v) as cosine
+  from kv a join kv b on a.cell_id = b.cell_id and a.id < b.id
+  where list_cosine_similarity(a.v, b.v) >= 0.95
+)
+"""
+
+
+SQL_SEMDEDUP_PAIRS = (
+    "with " + SQL_SEMDEDUP_PLANT
+    + "select id_a, id_b, cell_id, round(cosine, 6) as cosine from prs"
+)
+
+
+def q_semantic_dedup_keep(spark, sf):
+    """SemDeDup endpoint (operators/semdedup.semantic_dedup): one
+    survivor per duplicate component under the paper's keep-LOW rule
+    (lowest cosine-to-centroid, then min id). Twin recomputes the
+    components with a recursive CTE (the dedup_clusters pattern) and
+    the keep rule with a window — the composition of clustering +
+    min-label components + keep rule is value-pinned end to end."""
+    u = _semdedup_input(spark, sf)
+    kept = SD.semantic_dedup(
+        u, id_col="vec_id", vec_col="v", k=6, tau=0.95, keep="low"
+    )
+    return kept.select("vec_id")
+
+
+SQL_SEMDEDUP_KEEP = (
+    "with recursive " + SQL_SEMDEDUP_PLANT
+    + """,
+edges as (select id_a s, id_b d from prs
+          union select id_b, id_a from prs),
+walk(id, lab) as (
+  select distinct s, s from edges
+  union
+  select e.d, w.lab from walk w join edges e on e.s = w.id
+    where w.lab < e.d
+),
+comps as (select id, min(lab) as cluster_id from walk group by id),
+keepers as (
+  select id from (
+    select c.id,
+           row_number() over (partition by c.cluster_id
+                              order by a.cos_centroid, c.id) rn
+    from comps c join assign a on a.id = c.id
+  ) where rn = 1
+),
+losers as (select id from comps
+           where id not in (select id from keepers))
+select vec_id from u
+where vec_id not in (select id from losers)
+"""
+)
+
+
 def q_ann_topk_lsh(spark, sf):
     """LSH ANN promoted from rows-only to an oracle-checked RECALL
     GATE: one row per probe query with recall_ok = (LSH top-5 hits at
@@ -4326,6 +4447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embedding_pairs": q_embedding_pairs,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "semantic_dedup_pairs": q_semantic_dedup_pairs,
+        "semantic_dedup_keep": q_semantic_dedup_keep,
         "perplexity": q_perplexity,
         # multimodal
         "multimodal_features": q_multimodal_features,
@@ -4448,6 +4571,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": SQL_ANN,
         "ann_topk_lsh": SQL_ANN_LSH_RECALL,
         "embedding_pairs": SQL_EMB_PAIRS,
+        "semantic_dedup_pairs": SQL_SEMDEDUP_PAIRS,
+        "semantic_dedup_keep": SQL_SEMDEDUP_KEEP,
         "multimodal_features": SQL_MULTIMODAL,
         "multimodal_content": SQL_MULTIMODAL_CONTENT,
     }

@@ -1,0 +1,288 @@
+"""SemDeDup-style semantic deduplication over an embedding column.
+
+Lexical near-dedup (MinHash/SimHash, operators/dedup.py) catches
+copies; SEMANTIC dedup catches re-tellings — documents whose token
+streams differ but whose embeddings nearly coincide. Method follows
+the published SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540,
+public): cluster the embedding space into k cells, then inside each
+cell mark pairs with cosine >= tau as semantic duplicates and keep
+one representative per duplicate group — the member LEAST typical of
+its cell (lowest cosine to centroid), which the paper measured as the
+best keep rule. The reference repo stops at pairwise similarity
+search (dataset_quality_checker/nlp_analyzer.py:886-918,
+semantic_search_analysis); the clustering, the within-cell pair
+restriction, and the keep rule are the training-data extension.
+
+Scale shape (the whole point — the naive form is an O(n^2) cosine
+cross join):
+- centroid seeding is a deterministic hash-order draw (md5 of the id,
+  the repo's retry-stable selection idiom — never rand()), k rows;
+- assignment is a BROADCAST nested-loop join of the corpus against
+  the k-row centroid table followed by one hash aggregate keyed on
+  the doc id — partial aggregation collapses each id's k candidate
+  rows map-side, so the exchange carries ONE row per document;
+- pair generation self-joins on cell_id, so candidate volume is
+  sum(cell_i^2), never n^2; pick k ~ n / target_cell_size to bound
+  the quadratic term (the paper's operating regime). Cell sizes are
+  data-dependent — audit with cell_sizes() before a big run;
+- optional Lloyd refinement (lloyd_iters > 0) tightens cells with
+  one reassignment + per-dimension mean per iteration (one narrow
+  shuffle each); the default 0 keeps assignment a pure function of
+  the input rows, which the cross-engine oracle twin pins.
+
+Engine-portable contract (lloyd_iters=0): seeds, assignment argmax
+(tie: cosine desc, cell_id asc), and the pair predicate are plain
+relational algebra over list_cosine_similarity-equivalent math, so a
+DuckDB twin reproduces them at 6dp (see
+__spark_entry__.q_semantic_dedup_pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_quality_checker_spark.operators.dedup import (
+    cosine_expr,
+    duplicate_clusters,
+)
+
+__all__ = [
+    "seed_centroids",
+    "assign_cells",
+    "lloyd_refine",
+    "cell_sizes",
+    "semantic_dedup_pairs",
+    "semantic_dedup",
+]
+
+
+def _clean(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, v) with NULL/empty vectors dropped — cosine over a NULL or
+    zero-length array is NULL and would silently fall out of argmax."""
+    return df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).filter(F.col("v").isNotNull() & (F.size("v") > 0))
+
+
+def seed_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 64,
+) -> DataFrame:
+    """(cell_id int, centroid) — k deterministic seed centroids drawn
+    in md5(id) order (hash order is uniform over the corpus and stable
+    across retries/engines; LIMIT in partition order is not — the
+    same bias the BPE sampler fix removed). cell_id = 0..k-1 in that
+    order, so the seed set and numbering are a pure function of the
+    input ids. Scale shape: the draw is orderBy(hash).limit(k), which
+    Catalyst compiles to TakeOrderedAndProject — a per-partition
+    partial top-k merged at the driver, NOT a single-partition global
+    sort; the numbering window then runs over only the k survivors
+    (bounded, same as the repo's other post-aggregation k-row
+    windows)."""
+    if k < 1:
+        raise ValueError("need k >= 1")
+    base = _clean(df, id_col, vec_col)
+    # md5 first, id second: the id tiebreak only matters on a
+    # (never observed) md5 collision, but keeps ORDER BY total
+    topk = (
+        base.select(
+            F.md5(F.col("id").cast("string")).alias("_h"), "id", "v"
+        )
+        .orderBy("_h", "id")
+        .limit(k)
+    )
+    w = Window.orderBy("_h", "id")
+    return (
+        topk.withColumn("_rn", F.row_number().over(w))
+        .select(
+            (F.col("_rn") - 1).cast("int").alias("cell_id"),
+            F.col("v").alias("centroid"),
+        )
+    )
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell_id, cos_centroid): each vector's argmax-cosine cell.
+
+    Broadcast NLJ against the k-row centroid table, then ONE hash
+    aggregate on id taking max(struct(cosine, -cell_id)) — the struct
+    max is the deterministic argmax (highest cosine, then lowest
+    cell_id), and partial aggregation means the shuffle carries one
+    row per document, not k."""
+    base = _clean(df, id_col, vec_col)
+    scored = base.join(F.broadcast(centroids)).select(
+        "id",
+        F.struct(
+            cosine_expr(F.col("v"), F.col("centroid")).alias("c"),
+            (-F.col("cell_id")).alias("nc"),
+        ).alias("_s"),
+    )
+    best = scored.groupBy("id").agg(F.max("_s").alias("_b"))
+    return best.select(
+        "id",
+        (-F.col("_b.nc")).cast("int").alias("cell_id"),
+        F.col("_b.c").alias("cos_centroid"),
+    )
+
+
+def lloyd_refine(
+    df: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """iters rounds of Lloyd refinement over the seed centroids:
+    reassign by argmax cosine, recompute each cell's per-dimension
+    mean. One broadcast join + one narrow aggregate per round; cells
+    that lose every member drop out (k may shrink). ``dim`` is
+    required because the mean is computed as dim scalar aggregates —
+    the plan-time column form that stays inside whole-stage codegen
+    (a posexplode/regroup form would shuffle twice per round)."""
+    if iters < 0:
+        raise ValueError("need iters >= 0")
+    base = _clean(df, id_col, vec_col)
+    for _ in range(iters):
+        assigned = base.join(F.broadcast(centroids)).select(
+            "id",
+            "v",
+            F.struct(
+                cosine_expr(F.col("v"), F.col("centroid")).alias("c"),
+                (-F.col("cell_id")).alias("nc"),
+            ).alias("_s"),
+        )
+        best = (
+            assigned.groupBy("id")
+            .agg(F.max("_s").alias("_b"), F.first("v").alias("v"))
+            .select((-F.col("_b.nc")).cast("int").alias("cell_id"), "v")
+        )
+        centroids = best.groupBy("cell_id").agg(
+            F.array(
+                *[F.avg(F.col("v")[i]) for i in range(dim)]
+            ).alias("centroid")
+        )
+    return centroids
+
+
+def cell_sizes(assignment: DataFrame) -> DataFrame:
+    """(cell_id, n_members) — audit the quadratic term before the
+    pair join: within-cell candidate volume is sum over cells of
+    n_members^2 / 2. A runaway cell means k is too small (or the
+    embedding space has a degenerate mode) — fix k, don't salt: the
+    pairs inside one cell are genuinely needed."""
+    return assignment.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+
+def _resolve_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    lloyd_iters: int,
+    dim: int | None,
+) -> DataFrame:
+    cents = seed_centroids(df, id_col, vec_col, k)
+    if lloyd_iters > 0:
+        if dim is None:
+            raise ValueError("lloyd_iters > 0 requires dim")
+        cents = lloyd_refine(df, cents, dim, lloyd_iters, id_col, vec_col)
+    return cents
+
+
+def _cell_pairs(
+    assign: DataFrame, vecs: DataFrame, tau: float
+) -> DataFrame:
+    """(id_a, id_b, cell_id, cosine >= tau), id_a < id_b, candidates
+    restricted to same-cell members — the SemDeDup bound."""
+    keyed = assign.join(vecs, "id").select("id", "cell_id", "v")
+    a = keyed.select(
+        F.col("id").alias("id_a"), "cell_id", F.col("v").alias("va")
+    )
+    b = keyed.select(
+        F.col("id").alias("id_b"), "cell_id", F.col("v").alias("vb")
+    )
+    return (
+        a.join(b, "cell_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "cell_id",
+            cosine_expr(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= tau)
+    )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 64,
+    tau: float = 0.95,
+    lloyd_iters: int = 0,
+    dim: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, cell_id, cosine) semantic-duplicate pairs at
+    cosine >= tau; see module docstring for the plan shape."""
+    if not 0.0 < tau <= 1.0:
+        raise ValueError("need 0 < tau <= 1")
+    cents = _resolve_centroids(df, id_col, vec_col, k, lloyd_iters, dim)
+    assign = assign_cells(df, cents, id_col, vec_col)
+    return _cell_pairs(assign, _clean(df, id_col, vec_col), tau)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 64,
+    tau: float = 0.95,
+    lloyd_iters: int = 0,
+    dim: int | None = None,
+    keep: str = "low",
+) -> DataFrame:
+    """Drop semantic duplicates: one representative per duplicate
+    component (connected components over the tau-pairs via the shared
+    min-label propagation). ``keep='low'`` retains the member with
+    the LOWEST cosine to its cell centroid (the paper's measured-best
+    rule — keeps the least redundant example), tie-broken by min id;
+    ``keep='min_id'`` is the pure-relational rule the lexical dedup
+    endpoints use. Rows in no pair pass through untouched; returns
+    ``df`` minus the dropped rows (never touches other columns)."""
+    if not 0.0 < tau <= 1.0:
+        raise ValueError("need 0 < tau <= 1")
+    if keep not in ("low", "min_id"):
+        raise ValueError(f"keep must be 'low' or 'min_id', got {keep!r}")
+    cents = _resolve_centroids(df, id_col, vec_col, k, lloyd_iters, dim)
+    assign = assign_cells(df, cents, id_col, vec_col)
+    pairs = _cell_pairs(assign, _clean(df, id_col, vec_col), tau)
+    comps = duplicate_clusters(pairs)  # (id, cluster_id = min id)
+    members = comps.join(assign.select("id", "cos_centroid"), "id")
+    if keep == "low":
+        keeper_key = F.struct(
+            F.col("cos_centroid").alias("c"), F.col("id").alias("i")
+        )
+    else:
+        keeper_key = F.struct(F.col("id").alias("c"), F.col("id").alias("i"))
+    keepers = members.groupBy("cluster_id").agg(
+        F.min_by("id", keeper_key).alias("_keep")
+    )
+    losers = (
+        members.join(keepers, "cluster_id")
+        .filter(F.col("id") != F.col("_keep"))
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")
