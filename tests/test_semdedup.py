@@ -130,6 +130,31 @@ def test_cell_sizes_audit(vecs):
     assert sum(r["n_members"] for r in sizes) == 6  # clean rows only
 
 
+def test_dim_pin_parity_and_width_exclusion(vecs, spark):
+    """dim= must not change values on a uniform-width corpus (it only
+    adds the width filter + enables Lloyd), and wrong-width vectors
+    must be excluded rather than NULL-poisoning the zip_with dot."""
+    hof = sorted(
+        (r["id_a"], r["id_b"], r["cell_id"], r["cosine"])
+        for r in SD.semantic_dedup_pairs(vecs, k=3, tau=0.99).collect()
+    )
+    flat = sorted(
+        (r["id_a"], r["id_b"], r["cell_id"], r["cosine"])
+        for r in SD.semantic_dedup_pairs(
+            vecs, k=3, tau=0.99, dim=4
+        ).collect()
+    )
+    assert hof == flat and flat
+    # a 3-wide stray is excluded on the dim=4 path, not a crash
+    mixed = vecs.union(
+        spark.createDataFrame(
+            [(99, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+    )
+    out = SD.semantic_dedup_pairs(mixed, k=3, tau=0.99, dim=4).collect()
+    assert all(99 not in (r["id_a"], r["id_b"]) for r in out)
+
+
 def test_seed_plan_is_distributed_topk(vecs):
     """The seed draw must compile to TakeOrderedAndProject (partial
     per-partition top-k) — a global single-partition sort over the
