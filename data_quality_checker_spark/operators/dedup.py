@@ -602,14 +602,19 @@ def duplicate_clusters(
 
     This is the dedup ENDPOINT the pair lists feed (keep one document
     per cluster); the reference never clusters — its pair loop stops at
-    pairs (nlp_analyzer.py:720-743). Distributed min-label propagation:
-    each iteration joins labels across the (symmetrized) edge list and
-    takes the per-node min — one shuffle per hop, converging in
-    O(component diameter) iterations (near-dup graphs are star-like, so
-    typically 2-4). Lineage is truncated per iteration with
-    localCheckpoint so the plan stays flat; iteration stops early when
-    a cheap changed-count aggregate hits zero. If a component's
-    diameter exceeds ``max_iter`` (chain-shaped duplicate graphs) the
+    pairs (nlp_analyzer.py:720-743). Distributed min-label propagation
+    WITH per-round pointer jumping: each iteration (a) joins labels
+    across the (symmetrized) edge list and takes the per-node min —
+    one hop — then (b) compresses paths by replacing each label with
+    its label's label (label(label(id))), which halves the remaining
+    depth. Hop alone converges in O(component diameter) rounds — fine
+    for star-like near-dup graphs (2-4), but CHAIN-shaped components
+    (semantic dedup over dense embedding clusters produced diameter
+    >20 live) would blow any fixed budget; hop+compress converges in
+    O(log diameter), so max_iter=20 covers diameters to ~2^20.
+    Lineage is truncated per iteration with localCheckpoint so the
+    plan stays flat; iteration stops early when a cheap changed-count
+    aggregate hits zero. If a component still hasn't converged the
     labels would be WRONG, so non-convergence raises rather than
     silently returning split clusters."""
     e = pairs.select(
@@ -639,12 +644,31 @@ def duplicate_clusters(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("_nl").alias("_nl"))
         )
+        hopped = labels.join(nbr, "id", "left").select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce("_nl", F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: label <- label(label). Labels are ids of
+        # in-component nodes, so the lookup stays within the
+        # component and only ever decreases toward its min; each
+        # compression halves the remaining chain depth (O(log
+        # diameter) rounds total instead of O(diameter)).
         new_labels = (
-            labels.join(nbr, "id", "left")
+            hopped.alias("x")
+            .join(
+                hopped.select(
+                    F.col("id").alias("label"),
+                    F.col("label").alias("_ll"),
+                ),
+                "label",
+                "left",
+            )
             .select(
                 "id",
                 F.least(
-                    F.col("label"), F.coalesce("_nl", F.col("label"))
+                    F.col("label"), F.coalesce("_ll", F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()

@@ -604,18 +604,20 @@ def test_pipeline_near_dedup_oph_config(spark):
     assert losers(True) == losers(False)
 
 
-def test_duplicate_clusters_raises_on_nonconvergence(spark):
-    """A chain of diameter > max_iter must fail loudly (wrong labels
-    would silently split the cluster otherwise)."""
+def test_duplicate_clusters_chain_convergence(spark):
+    """Pointer jumping gives O(log diameter) rounds: a 600-node chain
+    (diameter 599 — the shape that blew the old O(diameter) budget at
+    a live semantic-dedup run) must converge within the default
+    max_iter=20, and an impossible budget must still fail loudly
+    (wrong labels would silently split the cluster otherwise)."""
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+        [(i, i + 1) for i in range(599)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        D.duplicate_clusters(chain, max_iter=2)
-    # and converges fine when max_iter covers the diameter
+        D.duplicate_clusters(chain, max_iter=1)
     labs = {r["id"]: r["cluster_id"]
-            for r in D.duplicate_clusters(chain, max_iter=10).collect()}
-    assert set(labs.values()) == {0}
+            for r in D.duplicate_clusters(chain).collect()}
+    assert set(labs.values()) == {0} and len(labs) == 600
 
 
 def test_spelling_suggestions_symspell_join(spark):
