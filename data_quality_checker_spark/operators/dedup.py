@@ -82,6 +82,26 @@ def exact_duplicates(
     )
 
 
+class _CheckpointHandle:
+    """Release handle for localCheckpoint storage. DataFrame.unpersist
+    is a NO-OP on checkpoint RDDs (probed live), so superseded
+    checkpoints are freed by id through SparkContext's persistent-RDD
+    registry; duck-types unpersist() so release_cache treats it like
+    any cached dep. Freeing a checkpoint makes it UNRECOVERABLE (its
+    lineage was truncated away) — only release data that is never
+    read again."""
+
+    def __init__(self, sc, rdd_ids):
+        self._sc = sc
+        self._ids = tuple(rdd_ids)
+
+    def unpersist(self, blocking: bool = False) -> None:
+        jmap = self._sc._jsc.getPersistentRDDs()
+        for i in self._ids:
+            if jmap.containsKey(i):
+                jmap.get(i).unpersist(bool(blocking))
+
+
 def release_cache(df: DataFrame) -> None:
     """Unpersist the intermediate DataFrames an operator cached on
     behalf of a returned (lazy) result. Call after the result has been
@@ -612,10 +632,18 @@ def duplicate_clusters(
     (semantic dedup over dense embedding clusters produced diameter
     >20 live) would blow any fixed budget; hop+compress converges in
     O(log diameter), so max_iter=20 covers diameters to ~2^20.
-    Lineage is truncated per iteration with localCheckpoint so the
-    plan stays flat; iteration stops early when a cheap changed-count
-    aggregate hits zero. If a component still hasn't converged the
-    labels would be WRONG, so non-convergence raises rather than
+    Lineage MUST be truncated per round with localCheckpoint: the
+    compression step self-joins `hopped`, so an un-truncated logical
+    plan DOUBLES each round — a 599-chain fixture OOM'd the driver on
+    plan stringification alone when a persist-only variant was tried.
+    DataFrame.unpersist is a no-op on checkpoint storage, so each
+    SUPERSEDED round's checkpoint is freed by RDD id through the
+    persistent-RDD registry (_CheckpointHandle; a sustained run had
+    left 13 checkpoints resident). The RESULT keeps the final round's
+    checkpoint alive — call :func:`release_cache` on it once consumed
+    (the `_cached_deps` convention). Iteration stops early when the
+    changed count hits zero; if a component still hasn't converged
+    the labels would be WRONG, so non-convergence raises rather than
     silently returning split clusters."""
     e = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
@@ -628,12 +656,24 @@ def duplicate_clusters(
     # (the MinHash candidate+verify pipeline when called from
     # with_near_dup_verdict) — up to max_iter recomputations of the
     # most expensive stage
+    sc = pairs.sparkSession.sparkContext
+
+    def _pids() -> set:
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    # materialize the edge cache BEFORE the id snapshot so its cache
+    # RDD id never lands in a round's checkpoint id-set (freeing it
+    # mid-loop would silently re-execute the pairs DAG every hop)
+    edges.count()
+    snap = _pids()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    cur_ids = _pids() - snap
+    snap |= cur_ids
     changed = 0
     for _ in range(max_iter):
         nbr = (
@@ -679,10 +719,21 @@ def duplicate_clusters(
             .filter(F.col("_new") != F.col("label"))
             .count()
         )
+        # the eager checkpoint materialized new_labels and the changed
+        # count was the last reader of the superseded round — free its
+        # checkpoint storage now instead of leaking one per round
+        new_ids = _pids() - snap
+        snap |= new_ids
+        _CheckpointHandle(sc, cur_ids).unpersist()
+        cur_ids = new_ids
         labels = new_labels
         if changed == 0:
             break
+    # the final labels are checkpoint-materialized, so the edge cache
+    # is no longer needed by the result plan
+    edges.unpersist()
     if changed != 0:
+        _CheckpointHandle(sc, cur_ids).unpersist()
         raise RuntimeError(
             f"duplicate_clusters: label propagation did not converge "
             f"in max_iter={max_iter} hops ({changed} labels still "
@@ -690,7 +741,11 @@ def duplicate_clusters(
             f"max_iter; raise max_iter (labels would be wrong, so "
             f"this fails loudly instead of splitting clusters)"
         )
-    return labels.select("id", F.col("label").alias("cluster_id"))
+    out = labels.select("id", F.col("label").alias("cluster_id"))
+    # release_cache(out) frees the final round's checkpoint once the
+    # result is consumed (it is unrecoverable after that — by design)
+    out._cached_deps = (_CheckpointHandle(sc, cur_ids),)
+    return out
 
 
 def drop_near_duplicates(
@@ -707,7 +762,11 @@ def drop_near_duplicates(
     losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias(id_col)
     )
-    return df.join(losers, id_col, "left_anti")
+    out = df.join(losers, id_col, "left_anti")
+    # the anti-join reads the clustering's final label cache lazily —
+    # hand its release handle to the caller (release_cache(out))
+    out._cached_deps = getattr(clusters, "_cached_deps", ())
+    return out
 
 
 def dedup_lines_corpus(

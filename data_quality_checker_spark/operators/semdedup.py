@@ -39,11 +39,17 @@ __spark_entry__.q_semantic_dedup_pairs).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from data_quality_checker_spark.operators.dedup import duplicate_clusters
+
+_IMPLS = ("sql", "arrow")
 
 __all__ = [
     "seed_centroids",
@@ -75,6 +81,111 @@ def _dot_fold(a, b):
 
 def _norm(v):
     return F.sqrt(_dot_fold(v, v))
+
+
+def _id_type(df: DataFrame, id_col: str) -> str:
+    t = dict(df.dtypes).get(id_col)
+    if t is None:
+        raise ValueError(f"no column {id_col!r} in {df.columns}")
+    return t
+
+
+def _assign_cells_arrow(
+    base: DataFrame, centroids: DataFrame, id_type: str, dim: int
+) -> DataFrame:
+    """Arrow/numpy assignment: one BLAS matmul per batch against the
+    collected k x dim centroid matrix (driver-bounded by k, the same
+    contract as the IVF literal centers). ~100x the fold rate on the
+    O(n*k) stage — the SemDeDup paper's own operating mode (faiss
+    matmuls). Zero-norm vectors are dropped (no meaningful cosine);
+    FP differs from the relational fold only in summation order, so
+    argmax cells agree except on exact centroid ties."""
+    rows = centroids.select("cell_id", "centroid").collect()
+    cells = np.asarray([r["cell_id"] for r in rows], dtype=np.int64)
+    C = np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+    order = np.argsort(cells)  # ascending -> argmax first-hit = low cell
+    cells, C = cells[order], C[order]
+    cn = np.linalg.norm(C, axis=1)
+    good = cn > 0
+    cells, Cn = cells[good], C[good] / cn[good, None]
+    schema = f"id {id_type}, cell_id int, cos_centroid double"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+            )
+            vn = np.linalg.norm(V, axis=1)
+            ok = vn > 0
+            if not ok.any():
+                continue
+            S = (V[ok] / vn[ok, None]) @ Cn.T
+            j = S.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values[ok],
+                    "cell_id": cells[j].astype("int32"),
+                    "cos_centroid": S[np.arange(len(j)), j],
+                }
+            )
+
+    return base.mapInPandas(gen, schema)
+
+
+def _cell_pairs_arrow(
+    keyed: DataFrame,
+    tau: float,
+    id_type: str,
+    block: int = 1024,
+) -> DataFrame:
+    """Arrow/numpy within-cell pairs: applyInPandas per cell computes
+    the pairwise cosine matrix in row blocks (block x cell_size
+    doubles bounds peak memory — a 100k-member cell peaks ~800 MB per
+    block, which the cell_sizes() audit exists to catch earlier).
+    ids are sorted so the upper triangle gives id_a < id_b."""
+    schema = (
+        f"id_a {id_type}, id_b {id_type}, cell_id int, cosine double"
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].values
+        V = np.asarray(
+            [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+        )
+        vn = np.linalg.norm(V, axis=1)
+        ok = vn > 0
+        ids, Vn = ids[ok], V[ok] / vn[ok, None]
+        n = len(ids)
+        cell = int(pdf["cell_id"].iloc[0])
+        a_out, b_out, c_out = [], [], []
+        for s in range(0, n, block):
+            S = Vn[s : s + block] @ Vn.T
+            rows_idx = np.arange(s, s + S.shape[0])
+            upper = np.arange(n)[None, :] > rows_idx[:, None]
+            ra, cb = np.nonzero((S >= tau) & upper)
+            a_out.append(ids[rows_idx[ra]])
+            b_out.append(ids[cb])
+            c_out.append(S[ra, cb])
+        if a_out:
+            a = np.concatenate(a_out)
+            b = np.concatenate(b_out)
+            c = np.concatenate(c_out)
+        else:
+            a, b = ids[:0], ids[:0]
+            c = np.array([], dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "id_a": a,
+                "id_b": b,
+                "cell_id": np.full(len(a), cell, dtype=np.int32),
+                "cosine": c,
+            }
+        )
+
+    return keyed.groupBy("cell_id").applyInPandas(fn, schema)
 
 
 def _clean(
@@ -139,6 +250,7 @@ def assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    impl: str = "sql",
 ) -> DataFrame:
     """(id, cell_id, cos_centroid): each vector's argmax-cosine cell.
 
@@ -152,7 +264,20 @@ def assign_cells(
     200k x 256 stage at local[16]; see _dot_fold for why the fold,
     not a flat getItem chain, is the fast dot in this engine).
     ``dim`` optionally pins the vector width (mixed-width rows are
-    excluded, not NULLed)."""
+    excluded, not NULLed). ``impl='arrow'`` (requires ``dim``) routes
+    the n x k math through batched numpy matmuls instead — the scale
+    path; 'sql' stays the engine-portable oracle form."""
+    if impl not in _IMPLS:
+        raise ValueError(f"impl must be one of {_IMPLS}, got {impl!r}")
+    if impl == "arrow":
+        if dim is None:
+            raise ValueError("impl='arrow' requires dim")
+        return _assign_cells_arrow(
+            _clean(df, id_col, vec_col, dim),
+            centroids,
+            _id_type(df, id_col),
+            dim,
+        )
     base = _clean(df, id_col, vec_col, dim).withColumn(
         "_n", _norm(F.col("v"))
     )
@@ -260,12 +385,20 @@ def _cell_pairs(
     vecs: DataFrame,
     tau: float,
     dim: int | None = None,
+    impl: str = "sql",
+    id_type: str = "bigint",
 ) -> DataFrame:
     """(id_a, id_b, cell_id, cosine >= tau), id_a < id_b, candidates
     restricted to same-cell members — the SemDeDup bound. Each row's
     norm is computed ONCE in the keyed projection, so per-pair work
     inside the cell self-join is one dot fold + a divide (a naive
     cosine per pair costs three folds)."""
+    if impl == "arrow":
+        return _cell_pairs_arrow(
+            assign.join(vecs, "id").select("id", "cell_id", "v"),
+            tau,
+            id_type,
+        )
     keyed = (
         assign.join(vecs, "id")
         .select("id", "cell_id", "v")
@@ -304,16 +437,30 @@ def semantic_dedup_pairs(
     tau: float = 0.95,
     lloyd_iters: int = 0,
     dim: int | None = None,
+    impl: str = "sql",
 ) -> DataFrame:
     """(id_a, id_b, cell_id, cosine) semantic-duplicate pairs at
     cosine >= tau; see module docstring for the plan shape. ``dim``
     optionally pins the vector width (mixed-width rows excluded) and
-    is required for lloyd_iters > 0."""
+    is required for lloyd_iters > 0 and impl='arrow'. impl:
+    'sql' (default) = engine-portable relational math, the form the
+    DuckDB oracle twin pins; 'arrow' = batched numpy matmuls for the
+    assignment and within-cell pair stages — the scale path (the
+    dense-math stages dominate e2e wall at corpus size)."""
     if not 0.0 < tau <= 1.0:
         raise ValueError("need 0 < tau <= 1")
+    if impl not in _IMPLS:
+        raise ValueError(f"impl must be one of {_IMPLS}, got {impl!r}")
     cents = _resolve_centroids(df, id_col, vec_col, k, lloyd_iters, dim)
-    assign = assign_cells(df, cents, id_col, vec_col, dim)
-    return _cell_pairs(assign, _clean(df, id_col, vec_col, dim), tau, dim)
+    assign = assign_cells(df, cents, id_col, vec_col, dim, impl)
+    return _cell_pairs(
+        assign,
+        _clean(df, id_col, vec_col, dim),
+        tau,
+        dim,
+        impl,
+        _id_type(df, id_col),
+    )
 
 
 def semantic_dedup(
@@ -325,6 +472,7 @@ def semantic_dedup(
     lloyd_iters: int = 0,
     dim: int | None = None,
     keep: str = "low",
+    impl: str = "sql",
 ) -> DataFrame:
     """Drop semantic duplicates: one representative per duplicate
     component (connected components over the tau-pairs via the shared
@@ -333,14 +481,25 @@ def semantic_dedup(
     rule — keeps the least redundant example), tie-broken by min id;
     ``keep='min_id'`` is the pure-relational rule the lexical dedup
     endpoints use. Rows in no pair pass through untouched; returns
-    ``df`` minus the dropped rows (never touches other columns)."""
+    ``df`` minus the dropped rows (never touches other columns).
+    ``impl='arrow'`` (requires dim) = numpy-matmul dense stages, the
+    corpus-scale path; see semantic_dedup_pairs."""
     if not 0.0 < tau <= 1.0:
         raise ValueError("need 0 < tau <= 1")
     if keep not in ("low", "min_id"):
         raise ValueError(f"keep must be 'low' or 'min_id', got {keep!r}")
+    if impl not in _IMPLS:
+        raise ValueError(f"impl must be one of {_IMPLS}, got {impl!r}")
     cents = _resolve_centroids(df, id_col, vec_col, k, lloyd_iters, dim)
-    assign = assign_cells(df, cents, id_col, vec_col, dim)
-    pairs = _cell_pairs(assign, _clean(df, id_col, vec_col, dim), tau, dim)
+    assign = assign_cells(df, cents, id_col, vec_col, dim, impl)
+    pairs = _cell_pairs(
+        assign,
+        _clean(df, id_col, vec_col, dim),
+        tau,
+        dim,
+        impl,
+        _id_type(df, id_col),
+    )
     comps = duplicate_clusters(pairs)  # (id, cluster_id = min id)
     members = comps.join(assign.select("id", "cos_centroid"), "id")
     if keep == "low":
@@ -357,4 +516,8 @@ def semantic_dedup(
         .filter(F.col("id") != F.col("_keep"))
         .select(F.col("id").alias(id_col))
     )
-    return df.join(losers, id_col, "left_anti")
+    out = df.join(losers, id_col, "left_anti")
+    # clustering's final label cache feeds the anti-join lazily —
+    # release via dedup.release_cache(out) once consumed
+    out._cached_deps = getattr(comps, "_cached_deps", ())
+    return out

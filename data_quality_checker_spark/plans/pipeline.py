@@ -223,18 +223,20 @@ def with_near_dup_verdict(
         storage_path=storage_path,
         one_permutation=cfg.near_dedup_oph,
     )
-    losers = (
-        duplicate_clusters(pairs)
-        .filter(F.col("id") != F.col("cluster_id"))
-        .select(
-            F.col("id").alias("url"),
-            F.col("cluster_id").alias("near_dup_of"),
-        )
+    clusters = duplicate_clusters(pairs)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("url"),
+        F.col("cluster_id").alias("near_dup_of"),
     )
     out = scored.join(losers, "url", "left").withColumn(
         "keep_final", F.col("keep") & F.col("near_dup_of").isNull()
     )
+    # clustering ran eagerly above (its convergence counts execute at
+    # call time), so the pair-stage caches are already consumed; the
+    # final label cache is still read lazily by `out` — hand its
+    # release handle to the caller
     release_cache(pairs)
+    out._cached_deps = getattr(clusters, "_cached_deps", ())
     return out
 
 
@@ -465,10 +467,11 @@ def run_pipeline(
         bucket_id("url", cfg.num_buckets).isin(todo)
     )
     scored = score_pages(subset, cfg)
+    nd_handle = None
     if cfg.near_dedup:
         # parquet-materialized sketch tables under the run's own out_dir:
         # resumable, inspectable, and no cached RDDs outlive the run
-        scored = with_near_dup_verdict(
+        scored = nd_handle = with_near_dup_verdict(
             scored, cfg, storage_path=f"{out_dir}/near_dedup"
         )
     if decontam_eval is not None:
@@ -487,6 +490,15 @@ def run_pipeline(
             scored, PipelineModel.load(quality_model_path)
         )
     write_partitioned(scored, scored_path, "partition_id")
+    if nd_handle is not None:
+        # scored is parquet-materialized now; free the clustering's
+        # final label cache (the one cache with_near_dup_verdict must
+        # keep alive until its result is consumed)
+        from data_quality_checker_spark.operators.dedup import (
+            release_cache,
+        )
+
+        release_cache(nd_handle)
 
     # mergeSchema: resuming an out_dir with an opt-in stage TOGGLED
     # (c4/gopher/decontam) leaves scored files with and without the

@@ -604,6 +604,24 @@ def test_pipeline_near_dedup_oph_config(spark):
     assert losers(True) == losers(False)
 
 
+def test_duplicate_clusters_releases_all_storage(spark):
+    """Superseded per-round checkpoints are freed inside the loop and
+    release_cache frees the final one — a clustering call must leave
+    ZERO extra entries in executor storage (a sustained run once left
+    13 resident checkpoints)."""
+    sc = spark.sparkContext
+    before = len(sc._jsc.sc().getRDDStorageInfo())
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)] + [(100, 101), (200, 201)],
+        "id_a long, id_b long",
+    )
+    out = D.duplicate_clusters(pairs)
+    labs = {r["id"]: r["cluster_id"] for r in out.collect()}
+    assert labs[50] == 0 and labs[101] == 100 and labs[201] == 200
+    D.release_cache(out)
+    assert len(sc._jsc.sc().getRDDStorageInfo()) == before
+
+
 def test_duplicate_clusters_chain_convergence(spark):
     """Pointer jumping gives O(log diameter) rounds: a 600-node chain
     (diameter 599 — the shape that blew the old O(diameter) budget at

@@ -155,6 +155,44 @@ def test_dim_pin_parity_and_width_exclusion(vecs, spark):
     assert all(99 not in (r["id_a"], r["id_b"]) for r in out)
 
 
+def test_arrow_impl_parity(vecs):
+    """impl='arrow' (numpy matmul stages) must find the same pair set
+    as the relational default, with cosines equal to 6dp (summation
+    order differs), and the endpoint must keep the same survivors."""
+    sql_pairs = {
+        (r["id_a"], r["id_b"], r["cell_id"], round(r["cosine"], 6))
+        for r in SD.semantic_dedup_pairs(
+            vecs, k=3, tau=0.99, dim=4
+        ).collect()
+    }
+    ar_pairs = {
+        (r["id_a"], r["id_b"], r["cell_id"], round(r["cosine"], 6))
+        for r in SD.semantic_dedup_pairs(
+            vecs, k=3, tau=0.99, dim=4, impl="arrow"
+        ).collect()
+    }
+    assert sql_pairs == ar_pairs and ar_pairs
+    kept_sql = {
+        r["vec_id"]
+        for r in SD.semantic_dedup(vecs, k=3, tau=0.99, dim=4)
+        .select("vec_id")
+        .collect()
+    }
+    kept_ar = {
+        r["vec_id"]
+        for r in SD.semantic_dedup(
+            vecs, k=3, tau=0.99, dim=4, impl="arrow"
+        )
+        .select("vec_id")
+        .collect()
+    }
+    assert kept_sql == kept_ar
+    with pytest.raises(ValueError, match="requires dim"):
+        SD.semantic_dedup_pairs(vecs, k=2, tau=0.9, impl="arrow")
+    with pytest.raises(ValueError, match="impl must be"):
+        SD.semantic_dedup_pairs(vecs, k=2, tau=0.9, impl="numpy")
+
+
 def test_seed_plan_is_distributed_topk(vecs):
     """The seed draw must compile to TakeOrderedAndProject (partial
     per-partition top-k) — a global single-partition sort over the

@@ -15,7 +15,7 @@ Measures, per stage:
  - docs/s end-to-end.
 
 Prints one JSON line for BENCH.md's hand-written SemDeDup section.
-Usage: python tools/sustained_semdedup_bench.py [n_base] [k]
+Usage: python tools/sustained_semdedup_bench.py [n_base] [k] [impl]
 """
 
 from __future__ import annotations
@@ -39,6 +39,7 @@ DIM = 64
 def main() -> None:
     n_base = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    impl = sys.argv[3] if len(sys.argv) > 3 else "arrow"
     n_clones = n_base // 10
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     work = f"/tmp/dqc_semdedup_{n_base}"
@@ -68,7 +69,7 @@ def main() -> None:
 
     t0 = time.time()
     cents = SD.seed_centroids(corpus, k=k, dim=DIM)
-    assign = SD.assign_cells(corpus, cents, dim=DIM)
+    assign = SD.assign_cells(corpus, cents, dim=DIM, impl=impl)
     audit = (
         SD.cell_sizes(assign)
         .agg(
@@ -82,7 +83,7 @@ def main() -> None:
 
     t0 = time.time()
     pairs = SD.semantic_dedup_pairs(
-        corpus, k=k, tau=0.95, dim=DIM
+        corpus, k=k, tau=0.95, dim=DIM, impl=impl
     ).persist()
     n_pairs = pairs.count()
     t_pairs = time.time() - t0
@@ -95,13 +96,18 @@ def main() -> None:
     pairs.unpersist()
 
     t0 = time.time()
-    kept = SD.semantic_dedup(corpus, k=k, tau=0.95, dim=DIM).count()
+    from data_quality_checker_spark.operators.dedup import release_cache
+
+    deduped = SD.semantic_dedup(corpus, k=k, tau=0.95, dim=DIM, impl=impl)
+    kept = deduped.count()
+    release_cache(deduped)
     t_dedup = time.time() - t0
 
     print(
         json.dumps(
             {
                 "metric": "sustained_semdedup",
+                "impl": impl,
                 "n_vectors": n_total,
                 "n_planted_clones": n_clones,
                 "k_cells": int(audit["cells"]),
