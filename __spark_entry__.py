@@ -4046,12 +4046,16 @@ def q_semantic_dedup_pairs(spark, sf):
     whole plan a pure function of the rows, which the DuckDB twin
     reproduces relationally."""
     u = _semdedup_input(spark, sf)
-    out = SD.semantic_dedup_pairs(
+    pairs = SD.semantic_dedup_pairs(
         u, id_col="vec_id", vec_col="v", k=6, tau=0.95
     )
-    return out.select(
+    out = pairs.select(
         "id_a", "id_b", "cell_id", _r6(F.col("cosine")).alias("cosine")
     )
+    # select() strips the Python-side release handle; re-attach so
+    # the harness's release_cache frees the assignment cache
+    out._cached_deps = getattr(pairs, "_cached_deps", ())
+    return out
 
 
 SQL_SEMDEDUP_PLANT = """
@@ -4106,7 +4110,11 @@ def q_semantic_dedup_keep(spark, sf):
     kept = SD.semantic_dedup(
         u, id_col="vec_id", vec_col="v", k=6, tau=0.95, keep="low"
     )
-    return kept.select("vec_id")
+    out = kept.select("vec_id")
+    # select() strips the release handle (assignment cache + the
+    # clustering's final checkpoint); re-attach for the harness
+    out._cached_deps = getattr(kept, "_cached_deps", ())
+    return out
 
 
 SQL_SEMDEDUP_KEEP = (

@@ -658,22 +658,23 @@ def duplicate_clusters(
     # most expensive stage
     sc = pairs.sparkSession.sparkContext
 
-    def _pids() -> set:
-        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    def _ckpt_id(df: DataFrame) -> int:
+        # a localCheckpoint'ed DataFrame's analyzed plan IS the
+        # LogicalRDD leaf wrapping the registered checkpoint RDD —
+        # read its id EXACTLY rather than diffing the global
+        # persistent-RDD registry, which would capture (and later
+        # force-free) RDDs persisted concurrently by other threads
+        # on the same SparkContext. Metadata access only; no RDD
+        # compute path.
+        return df._jdf.queryExecution().analyzed().rdd().id()
 
-    # materialize the edge cache BEFORE the id snapshot so its cache
-    # RDD id never lands in a round's checkpoint id-set (freeing it
-    # mid-loop would silently re-execute the pairs DAG every hop)
-    edges.count()
-    snap = _pids()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
-    cur_ids = _pids() - snap
-    snap |= cur_ids
+    cur_ids = {_ckpt_id(labels)}
     changed = 0
     for _ in range(max_iter):
         nbr = (
@@ -722,10 +723,8 @@ def duplicate_clusters(
         # the eager checkpoint materialized new_labels and the changed
         # count was the last reader of the superseded round — free its
         # checkpoint storage now instead of leaking one per round
-        new_ids = _pids() - snap
-        snap |= new_ids
         _CheckpointHandle(sc, cur_ids).unpersist()
-        cur_ids = new_ids
+        cur_ids = {_ckpt_id(new_labels)}
         labels = new_labels
         if changed == 0:
             break

@@ -91,7 +91,7 @@ def _id_type(df: DataFrame, id_col: str) -> str:
 
 
 def _assign_cells_arrow(
-    base: DataFrame, centroids: DataFrame, id_type: str, dim: int
+    base: DataFrame, centroids: DataFrame, id_type: str
 ) -> DataFrame:
     """Arrow/numpy assignment: one BLAS matmul per batch against the
     collected k x dim centroid matrix (driver-bounded by k, the same
@@ -276,7 +276,6 @@ def assign_cells(
             _clean(df, id_col, vec_col, dim),
             centroids,
             _id_type(df, id_col),
-            dim,
         )
     base = _clean(df, id_col, vec_col, dim).withColumn(
         "_n", _norm(F.col("v"))
@@ -384,7 +383,6 @@ def _cell_pairs(
     assign: DataFrame,
     vecs: DataFrame,
     tau: float,
-    dim: int | None = None,
     impl: str = "sql",
     id_type: str = "bigint",
 ) -> DataFrame:
@@ -452,15 +450,19 @@ def semantic_dedup_pairs(
     if impl not in _IMPLS:
         raise ValueError(f"impl must be one of {_IMPLS}, got {impl!r}")
     cents = _resolve_centroids(df, id_col, vec_col, k, lloyd_iters, dim)
-    assign = assign_cells(df, cents, id_col, vec_col, dim, impl)
-    return _cell_pairs(
+    # persisted: the pair stage's a/b self-join would otherwise run
+    # the O(n*k) assignment subtree twice (Spark does not share
+    # common subplans). Travels on _cached_deps for release_cache.
+    assign = assign_cells(df, cents, id_col, vec_col, dim, impl).persist()
+    out = _cell_pairs(
         assign,
         _clean(df, id_col, vec_col, dim),
         tau,
-        dim,
         impl,
         _id_type(df, id_col),
     )
+    out._cached_deps = (assign,)
+    return out
 
 
 def semantic_dedup(
@@ -491,12 +493,15 @@ def semantic_dedup(
     if impl not in _IMPLS:
         raise ValueError(f"impl must be one of {_IMPLS}, got {impl!r}")
     cents = _resolve_centroids(df, id_col, vec_col, k, lloyd_iters, dim)
-    assign = assign_cells(df, cents, id_col, vec_col, dim, impl)
+    # persisted: the assignment subtree is consumed FOUR times here —
+    # the pair stage's a/b self-join, the members join, and (through
+    # members) the keepers aggregate; without the persist each
+    # consumer re-executes the O(n*k) broadcast/matmul stage
+    assign = assign_cells(df, cents, id_col, vec_col, dim, impl).persist()
     pairs = _cell_pairs(
         assign,
         _clean(df, id_col, vec_col, dim),
         tau,
-        dim,
         impl,
         _id_type(df, id_col),
     )
@@ -517,7 +522,10 @@ def semantic_dedup(
         .select(F.col("id").alias(id_col))
     )
     out = df.join(losers, id_col, "left_anti")
-    # clustering's final label cache feeds the anti-join lazily —
-    # release via dedup.release_cache(out) once consumed
-    out._cached_deps = getattr(comps, "_cached_deps", ())
+    # the assignment cache and the clustering's final label
+    # checkpoint both feed the anti-join lazily — release via
+    # dedup.release_cache(out) once consumed
+    out._cached_deps = (assign,) + tuple(
+        getattr(comps, "_cached_deps", ())
+    )
     return out

@@ -22,6 +22,8 @@ no rand(), no zipWithIndex, no window:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -177,13 +179,19 @@ def plan_mixture(
     loud instead of crashing or silently dropping it)."""
     if budget_tokens < 0:
         raise ValueError("need budget_tokens >= 0")
-    negative = {s: w for s, w in weights.items() if float(w) < 0}
-    if negative:
+    bad = {
+        s: w
+        for s, w in weights.items()
+        if not math.isfinite(float(w)) or float(w) < 0
+    }
+    if bad:
         # a negative weight would pass the sum check, flow through as
         # a negative fraction and silently starve that source at the
-        # hash-predicate clamp — exactly the quiet failure this
-        # planning step exists to surface
-        raise ValueError(f"weights must be >= 0, got {negative}")
+        # hash-predicate clamp; NaN passes BOTH checks (nan<0 and
+        # nan<=0 are False) and inf poisons the normalization — both
+        # would die later as an opaque int(nan). Surface malformed
+        # weights loudly, by name.
+        raise ValueError(f"weights must be finite and >= 0, got {bad}")
     total_w = float(sum(weights.values()))
     if total_w <= 0:
         raise ValueError("weights must sum to > 0")

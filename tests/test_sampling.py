@@ -145,9 +145,18 @@ def test_plan_mixture(spark):
     with pytest.raises(ValueError):
         plan_mixture(df, {}, budget_tokens=100)
     # a negative weight passes the sum check but would starve its
-    # source via a negative fraction -> must raise loudly
-    with pytest.raises(ValueError, match="weights must be >= 0"):
+    # source via a negative fraction; NaN/inf pass both checks and
+    # die later as an opaque int(nan) -> all must raise loudly
+    with pytest.raises(ValueError, match="finite and >= 0"):
         plan_mixture(df, {"web": -1.0, "books": 4.0}, budget_tokens=100)
+    with pytest.raises(ValueError, match="finite and >= 0"):
+        plan_mixture(
+            df, {"web": float("nan"), "books": 1.0}, budget_tokens=100
+        )
+    with pytest.raises(ValueError, match="finite and >= 0"):
+        plan_mixture(
+            df, {"web": float("inf"), "books": 1.0}, budget_tokens=100
+        )
 
 
 def test_plan_mixture_null_source(spark):

@@ -30,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from data_quality_checker_spark.operators import semdedup as SD
+from data_quality_checker_spark.operators.dedup import release_cache
 from data_quality_checker_spark.session import get_spark
 from sustained_ann_bench import synth_vectors
 
@@ -94,10 +95,9 @@ def main() -> None:
     ).count()
     recall = planted / n_clones
     pairs.unpersist()
+    release_cache(pairs)  # the operator's own assignment cache
 
     t0 = time.time()
-    from data_quality_checker_spark.operators.dedup import release_cache
-
     deduped = SD.semantic_dedup(corpus, k=k, tau=0.95, dim=DIM, impl=impl)
     kept = deduped.count()
     release_cache(deduped)
