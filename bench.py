@@ -50,9 +50,63 @@ def _bench_simhash(spark, sf_dir):
     return DD.near_duplicates_simhash(docs, max_hamming=8)
 
 
+def _vectors_parquet(spark, cache_root: str = "/tmp/dqc_bench") -> str:
+    """Cached 55k-vector clustered synthetic corpus (50k + 5k planted
+    clones) for the semantic-dedup headline — the sf fixtures carry
+    only 2k mutually-dissimilar embeddings, far below a meaningful
+    measurement. Deterministic hash synthesis, distributed generation,
+    cached so generation never pollutes timing (the _pages_parquet
+    convention)."""
+    from pyspark.sql import functions as F
+
+    n, dim, n_clones = 50_000, 64, 5_000
+    path = f"{cache_root}/vectors_n{n}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+
+        def h_unit(*cols):
+            return (
+                F.pmod(F.xxhash64(*cols), F.lit(2_000_000)).cast("double")
+                / 1_000_000.0
+                - 1.0
+            )
+
+        cl = F.pmod(F.xxhash64(F.col("id"), F.lit(42)), F.lit(256))
+        comps = [
+            h_unit(cl, F.lit(j), F.lit(43))
+            + F.lit(0.3) * h_unit(F.col("id"), F.lit(j), F.lit(44))
+            for j in range(dim)
+        ]
+        base = spark.range(n).select(
+            F.col("id").alias("vec_id"), F.array(*comps).alias("embedding")
+        )
+        clones = base.filter(F.col("vec_id") < n_clones).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x + F.lit(0.02) * x * x
+            ).alias("embedding"),
+        )
+        base.unionAll(clones).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def _bench_semdedup(spark, sf_dir):
+    """SemDeDup pair stage at 55k vectors, the arrow (numpy-matmul)
+    scale path — k=256 cells, tau=0.95; the sustained 550k evidence
+    lives in BENCH.md, this tracks round-over-round movement."""
+    from data_quality_checker_spark.operators import semdedup as SD
+
+    vecs = spark.read.parquet(_vectors_parquet(spark))
+    return SD.semantic_dedup_pairs(
+        vecs, k=256, tau=0.95, dim=64, impl="arrow"
+    )
+
+
 BENCH_OVERRIDES = {
     "minhash_neardups": _bench_minhash,
     "simhash_neardups": _bench_simhash,
+    "semantic_dedup_pairs": _bench_semdedup,
 }
 
 HEADLINE = [
@@ -87,6 +141,8 @@ HEADLINE = [
     # round-4 additions: published webtext cleaning stages
     "c4_clean",
     "gopher_signals",
+    # round-4 session-2 addition: semantic dedup (SemDeDup), arrow path
+    "semantic_dedup_pairs",
 ]
 
 
