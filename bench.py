@@ -54,30 +54,24 @@ def _vectors_parquet(spark, cache_root: str = "/tmp/dqc_bench") -> str:
     """Cached 55k-vector clustered synthetic corpus (50k + 5k planted
     clones) for the semantic-dedup headline — the sf fixtures carry
     only 2k mutually-dissimilar embeddings, far below a meaningful
-    measurement. Deterministic hash synthesis, distributed generation,
-    cached so generation never pollutes timing (the _pages_parquet
-    convention)."""
+    measurement. Reuses the SAME synthesis as the sustained benches
+    (tools/sustained_ann_bench.synth_vectors + the clone idiom from
+    tools/sustained_semdedup_bench) so the headline and the 550k
+    BENCH.md evidence measure the same geometry; cached keyed on every
+    shape parameter so a recipe change can never silently reuse a
+    stale corpus (the _pages_parquet convention)."""
     from pyspark.sql import functions as F
 
-    n, dim, n_clones = 50_000, 64, 5_000
-    path = f"{cache_root}/vectors_n{n}"
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    )
+    from sustained_ann_bench import synth_vectors
+
+    n, dim, n_clones, noise = 50_000, 64, 5_000, 0.3
+    path = f"{cache_root}/vectors_v2_n{n}_d{dim}_c{n_clones}"
     if not os.path.exists(f"{path}/_SUCCESS"):
-
-        def h_unit(*cols):
-            return (
-                F.pmod(F.xxhash64(*cols), F.lit(2_000_000)).cast("double")
-                / 1_000_000.0
-                - 1.0
-            )
-
-        cl = F.pmod(F.xxhash64(F.col("id"), F.lit(42)), F.lit(256))
-        comps = [
-            h_unit(cl, F.lit(j), F.lit(43))
-            + F.lit(0.3) * h_unit(F.col("id"), F.lit(j), F.lit(44))
-            for j in range(dim)
-        ]
-        base = spark.range(n).select(
-            F.col("id").alias("vec_id"), F.array(*comps).alias("embedding")
+        base = synth_vectors(spark, n, dim, noise=noise).withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
         )
         clones = base.filter(F.col("vec_id") < n_clones).select(
             (F.col("vec_id") + 1_000_000).alias("vec_id"),
@@ -199,6 +193,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     # tiny warmup so JVM/codegen startup isn't billed to the first query
     spark.range(1000).selectExpr("sum(id)").collect()
+    # generate the semantic-dedup vector corpus OUTSIDE the timed
+    # legs (the _pages_parquet convention — one-time generation must
+    # never pollute a query_legs entry)
+    _vectors_parquet(spark)
 
     # two INTERLEAVED legs (run the whole list, then run it again) and
     # keep the best per query: single-leg numbers ride ~±20% JVM/codegen

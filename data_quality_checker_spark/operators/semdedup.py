@@ -450,10 +450,15 @@ def semantic_dedup_pairs(
     if impl not in _IMPLS:
         raise ValueError(f"impl must be one of {_IMPLS}, got {impl!r}")
     cents = _resolve_centroids(df, id_col, vec_col, k, lloyd_iters, dim)
-    # persisted: the pair stage's a/b self-join would otherwise run
-    # the O(n*k) assignment subtree twice (Spark does not share
-    # common subplans). Travels on _cached_deps for release_cache.
-    assign = assign_cells(df, cents, id_col, vec_col, dim, impl).persist()
+    assign = assign_cells(df, cents, id_col, vec_col, dim, impl)
+    if impl == "sql":
+        # persisted: the sql pair stage's a/b self-join would
+        # otherwise run the O(n*k) assignment subtree twice (Spark
+        # does not share common subplans). The arrow pair stage
+        # consumes assign exactly ONCE (groupBy + applyInPandas), so
+        # persisting there is pure overhead. Travels on _cached_deps
+        # for release_cache.
+        assign = assign.persist()
     out = _cell_pairs(
         assign,
         _clean(df, id_col, vec_col, dim),
@@ -461,7 +466,7 @@ def semantic_dedup_pairs(
         impl,
         _id_type(df, id_col),
     )
-    out._cached_deps = (assign,)
+    out._cached_deps = (assign,) if impl == "sql" else ()
     return out
 
 
@@ -505,7 +510,15 @@ def semantic_dedup(
         impl,
         _id_type(df, id_col),
     )
-    comps = duplicate_clusters(pairs)  # (id, cluster_id = min id)
+    try:
+        comps = duplicate_clusters(pairs)  # (id, cluster_id = min id)
+    except Exception:
+        # clustering runs eagerly and has already materialized the
+        # assignment cache by the time it can raise (non-convergence,
+        # job failure) — without this the cache would outlive the
+        # exception for the rest of the session
+        assign.unpersist()
+        raise
     members = comps.join(assign.select("id", "cos_centroid"), "id")
     if keep == "low":
         keeper_key = F.struct(

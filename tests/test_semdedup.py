@@ -206,6 +206,31 @@ def test_seed_plan_is_distributed_topk(vecs):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_release_contract_frees_all_storage(vecs, spark):
+    """The operator family's documented release contract: consuming a
+    result then release_cache()-ing it must leave executor storage
+    exactly where it started, for both impls and both endpoints
+    (mirrors test_duplicate_clusters_releases_all_storage for the
+    lexical twin)."""
+    from data_quality_checker_spark.operators.dedup import release_cache
+
+    sc = spark.sparkContext
+    before = len(sc._jsc.sc().getRDDStorageInfo())
+    for impl in ("sql", "arrow"):
+        pairs = SD.semantic_dedup_pairs(
+            vecs, k=3, tau=0.99, dim=4, impl=impl
+        )
+        assert pairs.count() > 0
+        release_cache(pairs)
+        kept = SD.semantic_dedup(vecs, k=3, tau=0.99, dim=4, impl=impl)
+        assert kept.count() > 0
+        release_cache(kept)
+    # <=, not ==: the shared session's ContextCleaner may reclaim
+    # OTHER tests' dereferenced caches concurrently, shrinking the
+    # baseline mid-test; what this pins is that WE added nothing
+    assert len(sc._jsc.sc().getRDDStorageInfo()) <= before
+
+
 def test_validation_errors(vecs):
     with pytest.raises(ValueError, match="requires dim"):
         SD.semantic_dedup_pairs(vecs, k=2, tau=0.9, lloyd_iters=1)
