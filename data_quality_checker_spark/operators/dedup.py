@@ -690,7 +690,11 @@ def duplicate_clusters(
             F.least(
                 F.col("label"), F.coalesce("_nl", F.col("label"))
             ).alias("label"),
-        )
+        ).persist()
+        # persisted: the pointer-jumping compression below self-joins
+        # `hopped`, so without this each round executes the edges-join
+        # + min-agg hop TWICE; the eager localCheckpoint on new_labels
+        # is the last reader, so the cache is released same-round
         # pointer jumping: label <- label(label). Labels are ids of
         # in-component nodes, so the lookup stays within the
         # component and only ever decreases toward its min; each
@@ -714,6 +718,7 @@ def duplicate_clusters(
             )
             .localCheckpoint()
         )
+        hopped.unpersist()
         changed = (
             new_labels.withColumnRenamed("label", "_new")
             .join(labels, "id")

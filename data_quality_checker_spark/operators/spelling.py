@@ -152,7 +152,7 @@ def with_corrected_text(
     out_col: str = "text_corrected",
     broadcast: bool = True,
     strategy: str = "auto",
-    max_map_entries: int = 100_000,
+    max_map_entries: int = 10_000,
 ) -> DataFrame:
     """Opt-in APPLICATION of a suggestion table: adds ``out_col`` —
     the document's tokens rejoined with every suggested token replaced
@@ -184,7 +184,11 @@ def with_corrected_text(
       For suggestion sets too large to hold driver-side.
     - ``'auto'`` (default) — row-count guard: 'map' when the table
       holds at most ``max_map_entries`` rows, else 'join' (same
-      measure-then-choose discipline as contamination_report).
+      measure-then-choose discipline as contamination_report). The
+      default is 10k because the map literal materializes as
+      2x``max_map_entries`` Literal nodes in the analyzed plan — past
+      ~20k nodes, planning/codegen pressure outweighs the saved join
+      (raise it deliberately if your driver is sized for it).
 
     Precondition: ``id_col`` is unique (same contract as
     contamination_report)."""

@@ -45,6 +45,7 @@ def stride_sample_column(
     cap: int | None = None,
     seed: int = 42,
     oversample: float = 1.2,
+    key_col: str | None = None,
 ) -> list:
     """Bounded UNBIASED driver-side sample of one column — the shared
     primitive behind every sample-trained artifact (BPE merges, the
@@ -57,12 +58,32 @@ def stride_sample_column(
     upper tail (verified on a sorted N(50,5) column: Shapiro falsely
     rejects with W=0.964, p=0). The Bernoulli draw alone is unbiased;
     the stride keeps every partition proportionally represented when
-    the draw over-shoots. Nulls are excluded."""
+    the draw over-shoots. Nulls are excluded.
+
+    Determinism caveat: the default ``df.sample(seed=)`` draw is
+    retry-stable but PARTITION-LAYOUT-dependent (Spark seeds the RNG
+    per partitionIndex), so re-splitting the same input (different
+    file sizes, repartition, compaction) changes which rows are drawn
+    — and therefore the trained artifacts (BPE merges, POS perceptron,
+    Shapiro sample) built from them. When a stable unique key exists,
+    pass ``key_col`` to switch the draw to the repo's md5-threshold
+    predicate (hash_frac_predicate), which depends only on row VALUES:
+    same rows selected under any layout."""
     cap = target if cap is None else cap
-    src = df.select(col).filter(F.col(col).isNotNull())
+    src = df.select(
+        col, *([key_col] if key_col and key_col != col else [])
+    ).filter(F.col(col).isNotNull())
     total = src.count()
     frac = min(1.0, (target * oversample) / max(total, 1))
-    vals = [r[0] for r in src.sample(fraction=frac, seed=seed).collect()]
+    if key_col is not None:
+        drawn = src.filter(
+            hash_frac_predicate(
+                F.concat_ws("|", F.col(key_col), F.lit(str(seed))), frac
+            )
+        )
+    else:
+        drawn = src.sample(fraction=frac, seed=seed)
+    vals = [r[0] for r in drawn.select(col).collect()]
     if len(vals) > cap:
         step = len(vals) / cap
         vals = [vals[int(i * step)] for i in range(cap)]

@@ -367,7 +367,10 @@ def canonical_url(
     (training-data extension). Steps, in order:
 
     1. strip the fragment (``#...``)
-    2. lowercase ``scheme://authority`` (path/query keep their case)
+    2. lowercase the scheme and host (path/query keep their case, and
+       so does any ``user:pass@`` userinfo — credentials are
+       case-sensitive, so lowering them would collapse distinct urls;
+       the host is everything after the LAST ``@`` of the authority)
     3. strip the scheme's OWN default port only (``:80`` for http,
        ``:443`` for https — ``http://h:443`` is a distinct resource
        and survives); with ``strip_www``, strip
@@ -386,8 +389,16 @@ def canonical_url(
     nofrag = F.split(c, "#", 2).getItem(0)
     auth = F.regexp_extract(nofrag, f"({_SCHEME_AUTH_RE})", 1)
     rest = F.regexp_replace(nofrag, _SCHEME_AUTH_RE, "")
+    # lowercase scheme + host only; userinfo (user:pass@) keeps its
+    # case. Greedy `^.*@` splits at the LAST '@' ('@' can't occur in a
+    # host), so a percent-free '@' inside the password stays intact.
+    scheme = F.regexp_extract(auth, r"^([a-zA-Z][a-zA-Z0-9+.\-]*://)", 1)
+    rem = F.regexp_replace(auth, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", "")
+    userinfo = F.regexp_extract(rem, r"^(.*@)", 1)
+    hostport = F.regexp_replace(rem, r"^.*@", "")
+    auth_lc = F.concat(F.lower(scheme), userinfo, F.lower(hostport))
     auth2 = F.regexp_replace(
-        F.regexp_replace(F.lower(auth), r"^(http://.*):80$", "$1"),
+        F.regexp_replace(auth_lc, r"^(http://.*):80$", "$1"),
         r"^(https://.*):443$",
         "$1",
     )
@@ -435,7 +446,12 @@ def canonical_url_py(
     if not m:
         return url
     auth, rest = m.group(0), nofrag[m.end():]
-    auth = auth.lower()
+    # scheme + host lowercased, userinfo case preserved (last-@ split,
+    # same contract as the Catalyst form)
+    scheme_end = auth.index("://") + 3
+    scheme, rem = auth[:scheme_end], auth[scheme_end:]
+    at = rem.rfind("@")
+    auth = scheme.lower() + rem[: at + 1] + rem[at + 1 :].lower()
     auth = _re.sub(r"^(http://.*):80$", r"\1", auth)
     auth = _re.sub(r"^(https://.*):443$", r"\1", auth)
     if strip_www:

@@ -265,10 +265,16 @@ def shard_manifest(
     if fmt not in ("parquet", "jsonl"):
         raise ValueError(f"fmt must be 'parquet' or 'jsonl', got {fmt!r}")
     reader = spark.read
+    # recursiveFileLookup so nested/partitioned jsonl layouts are read
+    # (the byte listing below is recursive; a flat '{path}/*.gz' glob
+    # would silently drop nested shards from the manifest). pathGlobFilter
+    # keeps the scan to the data files jsonl exports write.
     df = (
         reader.parquet(path)
         if fmt == "parquet"
-        else reader.json(f"{path}/*.gz")
+        else reader.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.gz")
+        .json(path)
     )
     digest_src = (
         F.struct(*[F.col(c) for c in df.columns])

@@ -46,6 +46,30 @@ def test_duplicate_columns_found(spark):
     assert [(r["col_a"], r["col_b"]) for r in rows] == [("x", "y")]
 
 
+def test_column_value_duplicates(spark, ref_fixture):
+    """column_value_duplicates (dq_checker.py:727-740): values occurring
+    more than once, with counts; NULLs group like any value; unique
+    values and all-distinct columns yield nothing."""
+    got = {
+        r["value"]: r["dup_count"]
+        for r in Q.column_value_duplicates(ref_fixture, "B").collect()
+    }
+    assert got == {1: 2, 2: 3}
+    dd = {
+        r["value"]: r["dup_count"]
+        for r in Q.column_value_duplicates(ref_fixture, "D").collect()
+    }
+    assert dd == {"Low": 2, "High": 2}  # Medium (1x) excluded
+    # all-distinct column -> empty result
+    assert Q.column_value_duplicates(ref_fixture, "C").count() == 0
+    # NULLs count as a duplicated value when repeated
+    dfn = spark.createDataFrame(
+        [(None,), (None,), (7,)], "v long"
+    )
+    rows = Q.column_value_duplicates(dfn, "v").collect()
+    assert [(r["value"], r["dup_count"]) for r in rows] == [(None, 2)]
+
+
 def test_zscore_outliers_parity(spark, ref_fixture):
     # C = [1,200,300,400,500] has no |z|>3 outliers (test_checker.py:40-45)
     assert Q.outliers_zscore(ref_fixture, cols=["C"]).count() == 0
