@@ -92,12 +92,27 @@ class WordlistLangID:
         return best_lang
 
 
-def load_langid_model(path: str) -> WordlistLangID:
+def load_langid_model(path: str):
+    """Load a langid artifact, dispatching on its format string:
+    the wordlist stand-in (this module) or the trained char-n-gram
+    multinomial (plans/langid.py, dqs-langid-charngram-v1). Both
+    loaders return a non-picklable object with ``.predict(text)`` —
+    the only contract plans/udfs.langid_udf needs."""
     with gzip.open(path, "rt", encoding="utf-8") as fh:
         payload = json.load(fh)
-    if payload.get("format") != FORMAT:
-        raise ValueError(f"not a {FORMAT} artifact: {path}")
-    return WordlistLangID(payload["langs"], payload["weights"])
+    fmt = payload.get("format")
+    if fmt == FORMAT:
+        return WordlistLangID(payload["langs"], payload["weights"])
+    from data_quality_checker_spark.plans.langid import (
+        CHARNGRAM_FORMAT,
+        charngram_from_payload,
+    )
+
+    if fmt == CHARNGRAM_FORMAT:
+        return charngram_from_payload(payload, path)
+    raise ValueError(
+        f"not a {FORMAT} or {CHARNGRAM_FORMAT} artifact: {path}"
+    )
 
 
 def resolve_artifact(env_value: str) -> str | None:
