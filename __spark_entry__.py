@@ -1530,6 +1530,81 @@ left join cov using (doc_id)
 """
 
 
+def q_duplicate_spans_cdc(spark, sf):
+    """Content-anchored exact-substring duplication
+    (dedup.duplicate_spans anchor_mode='content' — winnowing/CDC
+    md5-threshold anchors, the crawl-scale mode that catches
+    duplicated spans at ANY offset; see the planted-offset probe in
+    tests/test_dedup_similarity.py for the recall numbers). Same
+    planted corpus as `duplicate_spans`; the DuckDB twin uses the
+    byte-identical md5-prefix anchor predicate."""
+    docs = _t(spark, sf, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.filter("doc_id % 4 = 0").select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" extra tail words appended here"),
+            ).alias("text"),
+        )
+    )
+    return DD.duplicate_spans(
+        corpus, window=12, stride=4, key_mode="text", anchor_mode="content"
+    ).select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_windows").cast("bigint").alias("n_windows"),
+        F.col("dup_windows").cast("bigint").alias("dup_windows"),
+        "dup_token_frac",
+    )
+
+
+_CDC_THRESH = format(int((2**52) / 4), "013x")
+
+SQL_DUPLICATE_SPANS_CDC = f"""
+with c as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 100000 as doc_id,
+         coalesce(text, '') || ' extra tail words appended here' as text
+  from documents where doc_id % 4 = 0),
+d as (select doc_id, {duck.toks('text')} tk from c where text is not null),
+b as (select doc_id, len(tk) n_tokens, tk from d where len(tk) >= 12),
+s as (select doc_id, n_tokens, i as pos,
+             array_to_string(tk[i+1:i+12], ' ') span
+      from b, unnest(generate_series(0, len(tk) - 12)) u(i)
+      where substr(md5(tk[i+1]), 1, 13) < '{_CDC_THRESH}'),
+dupk as (select span from s group by span having count(*) >= 2),
+f as (select s.doc_id, s.pos from s semi join dupk using (span)),
+o as (select doc_id, pos,
+        max(pos + 12) over (partition by doc_id order by pos
+          rows between unbounded preceding and 1 preceding) prev_end
+      from f),
+isl as (select doc_id, pos,
+        sum(case when prev_end is null or pos >= prev_end
+                 then 1 else 0 end)
+          over (partition by doc_id order by pos
+                rows unbounded preceding) island
+        from o),
+cov as (select doc_id, sum(mx + 12 - mn) cov from
+        (select doc_id, island, min(pos) mn, max(pos) mx
+         from isl group by doc_id, island)
+        group by doc_id),
+w as (select b.doc_id, max(b.n_tokens) n_tokens,
+             count(s.pos) n_windows
+      from b left join s using (doc_id) group by b.doc_id)
+select w.doc_id, w.n_tokens::bigint as n_tokens,
+       w.n_windows::bigint as n_windows,
+       coalesce(df.dw, 0)::bigint as dup_windows,
+       round(coalesce(cov.cov, 0) / w.n_tokens::double, 6)
+         as dup_token_frac
+from w
+left join (select doc_id, count(*) dw from f group by doc_id) df
+  using (doc_id)
+left join cov using (doc_id)
+"""
+
+
 def q_snapshot_diff(spark, sf):
     """Crawl-snapshot diff (joins.snapshot_diff — training-data
     extension): old = the full documents table; new = the table minus
@@ -4411,6 +4486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix_report": q_corpus_mix_report,
         "snapshot_diff": q_snapshot_diff,
         "duplicate_spans": q_duplicate_spans,
+        "duplicate_spans_cdc": q_duplicate_spans_cdc,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
         "host_keep_rates": q_host_keep_rates,
@@ -4532,6 +4608,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mix_report": SQL_CORPUS_MIX,
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "duplicate_spans": SQL_DUPLICATE_SPANS,
+        "duplicate_spans_cdc": SQL_DUPLICATE_SPANS_CDC,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "host_keep_rates": SQL_HOST_KEEP_RATES,

