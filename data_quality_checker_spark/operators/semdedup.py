@@ -90,16 +90,33 @@ def _id_type(df: DataFrame, id_col: str) -> str:
     return t
 
 
+# centroid-block budget for the arrow assignment: peak score-matrix
+# memory per worker = _SCORE_DOUBLES * 8 bytes (64 MB), independent
+# of k — the guard VERDICT r04 item 6 asked for
+_SCORE_DOUBLES = 8_000_000
+
+
 def _assign_cells_arrow(
     base: DataFrame, centroids: DataFrame, id_type: str
 ) -> DataFrame:
-    """Arrow/numpy assignment: one BLAS matmul per batch against the
+    """Arrow/numpy assignment: BLAS matmuls per batch against the
     collected k x dim centroid matrix (driver-bounded by k, the same
     contract as the IVF literal centers). ~100x the fold rate on the
     O(n*k) stage — the SemDeDup paper's own operating mode (faiss
     matmuls). Zero-norm vectors are dropped (no meaningful cosine);
     FP differs from the relational fold only in summation order, so
-    argmax cells agree except on exact centroid ties."""
+    argmax cells agree except on exact centroid ties.
+
+    Memory bound at the paper's k=10^4-10^5 regime: a single
+    batch x k score matrix is batch*k*8 bytes (an Arrow batch of 10k
+    rows at k=10^5 would be 8 GB), so centroids are processed in
+    BLOCKS with a running per-row max — peak score memory is capped
+    at ~_SCORE_DOUBLES doubles (64 MB) per worker regardless of k,
+    outputs identical (strict > keeps the first block hit = lowest
+    cell_id, the same tie-break as single-matmul argmax). The k x dim
+    centroid matrix itself stays whole (k=10^5 x 64d = 51 MB — fine);
+    the relational 'sql' path is O(k) expression terms PER ROW and is
+    the wrong tool past k~10^3 (documented crossover in BENCH.md)."""
     rows = centroids.select("cell_id", "centroid").collect()
     cells = np.asarray([r["cell_id"] for r in rows], dtype=np.int64)
     C = np.asarray([r["centroid"] for r in rows], dtype=np.float64)
@@ -109,6 +126,10 @@ def _assign_cells_arrow(
     good = cn > 0
     cells, Cn = cells[good], C[good] / cn[good, None]
     schema = f"id {id_type}, cell_id int, cos_centroid double"
+    # bind the budget DRIVER-side into the closure: workers re-import
+    # this module, so a bare global read inside gen would see the
+    # unpatched default and silently skip chunking under test
+    score_doubles = _SCORE_DOUBLES
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -121,13 +142,24 @@ def _assign_cells_arrow(
             ok = vn > 0
             if not ok.any():
                 continue
-            S = (V[ok] / vn[ok, None]) @ Cn.T
-            j = S.argmax(axis=1)
+            Vn = V[ok] / vn[ok, None]
+            nrows = len(Vn)
+            cblock = max(1, score_doubles // nrows)
+            best = np.full(nrows, -np.inf)
+            bestj = np.zeros(nrows, dtype=np.int64)
+            rng = np.arange(nrows)
+            for s in range(0, len(Cn), cblock):
+                S = Vn @ Cn[s : s + cblock].T
+                j = S.argmax(axis=1)
+                m = S[rng, j]
+                upd = m > best  # strict: first block hit wins ties
+                best[upd] = m[upd]
+                bestj[upd] = j[upd] + s
             yield pd.DataFrame(
                 {
                     "id": pdf["id"].values[ok],
-                    "cell_id": cells[j].astype("int32"),
-                    "cos_centroid": S[np.arange(len(j)), j],
+                    "cell_id": cells[bestj].astype("int32"),
+                    "cos_centroid": best,
                 }
             )
 

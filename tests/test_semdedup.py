@@ -240,3 +240,31 @@ def test_validation_errors(vecs):
         SD.semantic_dedup(vecs, k=2, tau=0.9, keep="high")
     with pytest.raises(ValueError, match="k >= 1"):
         SD.seed_centroids(vecs, k=0)
+
+
+def test_arrow_assignment_centroid_block_chunking(vecs, monkeypatch):
+    """The k-scaling guard (VERDICT r04 item 6): with the score-matrix
+    budget forced to a single double, every centroid is its own block
+    and the running-max loop must still produce exactly the
+    single-matmul assignment (same cells, same cosines, same lowest-
+    cell tie-break)."""
+    full = {
+        (r["id"], r["cell_id"], round(r["cos_centroid"], 9))
+        for r in SD.assign_cells(
+            vecs,
+            SD.seed_centroids(vecs, k=3, dim=4),
+            dim=4,
+            impl="arrow",
+        ).collect()
+    }
+    monkeypatch.setattr(SD, "_SCORE_DOUBLES", 1)
+    chunked = {
+        (r["id"], r["cell_id"], round(r["cos_centroid"], 9))
+        for r in SD.assign_cells(
+            vecs,
+            SD.seed_centroids(vecs, k=3, dim=4),
+            dim=4,
+            impl="arrow",
+        ).collect()
+    }
+    assert full == chunked and len(full) > 0
