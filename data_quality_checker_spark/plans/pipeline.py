@@ -52,6 +52,18 @@ class PipelineConfig:
     # "sql" = pure-Catalyst heuristic langid; "udf" = pandas-UDF path
     # (fastText-ready). Both produce the same labels in this sandbox.
     langid_impl: str = "sql"
+    # trained langid artifact (plans/langid char-ngram multinomial, or
+    # a fastText binary on a real cluster): when set, langid_impl
+    # "udf" routes through langid_conf_udf and the scored frame gains
+    # lang_detected + lang_confidence (calibrated P(correct)); the
+    # lang rule re-fires on the model's label. The north rule's
+    # "fastText language-ID scored inside vectorized pandas/Arrow
+    # UDFs", end to end.
+    langid_model_path: str | None = None
+    # drop docs whose model label is allowed but whose calibrated
+    # confidence is below this (CCNet-style low-confidence reject);
+    # 0.0 = off. Ignored when the artifact carries no confidence.
+    langid_min_confidence: float = 0.0
     with_perplexity: bool = False
     # optional MinHash near-dup stage over kept docs (run_pipeline /
     # with_near_dup_verdict; NOT part of the lazy score_pages DAG —
@@ -143,13 +155,39 @@ def score_pages(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
         out = out.withColumn("text", F.col("text_c4")).drop("text_c4")
     out = with_rule_flags(out, cfg.rules)
     if cfg.langid_impl == "udf":
-        out = out.withColumn("lang_detected", langid_udf("text"))
+        if cfg.langid_model_path:
+            from data_quality_checker_spark.plans.udfs import (
+                langid_conf_udf,
+            )
+
+            out = out.withColumn(
+                "_lid", langid_conf_udf("text", cfg.langid_model_path)
+            )
+            out = (
+                out.withColumn("lang_detected", F.col("_lid.lang"))
+                .withColumn("lang_confidence", F.col("_lid.confidence"))
+                .drop("_lid")
+            )
+        else:
+            out = out.withColumn("lang_detected", langid_udf("text"))
         # keep verdict consistent with the UDF label
-        out = out.withColumn(
-            f"{RULE_PREFIX}lang",
-            F.col("text").isNotNull()
-            & ~F.col("lang_detected").isin(*cfg.rules.allowed_langs),
-        )
+        lang_fires = F.col("text").isNotNull() & ~F.col(
+            "lang_detected"
+        ).isin(*cfg.rules.allowed_langs)
+        if cfg.langid_model_path and cfg.langid_min_confidence > 0:
+            # low-confidence reject: fires only when the artifact
+            # actually carries confidence (NULL comparison -> false)
+            # coalesce: NULL confidence (wordlist artifact) must make
+            # this disjunct FALSE, not poison the rule flag to NULL
+            lang_fires = lang_fires | (
+                F.col("text").isNotNull()
+                & F.coalesce(
+                    F.col("lang_confidence")
+                    < F.lit(cfg.langid_min_confidence),
+                    F.lit(False),
+                )
+            )
+        out = out.withColumn(f"{RULE_PREFIX}lang", lang_fires)
     if cfg.with_perplexity:
         out = out.withColumn("perplexity", perplexity_udf("text"))
     if cfg.gopher_quality:

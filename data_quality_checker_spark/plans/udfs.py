@@ -158,6 +158,69 @@ def langid_udf(col, model_path: str | None = None):
     return _UDF_CACHE[cache_key](col)
 
 
+def langid_conf_udf(col, model_path: str | None = None):
+    """Iterator pandas UDF returning struct<lang string, confidence
+    double> — the trained-artifact path with CALIBRATED confidence
+    (plans/langid.CharNgramLangID.predict_with_confidence). Same
+    addFile/SparkFiles distribution and once-per-worker load as
+    langid_udf. A wordlist artifact (no confidence semantics) or the
+    heuristic fallback yields confidence NULL — downstream thresholds
+    then no-op instead of silently passing/failing everything."""
+    wl_path = model_path or os.environ.get("SPARK_DQC_LANGID_MODEL")
+    cache_key = ("langid_conf", wl_path)
+    if cache_key not in _UDF_CACHE:
+
+        @pandas_udf("struct<lang: string, confidence: double>")
+        def _langid_conf(
+            batches: Iterator[pd.Series],
+        ) -> Iterator[pd.DataFrame]:
+            predict_conf = None
+            if wl_path:
+                from data_quality_checker_spark.plans import models
+
+                local = models.resolve_artifact(wl_path)
+                if local:
+                    # distinct cache key: langid_udf caches the bound
+                    # .predict under ("langid", local) in the same
+                    # worker — colliding would hand one UDF the wrong
+                    # object type
+                    m = _worker_cached(
+                        ("langid_model", local),
+                        lambda: models.load_langid_model(local),
+                    )
+                    pwc = getattr(m, "predict_with_confidence", None)
+                    if pwc is not None:
+                        predict_conf = pwc
+                    else:  # wordlist artifact: label only
+                        predict_conf = lambda t: (m.predict(t), None)  # noqa: E731
+            for batch in batches:
+                if predict_conf is not None:
+                    rows = [
+                        predict_conf(t)
+                        if isinstance(t, str)
+                        else ("und", 0.0)
+                        for t in batch
+                    ]
+                else:
+                    rows = [
+                        (detect_lang_python(t), None)
+                        if isinstance(t, str)
+                        else ("und", 0.0)
+                        for t in batch
+                    ]
+                # struct return type: the iterator must yield
+                # DataFrames (one column per struct field), not Series
+                yield pd.DataFrame(
+                    {
+                        "lang": [lg for lg, _ in rows],
+                        "confidence": [cf for _, cf in rows],
+                    }
+                )
+
+        _UDF_CACHE[cache_key] = _langid_conf
+    return _UDF_CACHE[cache_key](col)
+
+
 def perplexity_udf(col, model_path: str | None = None):
     """Iterator pandas UDF. With ``model_path`` (or
     $SPARK_DQC_TRIGRAM_LM), a trained trigram LM artifact

@@ -123,3 +123,55 @@ def run_stream_decontam_available_now(
         # a failed micro-batch must not leak the persisted eval table
         # into the (long-lived) session
         ev.unpersist()
+
+
+def run_stream_with_near_dedup_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    cfg: PipelineConfig | None = None,
+    max_files_per_trigger: int = 8,
+    storage_path: str | None = None,
+) -> str:
+    """Streaming ingest + scoring (exactly-once availableNow), then
+    the corpus-level near-dedup stage as a BATCH post-pass over the
+    streamed sink, final output at ``{output_dir}/final``.
+
+    Why a post-pass and not foreachBatch state: MinHash-LSH candidate
+    generation is corpus-GLOBAL — a per-micro-batch form would only
+    pair documents that share a batch, and a cross-batch signature
+    store would make each verdict depend on arrival order (a replayed
+    batch after checkpoint recovery could flip winners). Scoring
+    streams incrementally; the near-dedup compaction runs over the
+    complete scored snapshot, exactly like the latest-capture url
+    dedup this module already delegates downstream. Batch parity is
+    therefore EXACT by construction — pinned by
+    tests/test_streaming.py and measured at v2-corpus scale in
+    BENCH.md's Streaming section.
+
+    Restart semantics: the scoring stream resumes from
+    ``checkpoint_dir`` exactly-once; the post-pass is a deterministic
+    pure function of the scored snapshot and overwrite-idempotent.
+    """
+    from data_quality_checker_spark.operators.dedup import release_cache
+    from data_quality_checker_spark.plans.pipeline import (
+        with_near_dup_verdict,
+    )
+
+    cfg = cfg or PipelineConfig(dedup_latest_capture=False)
+    scored_dir = f"{output_dir}/scored"
+    final_dir = f"{output_dir}/final"
+    run_stream_available_now(
+        spark,
+        input_dir,
+        scored_dir,
+        checkpoint_dir,
+        cfg,
+        max_files_per_trigger,
+    )
+    scored = spark.read.parquet(scored_dir)
+    out = with_near_dup_verdict(scored, cfg, storage_path=storage_path)
+    out.write.mode("overwrite").parquet(final_dir)
+    release_cache(out)
+    return final_dir

@@ -214,3 +214,73 @@ def test_artifact_payload_deterministic(spark, tmp_path, artifact):
     a = json.load(gzip.open(artifact, "rt"))
     b = json.load(gzip.open(p2, "rt"))
     assert a == b
+
+
+def test_pipeline_with_trained_langid_artifact(spark, artifact, model):
+    """End-to-end north-rule shape: the trained artifact scores inside
+    the vectorized UDF within score_pages. lang_detected matches the
+    driver-side model exactly, the lang rule re-fires on the model's
+    label, and the calibrated-confidence reject knob demotes
+    low-confidence docs without poisoning rule flags to NULL."""
+    import datetime as dt
+
+    from data_quality_checker_spark.plans.pipeline import (
+        PipelineConfig,
+        score_pages,
+    )
+
+    spark.sparkContext.addFile(artifact)
+    en = "the people would make time for this year and day with them"
+    es = "el tiempo es bueno para todo el mundo entre años y días"
+    ambiguous = "the el le der og und la de"
+    gib = "zqx vprw qqj zzk xq"
+    ts = dt.datetime(2024, 3, 1)
+    rows = [
+        (f"https://h.ex/{i}", ts, b"<html/>", t, "en")
+        for i, t in enumerate((en, es, ambiguous, gib))
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    cfg = PipelineConfig(
+        dedup_latest_capture=False,
+        langid_impl="udf",
+        langid_model_path=artifact,
+    )
+    got = {
+        r["url"]: r
+        for r in score_pages(pages, cfg)
+        .select("url", "text", "lang_detected", "lang_confidence", "rule_lang")
+        .collect()
+    }
+    for u, r in got.items():
+        want_lang, want_conf = model.predict_with_confidence(r["text"])
+        assert r["lang_detected"] == want_lang, (u, r)
+        assert r["lang_confidence"] == pytest.approx(want_conf), u
+        assert r["rule_lang"] is not None  # never NULL
+        assert r["rule_lang"] == (want_lang != "en"), (u, want_lang)
+    assert got["https://h.ex/0"]["lang_detected"] == "en"
+    assert got["https://h.ex/1"]["lang_detected"] == "es"
+    assert got["https://h.ex/3"]["lang_detected"] == "und"
+
+    # confidence reject: a threshold above the ambiguous doc's
+    # calibrated confidence fires its lang rule; clear English with
+    # top-bin confidence survives
+    amb_conf = got["https://h.ex/2"]["lang_confidence"]
+    en_conf = got["https://h.ex/0"]["lang_confidence"]
+    if got["https://h.ex/2"]["lang_detected"] == "en" and amb_conf < en_conf:
+        thresh = (amb_conf + en_conf) / 2
+        cfg2 = PipelineConfig(
+            dedup_latest_capture=False,
+            langid_impl="udf",
+            langid_model_path=artifact,
+            langid_min_confidence=thresh,
+        )
+        got2 = {
+            r["url"]: r["rule_lang"]
+            for r in score_pages(pages, cfg2)
+            .select("url", "rule_lang")
+            .collect()
+        }
+        assert got2["https://h.ex/2"] is True
+        assert got2["https://h.ex/0"] is False

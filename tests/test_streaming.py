@@ -187,3 +187,68 @@ def test_stream_decontam_matches_batch(spark, tmp_path_factory):
     }
     assert s == b
     assert sum(s.values()) >= 1
+
+
+def test_stream_near_dedup_matches_batch(spark, tmp_path_factory):
+    """Streaming + near-dedup (VERDICT r04 item 8): availableNow
+    scoring followed by the corpus-global MinHash near-dedup post-pass
+    must equal the batch score_pages + with_near_dup_verdict
+    composition exactly — including which cluster member wins — and
+    must actually demote planted near-duplicates."""
+    from data_quality_checker_spark.operators.dedup import release_cache
+    from data_quality_checker_spark.plans.pipeline import (
+        with_near_dup_verdict,
+    )
+    from data_quality_checker_spark.streaming.stream import (
+        run_stream_with_near_dedup_available_now,
+    )
+
+    in_dir = str(tmp_path_factory.mktemp("nd_in"))
+    out_dir = str(tmp_path_factory.mktemp("nd_out"))
+    ckpt = str(tmp_path_factory.mktemp("nd_ckpt"))
+
+    pages = synth.pages_df(spark, 300, seed=13)
+    # plant unmistakable near-dups: copies of kept docs under new urls
+    # with one appended token (Jaccard >> threshold)
+    clones = (
+        pages.filter("text is not null and length(text) > 200")
+        .limit(20)
+        .select(
+            F.concat(F.lit("https://clone.example/"), F.md5("url")).alias(
+                "url"
+            ),
+            "warc_ts",
+            "html",
+            F.concat("text", F.lit(" tail")).alias("text"),
+            "lang",
+        )
+    )
+    pages.unionByName(clones).write.mode("overwrite").parquet(in_dir)
+
+    cfg = PipelineConfig(dedup_latest_capture=False, near_dedup=True)
+    final_dir = run_stream_with_near_dedup_available_now(
+        spark, in_dir, out_dir, ckpt, cfg
+    )
+    got = spark.read.parquet(final_dir)
+
+    expect = with_near_dup_verdict(
+        score_pages(spark.read.parquet(in_dir), cfg), cfg
+    )
+
+    def nd_checksum(df):
+        return df.select(
+            F.sum(
+                F.xxhash64(
+                    "url",
+                    "keep_final",
+                    F.coalesce("near_dup_of", F.lit("")),
+                ).cast("decimal(38,0)")
+            )
+        ).collect()[0][0]
+
+    assert got.count() == expect.count()
+    assert nd_checksum(got) == nd_checksum(expect)
+    # the stage did real work: some keep docs were demoted
+    demoted = got.filter("keep and not keep_final").count()
+    assert demoted >= 10
+    release_cache(expect)
