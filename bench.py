@@ -97,10 +97,37 @@ def _bench_semdedup(spark, sf_dir):
     )
 
 
+def _bench_spans_cdc(spark, sf_dir):
+    """Content-anchored exact-substring dedup, PRODUCTION shape
+    (xxhash64 8-byte window keys — the oracle twin uses key_mode='text'
+    for engine portability; the bench tracks the shuffle-lean form) on
+    the same planted near-copy corpus as the oracle query."""
+    from pyspark.sql import functions as F
+
+    from data_quality_checker_spark.operators import dedup as DD
+    from data_quality_checker_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.filter("doc_id % 4 = 0").select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" extra tail words appended here"),
+            ).alias("text"),
+        )
+    )
+    return DD.duplicate_spans(
+        corpus, window=12, stride=4, key_mode="xxhash64",
+        anchor_mode="content",
+    )
+
+
 BENCH_OVERRIDES = {
     "minhash_neardups": _bench_minhash,
     "simhash_neardups": _bench_simhash,
     "semantic_dedup_pairs": _bench_semdedup,
+    "duplicate_spans_cdc": _bench_spans_cdc,
 }
 
 HEADLINE = [
@@ -137,6 +164,8 @@ HEADLINE = [
     "gopher_signals",
     # round-4 session-2 addition: semantic dedup (SemDeDup), arrow path
     "semantic_dedup_pairs",
+    # round-5 addition: content-anchored exact-substring dedup (CDC)
+    "duplicate_spans_cdc",
 ]
 
 
