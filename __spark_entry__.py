@@ -2288,6 +2288,117 @@ def q_minhash_lsh_portable(spark, sf):
     )
 
 
+def q_minhash_index_query(spark, sf):
+    """Incremental index-backed dedup (operators/minhash_index.py):
+    build a persistent MinHash index over the OLD corpus (doc_id <
+    150), then query a NEW batch (fresh docs 150-199 + tail-appended
+    clones of every old doc_id % 3 == 0 + one exact clone of doc 7)
+    against it — cross pairs AND the batch's internal pairs, exact
+    Jaccard verified. md5 hash family so the ENTIRE path (sketch,
+    banding, candidate join, verify) has a value-level DuckDB twin;
+    production uses the xxhash64 family, pinned against the batch
+    operator by tests/test_minhash_index.py's cross-parity gate.
+    Reference ancestor nlp_analyzer.py:720-743 (_find_text_pairs) —
+    the reference has no incremental surface; this is the rolling-
+    crawl workflow where only the new batch is ever re-sketched."""
+    import hashlib
+
+    from data_quality_checker_spark.operators import minhash_index as MI
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    old = docs.filter("doc_id < 150")
+    new = (
+        docs.filter("doc_id >= 150 and doc_id < 200")
+        .unionByName(
+            old.filter("doc_id % 3 = 0").select(
+                (F.col("doc_id") + 10_000).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" tail marker tokens appended")
+                ).alias("text"),
+            )
+        )
+        .unionByName(
+            old.filter("doc_id = 7").select(
+                (F.col("doc_id") + 20_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    path = (
+        "/tmp/dqc_oracle_minhash_index/"
+        + hashlib.md5(sf.encode()).hexdigest()[:12]
+    )
+    MI.build_minhash_index(
+        old, path, num_hashes=8, num_bands=4,
+        shingle_mode="text", hash_family="md5",
+    )
+    res = MI.query_minhash_index(
+        new, path, threshold=0.6, include_within_batch=True,
+        broadcast=True, persist=False,
+    )
+    return res.select(
+        "id_index",
+        "id_new",
+        _r6(F.col("jaccard")).alias("jaccard"),
+        "pair_type",
+    )
+
+
+def _sql_minhash_index_query() -> str:
+    comps = ",\n  ".join(
+        f"list_min(list_transform(sg, s -> md5('{j}|' || s)))"
+        for j in range(8)
+    )
+    bands = ",\n  ".join(
+        f"'b{b}:' || md5(s[{2 * b + 1}] || ',' || s[{2 * b + 2}])"
+        for b in range(4)
+    )
+    return f"""
+with base as (
+  select doc_id, 'i' side, text from documents
+   where doc_id < 150 and text is not null
+  union all
+  select doc_id, 'n', text from documents
+   where doc_id >= 150 and doc_id < 200 and text is not null
+  union all
+  select doc_id + 10000, 'n', text || ' tail marker tokens appended'
+    from documents
+   where doc_id < 150 and doc_id % 3 = 0 and text is not null
+  union all
+  select doc_id + 20000, 'n', text from documents
+   where doc_id = 7 and text is not null
+),
+t as (select doc_id, side, {duck.toks('text')} tk from base),
+g as (select doc_id, side,
+  list_transform(generate_series(1, len(tk) - 2),
+    i -> array_to_string(tk[i:i+2], ' ')) sg
+  from t where len(tk) >= 3),
+sig as (select doc_id, side, [
+  {comps}] s
+  from g where len(sg) > 0),
+bands as (select doc_id, side, unnest([
+  {bands}]) bk from sig),
+pairs as (
+  select distinct i.doc_id id_index, n.doc_id id_new,
+         'index-new' pair_type
+    from bands i join bands n using (bk)
+   where i.side = 'i' and n.side = 'n' and i.doc_id <> n.doc_id
+  union
+  select distinct a.doc_id, b.doc_id, 'new-new'
+    from bands a join bands b using (bk)
+   where a.side = 'n' and b.side = 'n' and a.doc_id < b.doc_id
+),
+v as (select id_index, id_new, pair_type,
+  len(list_intersect(list_distinct(x.sg), list_distinct(y.sg)))::double /
+  (len(list_distinct(x.sg)) + len(list_distinct(y.sg)) -
+   len(list_intersect(list_distinct(x.sg), list_distinct(y.sg)))) j
+  from pairs
+  join g x on x.doc_id = id_index
+  join g y on y.doc_id = id_new)
+select id_index, id_new, round(j, 6) as jaccard, pair_type
+from v where j >= 0.6
+"""
+
+
 SQL_MINHASH_LSH = f"""
 with t as (select doc_id, {duck.toks('text')} tk
            from documents where doc_id < 200 and text is not null),
@@ -4532,6 +4643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_oph_portable": q_minhash_oph_portable,
         "minhash_lsh_portable": q_minhash_lsh_portable,
+        "minhash_index_query": q_minhash_index_query,
         "dedup_clusters": q_dedup_clusters,
         "minhash_neardups": q_minhash_neardups,
         "simhash_neardups": q_simhash_neardups,
@@ -4653,6 +4765,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": SQL_MINHASH,
         "minhash_oph_portable": _sql_minhash_oph(),
         "minhash_lsh_portable": SQL_MINHASH_LSH,
+        "minhash_index_query": _sql_minhash_index_query(),
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "simhash_portable": _sql_simhash_portable(),
         "perplexity": SQL_PERPLEXITY,

@@ -123,11 +123,58 @@ def _bench_spans_cdc(spark, sf_dir):
     )
 
 
+def _minhash_index_parquet(spark, sf_dir: str) -> str:
+    """One-time MinHash index over the sf documents table (cached per
+    sf_dir, built OUTSIDE the timed legs — the _pages_parquet
+    convention; the build cost is a separately-reported one-time
+    number in BENCH.md's Incremental dedup section)."""
+    import hashlib
+
+    from data_quality_checker_spark.operators import minhash_index as MI
+
+    path = (
+        "/tmp/dqc_bench/minhash_index_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    if not os.path.exists(f"{path}/bands/_SUCCESS"):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        MI.build_minhash_index(docs, path)
+    return path
+
+
+def _bench_minhash_index(spark, sf_dir):
+    """Incremental index query, the steady-state rolling-crawl cost:
+    a batch of fresh+cloned docs (~25% of the corpus) against the
+    prebuilt index. Times sketch-of-batch + band join + exact verify;
+    the index is read, never re-sketched."""
+    from pyspark.sql import functions as F
+
+    from data_quality_checker_spark.operators import minhash_index as MI
+
+    path = _minhash_index_parquet(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = docs.filter("doc_id % 8 = 0").select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" appended crawl tail marker tokens"),
+        ).alias("text"),
+    ).unionByName(
+        docs.filter("doc_id % 8 = 1").select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+        )
+    )
+    return MI.query_minhash_index(
+        batch, path, threshold=0.8, include_within_batch=False
+    )
+
+
 BENCH_OVERRIDES = {
     "minhash_neardups": _bench_minhash,
     "simhash_neardups": _bench_simhash,
     "semantic_dedup_pairs": _bench_semdedup,
     "duplicate_spans_cdc": _bench_spans_cdc,
+    "minhash_index_incr": _bench_minhash_index,
 }
 
 HEADLINE = [
@@ -166,6 +213,9 @@ HEADLINE = [
     "semantic_dedup_pairs",
     # round-5 addition: content-anchored exact-substring dedup (CDC)
     "duplicate_spans_cdc",
+    # round-5 addition: incremental index-backed dedup (steady-state
+    # rolling-crawl query against the prebuilt MinHash index)
+    "minhash_index_incr",
 ]
 
 
@@ -222,10 +272,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     # tiny warmup so JVM/codegen startup isn't billed to the first query
     spark.range(1000).selectExpr("sum(id)").collect()
-    # generate the semantic-dedup vector corpus OUTSIDE the timed
-    # legs (the _pages_parquet convention — one-time generation must
-    # never pollute a query_legs entry)
+    # generate the semantic-dedup vector corpus and the MinHash index
+    # OUTSIDE the timed legs (the _pages_parquet convention — one-time
+    # generation must never pollute a query_legs entry)
     _vectors_parquet(spark)
+    _minhash_index_parquet(spark, sf_dir)
 
     # two INTERLEAVED legs (run the whole list, then run it again) and
     # keep the best per query: single-leg numbers ride ~±20% JVM/codegen

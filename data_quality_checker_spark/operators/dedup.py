@@ -111,6 +111,187 @@ def release_cache(df: DataFrame) -> None:
         dep.unpersist()
 
 
+def _minhash_shingle_plan(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int,
+    shingle_mode: str,
+) -> DataFrame:
+    """[id, sh] shingle table — the sketch's first projection, shared
+    verbatim between :func:`near_duplicates_minhash` and the
+    incremental index (operators/minhash_index.py) so batch and
+    index sketches are bit-identical BY CONSTRUCTION, not by test.
+
+    # tokens materialized in their own projection: word_ngrams slices
+    # per index, so an inlined tokenize would re-run per n-gram.
+    # NO array_distinct here: min() is idempotent over duplicate
+    # shingles, and distinct is an O(n^2) interpreted pass per doc
+    # (the verify step's jaccard() dedups internally where it matters).
+    # The token array is BOUND ONCE as a higher-order-function lambda
+    # variable (functions/text.bind_once — the registrable_domain
+    # pattern). A separate `select(tokens alias _tk).select(...)`
+    # projection does NOT protect against re-tokenization: the
+    # optimizer collapses the projects and inlines the tokenize
+    # subtree into every lambda invocation — O(n_tokens^2) splits per
+    # doc, observed live as a wedged 1M-doc run once the corpus
+    # carried 5,200-word documents (executor stacks all inside
+    # StringSplit/Lower under SimpleHigherOrderFunction)."""
+    from data_quality_checker_spark.functions.text import bind_once, tokens
+
+    def _ngrams_bound(tk: Column) -> Column:
+        def _one(i: Column) -> Column:
+            g = F.concat_ws(" ", F.slice(tk, i + 1, k_shingle))
+            return F.xxhash64(g) if shingle_mode == "hash" else g
+
+        empty_t = (
+            "array<bigint>" if shingle_mode == "hash" else "array<string>"
+        )
+        return F.when(
+            F.size(tk) >= k_shingle,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - k_shingle), _one
+            ),
+        ).otherwise(F.array().cast(empty_t))
+
+    sh_expr = bind_once(tokens(text_col), _ngrams_bound)
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), sh_expr.alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+
+
+def _minhash_signature_plan(
+    base: DataFrame,
+    num_hashes: int,
+    shingle_mode: str,
+    one_permutation: bool = False,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """[id, h0..h{num_hashes-1}] signature table over a shingle table.
+
+    Signature via explode + min-aggregation rather than nested
+    array_min(transform(...)) expressions: Catalyst's CollapseProject
+    re-inlines the (expensive) shingle subtree into every lambda site,
+    turning the pure-projection form O(n_hashes * n_tokens^2) per doc
+    (measured 68s for 500 docs). The agg form is linear; map-side
+    combine means the shuffle carries one row per doc.
+
+    ``hash_family='xxhash64'`` (production): component j =
+    xxhash64(base_hash, j), base_hash = the 8-byte shingle key.
+    ``hash_family='md5'`` (cross-engine twin family, string
+    components, lexicographic min — the functions/hashing.
+    minhash_signature_md5 formula md5('{j}|' || shingle) in
+    explode+agg form): requires shingle_mode='text' so the md5 runs
+    over the raw shingle string DuckDB/Trino can reproduce."""
+    if hash_family not in ("xxhash64", "md5"):
+        raise ValueError(
+            f"hash_family must be 'xxhash64' or 'md5', got {hash_family!r}"
+        )
+    if hash_family == "md5":
+        if shingle_mode != "text" or one_permutation:
+            raise ValueError(
+                "hash_family='md5' requires shingle_mode='text' and "
+                "one_permutation=False: the md5 family exists to be "
+                "byte-reproducible cross-engine over raw shingle strings"
+            )
+        hashed = base.select("id", F.explode("sh").alias("s")).select(
+            "id",
+            *[
+                F.md5(F.concat(F.lit(f"{j}|"), F.col("s"))).alias(f"h{j}")
+                for j in range(num_hashes)
+            ],
+        )
+        return hashed.groupBy("id").agg(
+            *[F.min(f"h{j}").alias(f"h{j}") for j in range(num_hashes)]
+        )
+    _bh = F.col("s") if shingle_mode == "hash" else F.xxhash64("s")
+    if one_permutation:
+        # OPH: one hash per shingle, binned by value; component j =
+        # min hash in bin j; empty bins densified from the global min.
+        # Of three measured formulations (536k kept v2 docs, local[32])
+        # this conditional-aggregate form is the best OPH:
+        #   num_hashes=32:  classic 40.7s | this 38.6s | 2-level 49.1s
+        #   num_hashes=128: classic 63.3s | this 83.4s | 2-level 104.0s
+        # (2-level = min per (id,bin) then assemble — its (id,bin)
+        # shuffle has num_hashes x the groups and loses everywhere.)
+        # See near_duplicates_minhash's honest-measurement note: in
+        # THIS engine classic's k plain xxhash64 calls are nearly free
+        # inside whole-stage codegen, so OPH's literature k-x sketch
+        # win does not transfer; keep classic unless profiling says
+        # otherwise.
+        raw = base.select("id", F.explode("sh").alias("s")).select(
+            "id",
+            _bh.alias("_h"),
+            # bin computed ONCE in the projection, not per-aggregate
+            F.pmod(_bh, F.lit(num_hashes)).cast("int").alias("_bin"),
+        )
+        binned = raw.groupBy("id").agg(
+            *[
+                F.min(F.when(F.col("_bin") == j, F.col("_h"))).alias(
+                    f"h{j}"
+                )
+                for j in range(num_hashes)
+            ],
+            F.min("_h").alias("_gmin"),
+        )
+        return binned.select(
+            "id",
+            *[
+                F.coalesce(
+                    F.col(f"h{j}"),
+                    F.xxhash64(F.col("_gmin").cast("string"), F.lit(j)),
+                ).alias(f"h{j}")
+                for j in range(num_hashes)
+            ],
+        )
+    hashed = (
+        base.select("id", F.explode("sh").alias("s"))
+        # hash the shingle to 8 bytes ONCE, derive the k
+        # components from the long (constant work per component
+        # instead of re-hashing the string k times — ~1.5x on
+        # the sketch phase, measured)
+        .select("id", _bh.alias("_bh"))
+        .select(
+            "id",
+            *[
+                F.xxhash64("_bh", F.lit(j)).alias(f"h{j}")
+                for j in range(num_hashes)
+            ],
+        )
+    )
+    return hashed.groupBy("id").agg(
+        *[F.min(f"h{j}").alias(f"h{j}") for j in range(num_hashes)]
+    )
+
+
+def _minhash_band_key_array(num_bands: int, rows_per_band: int) -> Column:
+    """array<string> of LSH band keys over h{j} signature COLUMNS —
+    format byte-identical with functions/hashing.band_keys
+    ('b{i}:' + md5(concat_ws(','))) for the portable oracle family;
+    works for both hash families (cast of a string is the identity)."""
+    return F.array(
+        *[
+            F.concat(
+                F.lit(f"b{b}:"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"h{b * rows_per_band + r}").cast(
+                                "string"
+                            )
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ),
+            )
+            for b in range(num_bands)
+        ]
+    )
+
+
 def near_duplicates_minhash(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -213,8 +394,6 @@ def near_duplicates_minhash(
     footprint, and nothing stays cached in a long-lived session. When
     None they are persist()ed in memory; call :func:`release_cache` on
     the returned DataFrame once consumed."""
-    from data_quality_checker_spark.functions.text import bind_once, tokens
-
     if num_hashes % num_bands != 0:
         raise ValueError(
             f"num_hashes={num_hashes} must be divisible by "
@@ -239,133 +418,24 @@ def near_duplicates_minhash(
         cached.append(d)
         return d
 
-    # tokens materialized in their own projection: word_ngrams slices
-    # per index, so an inlined tokenize would re-run per n-gram.
-    # NO array_distinct here: min() is idempotent over duplicate
-    # shingles, and distinct is an O(n^2) interpreted pass per doc
-    # (the verify step's jaccard() dedups internally where it matters).
-    # The token array is BOUND ONCE as a higher-order-function lambda
-    # variable (functions/text.bind_once — the registrable_domain
-    # pattern). A separate `select(tokens alias _tk).select(...)`
-    # projection does NOT protect against re-tokenization: the
-    # optimizer collapses the projects and inlines the tokenize
-    # subtree into every lambda invocation — O(n_tokens^2) splits per
-    # doc, observed live as a wedged 1M-doc run once the corpus
-    # carried 5,200-word documents (executor stacks all inside
-    # StringSplit/Lower under SimpleHigherOrderFunction).
-    def _ngrams_bound(tk: Column) -> Column:
-        def _one(i: Column) -> Column:
-            g = F.concat_ws(" ", F.slice(tk, i + 1, k_shingle))
-            return F.xxhash64(g) if shingle_mode == "hash" else g
-        empty_t = (
-            "array<bigint>" if shingle_mode == "hash" else "array<string>"
-        )
-        return F.when(
-            F.size(tk) >= k_shingle,
-            F.transform(
-                F.sequence(F.lit(0), F.size(tk) - k_shingle), _one
-            ),
-        ).otherwise(F.array().cast(empty_t))
-
-    sh_expr = bind_once(tokens(text_col), _ngrams_bound)
-    shingled = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("id"), sh_expr.alias("sh"))
-        .filter(F.size("sh") > 0)
+    # sketch construction lives in _minhash_shingle_plan /
+    # _minhash_signature_plan / _minhash_band_key_array — shared with
+    # the incremental index (operators/minhash_index.py) so batch and
+    # index sketches can never drift
+    shingled = _minhash_shingle_plan(
+        df, id_col, text_col, k_shingle, shingle_mode
     )
     base = materialize(shingled, "shingles")
-    # Signature via explode + min-aggregation rather than nested
-    # array_min(transform(...)) expressions: Catalyst's CollapseProject
-    # re-inlines the (expensive) shingle subtree into every lambda site,
-    # turning the pure-projection form O(n_hashes * n_tokens^2) per doc
-    # (measured 68s for 500 docs). The agg form is linear; map-side
-    # combine means the shuffle carries one row per doc.
-    if one_permutation:
-        # OPH: one hash per shingle, binned by value; component j =
-        # min hash in bin j; empty bins densified from the global min.
-        # Of three measured formulations (536k kept v2 docs, local[32])
-        # this conditional-aggregate form is the best OPH:
-        #   num_hashes=32:  classic 40.7s | this 38.6s | 2-level 49.1s
-        #   num_hashes=128: classic 63.3s | this 83.4s | 2-level 104.0s
-        # (2-level = min per (id,bin) then assemble — its (id,bin)
-        # shuffle has num_hashes x the groups and loses everywhere.)
-        # See the docstring's honest-measurement note: in THIS engine
-        # classic's k plain xxhash64 calls are nearly free inside
-        # whole-stage codegen, so OPH's literature k-x sketch win does
-        # not transfer; keep classic unless profiling says otherwise.
-        _bh = (
-            F.col("s")
-            if shingle_mode == "hash"
-            else F.xxhash64("s")
-        )
-        raw = base.select("id", F.explode("sh").alias("s")).select(
-            "id",
-            _bh.alias("_h"),
-            # bin computed ONCE in the projection, not per-aggregate
-            F.pmod(_bh, F.lit(num_hashes)).cast("int").alias("_bin"),
-        )
-        binned = raw.groupBy("id").agg(
-            *[
-                F.min(F.when(F.col("_bin") == j, F.col("_h"))).alias(
-                    f"h{j}"
-                )
-                for j in range(num_hashes)
-            ],
-            F.min("_h").alias("_gmin"),
-        )
-        sig_plan = binned.select(
-            "id",
-            *[
-                F.coalesce(
-                    F.col(f"h{j}"),
-                    F.xxhash64(F.col("_gmin").cast("string"), F.lit(j)),
-                ).alias(f"h{j}")
-                for j in range(num_hashes)
-            ],
-        )
-    else:
-        _bh = (
-            F.col("s")
-            if shingle_mode == "hash"
-            else F.xxhash64("s")
-        )
-        hashed = (
-            base.select("id", F.explode("sh").alias("s"))
-            # hash the shingle to 8 bytes ONCE, derive the k
-            # components from the long (constant work per component
-            # instead of re-hashing the string k times — ~1.5x on
-            # the sketch phase, measured)
-            .select("id", _bh.alias("_bh"))
-            .select(
-                "id",
-                *[
-                    F.xxhash64("_bh", F.lit(j)).alias(f"h{j}")
-                    for j in range(num_hashes)
-                ],
-            )
-        )
-        sig_plan = hashed.groupBy("id").agg(
-            *[F.min(f"h{j}").alias(f"h{j}") for j in range(num_hashes)]
-        )
+    sig_plan = _minhash_signature_plan(
+        base, num_hashes, shingle_mode, one_permutation
+    )
     # tiny (num_hashes longs per doc); joined twice
     sig = materialize(sig_plan, "signatures")
-    band_cols = [
-        F.concat(
-            F.lit(f"b{b}:"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"h{b * rows_per_band + r}").cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            ),
-        )
-        for b in range(num_bands)
-    ]
     exploded = sig.select(
-        "id", F.explode(F.array(*band_cols)).alias("bk")
+        "id",
+        F.explode(
+            _minhash_band_key_array(num_bands, rows_per_band)
+        ).alias("bk"),
     )
     cands = (
         exploded.alias("a")

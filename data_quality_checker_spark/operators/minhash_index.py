@@ -1,0 +1,412 @@
+"""Incremental MinHash dedup index — the rolling-crawl workflow.
+
+At 100 TB you never re-dedup the corpus from scratch: each crawl
+snapshot is sketched ONCE and joined against a persistent index of
+everything already ingested. This module persists the three MinHash
+sketch tables (shingles, signatures, band keys) as a parquet-addressed
+index plus a parameter manifest, and answers "which documents of this
+NEW batch duplicate something already in the corpus?" with work
+proportional to the new batch — the index is only ever scanned/joined,
+never re-sketched.
+
+The reference has no incremental surface at all (its
+_find_text_pairs, nlp_analyzer.py:720-743, is an in-memory O(n^2)
+SequenceMatcher loop over one DataFrame); this is the scale extension
+of the same capability.
+
+Sketch construction is SHARED with operators/dedup.near_duplicates_
+minhash (_minhash_shingle_plan / _minhash_signature_plan /
+_minhash_band_key_array), so a batch dedup of old ∪ new and an index
+query of new-vs-index(old) see bit-identical signatures by
+construction — pinned by tests/test_minhash_index.py's cross-parity
+gate against the batch operator.
+
+Scale notes (100 TB):
+ - build: one sketch pass over the corpus; the three tables are plain
+   parquet (resumable, inspectable, zero executor-memory footprint —
+   the near_duplicates_minhash storage_path contract made durable).
+ - query: the only full-table work is ONE scan of bands/ (ReadSchema-
+   pruned to [id, bk]) for the band equi-join and ONE scan of
+   shingles/ ([id, sh]) for exact verify. With a small batch the band
+   join broadcasts the NEW side (row-count guarded, decontam's
+   pattern), so the index side never shuffles there; past the guard it
+   is an equi-shuffle on the 40-byte band key. The verify join against
+   shingles/ is AQE-sized: a bounded candidate set downgrades it to a
+   broadcast (measured at sf0.01: the whole query runs 3 BHJ / 0 SMJ /
+   2 Exchanges), and at candidate volumes past the broadcast threshold
+   Spark 4's runtime Bloom-filter injection prunes the shingle shuffle
+   from the candidate side (the decontam shuffle-path insurance). On
+   Iceberg/bucketed storage the bands table would be bucketed by bk to
+   make the large-batch case shuffle-free on the index side too — the
+   parquet layout here keeps the same schema so that swap is a writer
+   change only.
+ - append: sketches ONLY the new batch and appends (the parquet
+   append is atomic per file; Iceberg would make it a snapshot
+   commit). The tables are the truth — nothing else tracks index
+   membership.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_quality_checker_spark.functions.hashing import jaccard
+from data_quality_checker_spark.operators.dedup import (
+    _minhash_band_key_array,
+    _minhash_shingle_plan,
+    _minhash_signature_plan,
+)
+
+__all__ = [
+    "build_minhash_index",
+    "append_minhash_index",
+    "query_minhash_index",
+    "read_minhash_index_meta",
+]
+
+_FORMAT_VERSION = 1
+_META_KEYS = (
+    "k_shingle",
+    "num_hashes",
+    "num_bands",
+    "shingle_mode",
+    "one_permutation",
+    "hash_family",
+    "id_type",
+)
+
+
+def _sketch(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int,
+    num_hashes: int,
+    num_bands: int,
+    shingle_mode: str,
+    one_permutation: bool,
+    hash_family: str,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(shingles [id, sh], signatures [id, h0..], bands [id, bk]) —
+    the exact expressions near_duplicates_minhash builds."""
+    rows_per_band = num_hashes // num_bands
+    base = _minhash_shingle_plan(df, id_col, text_col, k_shingle, shingle_mode)
+    sig = _minhash_signature_plan(
+        base, num_hashes, shingle_mode, one_permutation, hash_family
+    )
+    bands = sig.select(
+        "id",
+        F.explode(
+            _minhash_band_key_array(num_bands, rows_per_band)
+        ).alias("bk"),
+    )
+    return base, sig, bands
+
+
+def _validate_params(
+    k_shingle: int, num_hashes: int, num_bands: int, shingle_mode: str
+) -> None:
+    if num_hashes % num_bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be divisible by "
+            f"num_bands={num_bands} (see near_duplicates_minhash)"
+        )
+    if shingle_mode not in ("hash", "text"):
+        raise ValueError(
+            f"shingle_mode must be 'hash' or 'text', got {shingle_mode!r}"
+        )
+    if k_shingle < 1:
+        raise ValueError(f"k_shingle must be >= 1, got {k_shingle}")
+
+
+def read_minhash_index_meta(spark: SparkSession, path: str) -> dict:
+    """The index's parameter manifest (written by build_minhash_index).
+
+    Stored as a single-row JSON dataset under ``<path>/meta`` — written
+    through the Spark writer so the index works on any Hadoop
+    filesystem (HDFS/S3/local), not just a local driver disk."""
+    try:
+        row = spark.read.json(f"{path}/meta").head()
+    except Exception as exc:  # noqa: BLE001 — repackage with the path
+        raise ValueError(
+            f"no MinHash index manifest at {path}/meta — build the "
+            f"index with build_minhash_index first ({exc})"
+        ) from exc
+    if row is None:
+        raise ValueError(f"empty MinHash index manifest at {path}/meta")
+    meta = row.asDict()
+    missing = [k for k in _META_KEYS if k not in meta]
+    if missing or meta.get("format_version") != _FORMAT_VERSION:
+        raise ValueError(
+            f"incompatible MinHash index manifest at {path}/meta: "
+            f"missing={missing}, "
+            f"format_version={meta.get('format_version')!r} "
+            f"(expected {_FORMAT_VERSION})"
+        )
+    meta["num_hashes"] = int(meta["num_hashes"])
+    meta["num_bands"] = int(meta["num_bands"])
+    meta["k_shingle"] = int(meta["k_shingle"])
+    return meta
+
+
+def build_minhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_mode: str = "hash",
+    one_permutation: bool = False,
+    hash_family: str = "xxhash64",
+) -> dict:
+    """Sketch ``df`` once and persist the index at ``path``
+    (overwrite). Layout: ``meta/`` (1-row JSON manifest), ``shingles/``
+    [id, sh], ``signatures/`` [id, h0..h{num_hashes-1}], ``bands/``
+    [id, bk]. Returns the manifest dict plus ``n_docs``.
+
+    Ids must be unique per document across the index's whole lifetime
+    (build + appends): queries report pairs by id, and duplicate ids
+    would conflate distinct documents.
+
+    The sketch parameters are FROZEN into the manifest; query/append
+    read them back rather than taking them as arguments, so a
+    mismatched re-sketch is impossible by API shape."""
+    _validate_params(k_shingle, num_hashes, num_bands, shingle_mode)
+    # validate family/mode compatibility before any write happens
+    _minhash_signature_plan(
+        _minhash_shingle_plan(
+            df.limit(0), id_col, text_col, k_shingle, shingle_mode
+        ),
+        num_hashes, shingle_mode, one_permutation, hash_family,
+    )
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
+    base = _minhash_shingle_plan(df, id_col, text_col, k_shingle, shingle_mode)
+    # One sketch pass: shingles/ is written from the corpus, then
+    # signatures/bands are derived from the WRITTEN shingles (read
+    # back) — the corpus text is scanned exactly once, and a resumed
+    # build can restart from the shingle table.
+    base.write.mode("overwrite").parquet(f"{path}/shingles")
+    base_r = spark.read.parquet(f"{path}/shingles")
+    sig = _minhash_signature_plan(
+        base_r, num_hashes, shingle_mode, one_permutation, hash_family
+    )
+    sig.write.mode("overwrite").parquet(f"{path}/signatures")
+    sig_r = spark.read.parquet(f"{path}/signatures")
+    bands = sig_r.select(
+        "id",
+        F.explode(
+            _minhash_band_key_array(num_bands, num_hashes // num_bands)
+        ).alias("bk"),
+    )
+    bands.write.mode("overwrite").parquet(f"{path}/bands")
+    meta = {
+        "format_version": _FORMAT_VERSION,
+        "k_shingle": k_shingle,
+        "num_hashes": num_hashes,
+        "num_bands": num_bands,
+        "shingle_mode": shingle_mode,
+        "one_permutation": one_permutation,
+        "hash_family": hash_family,
+        "id_type": id_type,
+    }
+    # Manifest as a 1-row JSON dataset through the Spark writer: works
+    # on any Hadoop filesystem and keeps booleans/ints typed.
+    spark.createDataFrame([meta]).coalesce(1).write.mode(
+        "overwrite"
+    ).json(f"{path}/meta")
+    # count over the (already-written) signature table: a zero-column
+    # scan of num_hashes*8-byte rows, not a corpus re-read
+    n_docs = spark.read.parquet(f"{path}/signatures").count()
+    return {**meta, "n_docs": n_docs}
+
+
+def append_minhash_index(
+    new_df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Sketch ONLY ``new_df`` (with the manifest's frozen parameters)
+    and append its rows to the index tables. The caller owns id
+    uniqueness vs what's already indexed — re-appending the same ids
+    would double-count them in every later query.
+
+    Returns the manifest plus ``n_appended``.
+
+    Work is proportional to the NEW batch only: its shingle table is
+    persist()ed once and the three appends derive from it — the
+    existing index tables are never scanned. Parquet append is
+    per-file atomic; on Iceberg these three writes would be one
+    snapshot commit (sources/io.write_table is the gated path)."""
+    spark = new_df.sparkSession
+    meta = read_minhash_index_meta(spark, path)
+    _check_id_type(new_df, id_col, meta)
+    base, _, _ = _sketch(
+        new_df, id_col, text_col, meta["k_shingle"], meta["num_hashes"],
+        meta["num_bands"], meta["shingle_mode"], meta["one_permutation"],
+        meta["hash_family"],
+    )
+    base = base.persist()
+    try:
+        base.write.mode("append").parquet(f"{path}/shingles")
+        sig = _minhash_signature_plan(
+            base, meta["num_hashes"], meta["shingle_mode"],
+            meta["one_permutation"], meta["hash_family"],
+        ).persist()
+        try:
+            sig.write.mode("append").parquet(f"{path}/signatures")
+            bands = sig.select(
+                "id",
+                F.explode(
+                    _minhash_band_key_array(
+                        meta["num_bands"],
+                        meta["num_hashes"] // meta["num_bands"],
+                    )
+                ).alias("bk"),
+            )
+            bands.write.mode("append").parquet(f"{path}/bands")
+            n_appended = base.count()
+        finally:
+            sig.unpersist()
+    finally:
+        base.unpersist()
+    return {**meta, "n_appended": n_appended}
+
+
+def _check_id_type(df: DataFrame, id_col: str, meta: dict) -> None:
+    got = df.schema[id_col].dataType.simpleString()
+    if got != meta["id_type"]:
+        raise ValueError(
+            f"id column {id_col!r} has type {got}, index was built "
+            f"with {meta['id_type']} — cast upstream so pair ids "
+            f"compare exactly"
+        )
+
+
+def query_minhash_index(
+    new_df: DataFrame,
+    path: str,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    include_within_batch: bool = False,
+    broadcast: bool | None = None,
+    broadcast_max_rows: int = 250_000,
+    persist: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs between a NEW batch and the indexed corpus:
+    ``(id_index, id_new, jaccard, pair_type)`` with exact-Jaccard
+    verification, ``jaccard >= threshold``. Work is proportional to
+    the new batch plus its band collisions — the index is joined, not
+    re-sketched.
+
+    ``pair_type``: 'index-new' for cross pairs; with
+    ``include_within_batch=True`` the batch's INTERNAL near-dup pairs
+    are unioned in as 'new-new' (id_index < id_new ordering, same
+    sketch — so one call gives the full "what's duplicated about this
+    batch" answer without a second operator).
+
+    Rows where the new id equals an indexed id are EXCLUDED from cross
+    pairs: a re-crawl of a known document is an ingest/versioning
+    event (sources/io snapshot_diff territory), not a near-dup
+    discovery.
+
+    Join strategy (the decontam row-count guard): ``broadcast=None``
+    hints broadcast of the NEW side's band keys when the batch holds
+    at most ``broadcast_max_rows`` sketched docs (~250k docs x
+    num_bands 40-byte keys ≈ 80 MB build side) — the index's bands
+    table then streams through a broadcast-hash join with NO index
+    shuffle. True forces the hint, False forces the shuffle form (AQE
+    may still downgrade it). The batch's sketch tables are persist()ed
+    (consumed by the band join + verify); call
+    dedup.release_cache(result) once consumed. ``persist=False`` skips
+    the caching for bounded one-shot gates where recompute is cheaper
+    than a leaked cache in a long-lived session (the oracle-entry
+    convention) — pass an explicit ``broadcast`` with it or the
+    row-count guard will recompute the sketch once for its count."""
+    spark = new_df.sparkSession
+    meta = read_minhash_index_meta(spark, path)
+    _check_id_type(new_df, id_col, meta)
+    base, _sig, bands = _sketch(
+        new_df, id_col, text_col, meta["k_shingle"], meta["num_hashes"],
+        meta["num_bands"], meta["shingle_mode"], meta["one_permutation"],
+        meta["hash_family"],
+    )
+    cached: list[DataFrame] = []
+    if persist:
+        base, bands = base.persist(), bands.persist()
+        cached = [base, bands]
+    new_sh, new_bands = base, bands
+    if broadcast is None:
+        broadcast = new_sh.count() <= broadcast_max_rows
+    nb = F.broadcast(new_bands) if broadcast else new_bands
+    idx_bands = spark.read.parquet(f"{path}/bands")
+    idx_sh = spark.read.parquet(f"{path}/shingles")
+
+    cand = (
+        idx_bands.alias("i")
+        .join(nb.alias("n"), "bk")
+        .filter(F.col("i.id") != F.col("n.id"))
+        .select(
+            F.col("i.id").alias("id_index"),
+            F.col("n.id").alias("id_new"),
+        )
+        .distinct()
+    )
+    cross = (
+        cand.join(
+            idx_sh.withColumnsRenamed({"id": "id_index", "sh": "sh_i"}),
+            "id_index",
+        )
+        .join(
+            new_sh.withColumnsRenamed({"id": "id_new", "sh": "sh_n"}),
+            "id_new",
+        )
+        .select(
+            "id_index",
+            "id_new",
+            jaccard(F.col("sh_i"), F.col("sh_n")).alias("jaccard"),
+            F.lit("index-new").alias("pair_type"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_index", "id_new", "jaccard", "pair_type")
+    )
+    out = cross
+    if include_within_batch:
+        wcand = (
+            new_bands.alias("a")
+            .join(new_bands.alias("b"), "bk")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_index"),
+                F.col("b.id").alias("id_new"),
+            )
+            .distinct()
+        )
+        within = (
+            wcand.join(
+                new_sh.withColumnsRenamed(
+                    {"id": "id_index", "sh": "sh_i"}
+                ),
+                "id_index",
+            )
+            .join(
+                new_sh.withColumnsRenamed({"id": "id_new", "sh": "sh_n"}),
+                "id_new",
+            )
+            .select(
+                "id_index",
+                "id_new",
+                jaccard(F.col("sh_i"), F.col("sh_n")).alias("jaccard"),
+                F.lit("new-new").alias("pair_type"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_index", "id_new", "jaccard", "pair_type")
+        )
+        out = cross.unionByName(within)
+    out._cached_deps = tuple(cached)  # for dedup.release_cache()
+    return out

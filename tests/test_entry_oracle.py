@@ -27,6 +27,7 @@ SUBSET = [
     "quality_verdict",
     "scrubbed_digest",
     "minhash_signatures",
+    "minhash_index_query",
     "doc_fingerprint",
     "ann_topk",
     "multimodal_features",

@@ -1,0 +1,236 @@
+"""Incremental MinHash index (operators/minhash_index.py).
+
+The load-bearing gate is CROSS-PARITY: querying a new batch against an
+index built on the old corpus must find EXACTLY the pairs that a batch
+near_duplicates_minhash over old ∪ new finds across the split (and,
+with include_within_batch, inside the batch) — same ids, same exact
+Jaccard values. Sketch code is shared by construction; this pins that
+the join/verify plumbing around it doesn't drift either.
+
+Reference ancestor: nlp_analyzer.py:720-743 (_find_text_pairs) — the
+reference has no incremental surface; this is its scale extension.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_checker_spark.operators import dedup as DD
+from data_quality_checker_spark.operators import minhash_index as MI
+
+THRESHOLD = 0.7
+
+
+def _corpus(spark, sf_dir):
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id < 200")
+        .select("doc_id", "text")
+    )
+    old = docs.filter("doc_id < 150")
+    # new batch: fresh docs + near-clones of indexed docs (tail append
+    # keeps Jaccard high for non-trivial texts) + one exact clone
+    new = (
+        docs.filter("doc_id >= 150")
+        .unionByName(
+            old.filter("doc_id % 3 = 0").select(
+                (F.col("doc_id") + 10_000).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" tail marker tokens appended")
+                ).alias("text"),
+            )
+        )
+        .unionByName(
+            old.filter("doc_id = 7").select(
+                (F.col("doc_id") + 20_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return old, new
+
+
+def _pairs(df):
+    return {
+        (r.id_index, r.id_new, round(r.jaccard, 6), r.pair_type)
+        for r in df.collect()
+    }
+
+
+def _expected(old, new, threshold=THRESHOLD, within=True):
+    """Ground truth from the batch operator over old ∪ new."""
+    full = DD.near_duplicates_minhash(
+        old.unionByName(new), threshold=threshold
+    )
+    old_ids = {r.doc_id for r in old.select("doc_id").collect()}
+    exp = set()
+    for r in full.collect():
+        a_old, b_old = r.id_a in old_ids, r.id_b in old_ids
+        if a_old and b_old:
+            continue  # both already indexed — not a query result
+        j = round(r.jaccard, 6)
+        if a_old != b_old:
+            i, n = (r.id_a, r.id_b) if a_old else (r.id_b, r.id_a)
+            exp.add((i, n, j, "index-new"))
+        elif within:
+            exp.add(
+                (min(r.id_a, r.id_b), max(r.id_a, r.id_b), j, "new-new")
+            )
+    DD.release_cache(full)
+    return exp
+
+
+@pytest.fixture(scope="module")
+def idx(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("mi") / "index")
+    old, new = _corpus(spark, sf_dir)
+    info = MI.build_minhash_index(old, path)
+    return path, old, new, info
+
+
+def test_build_manifest_and_counts(spark, idx):
+    path, old, _, info = idx
+    assert info["n_docs"] == old.filter("text is not null").count()
+    meta = MI.read_minhash_index_meta(spark, path)
+    assert meta["num_hashes"] == 32 and meta["num_bands"] == 8
+    assert meta["shingle_mode"] == "hash"
+    assert meta["id_type"] == "bigint"
+    # layout: the three sketch tables exist and agree on doc count
+    sig = spark.read.parquet(f"{path}/signatures")
+    assert sig.count() == info["n_docs"]
+    assert len(sig.columns) == 1 + meta["num_hashes"]
+    bands = spark.read.parquet(f"{path}/bands")
+    assert bands.count() == info["n_docs"] * meta["num_bands"]
+
+
+def test_cross_parity_with_batch_operator(spark, idx):
+    """Index query == batch dedup restricted to cross/batch pairs —
+    ids, pair types, AND exact jaccard values."""
+    path, old, new, _ = idx
+    res = MI.query_minhash_index(
+        new, path, threshold=THRESHOLD, include_within_batch=True
+    )
+    got = _pairs(res)
+    DD.release_cache(res)
+    exp = _expected(old, new)
+    assert got == exp
+    # the planted clones must be present: exact clone at jaccard 1.0
+    assert (7, 20_007, 1.0, "index-new") in got
+    cross = {g for g in got if g[3] == "index-new"}
+    assert len(cross) >= old.filter(
+        "doc_id % 3 = 0 and doc_id < 150"
+    ).count()  # every tail-appended clone pairs with its original
+
+
+def test_cross_only_excludes_within(spark, idx):
+    path, old, new, _ = idx
+    res = MI.query_minhash_index(new, path, threshold=THRESHOLD)
+    got = _pairs(res)
+    DD.release_cache(res)
+    assert got == _expected(old, new, within=False)
+    assert all(p[3] == "index-new" for p in got)
+
+
+def test_broadcast_and_shuffle_forms_agree(spark, idx):
+    path, old, new, _ = idx
+    rb = MI.query_minhash_index(new, path, broadcast=True)
+    rs = MI.query_minhash_index(new, path, broadcast=False)
+    try:
+        plan = rb._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert _pairs(rb) == _pairs(rs)
+    finally:
+        DD.release_cache(rb)
+        DD.release_cache(rs)
+
+
+def test_append_then_query_sees_both_generations(spark, idx, tmp_path):
+    path0, old, new, _ = idx
+    path = str(tmp_path / "index2")
+    # copy the built index so the module-scoped one stays pristine
+    shutil.copytree(path0, path)
+    info = MI.append_minhash_index(new, path)
+    assert info["n_appended"] == new.filter("text is not null").count()
+    # a probe cloned from an APPENDED doc must now match it
+    probe = new.filter("doc_id = 10003").select(
+        (F.col("doc_id") + 30_000).alias("doc_id"), "text"
+    )
+    res = MI.query_minhash_index(probe, path, threshold=THRESHOLD)
+    got = _pairs(res)
+    DD.release_cache(res)
+    ids_hit = {p[0] for p in got}
+    assert 10_003 in ids_hit  # the appended generation
+    assert 3 in ids_hit  # the original generation (10003 is 3's clone)
+
+
+def test_query_params_come_from_manifest(spark, sf_dir, tmp_path):
+    """Build with non-default banding; query reads it back — a probe
+    identical to an indexed doc is found even though the caller never
+    restates the sketch params."""
+    old, _ = _corpus(spark, sf_dir)
+    path = str(tmp_path / "idx16")
+    MI.build_minhash_index(
+        old, path, num_hashes=16, num_bands=4, shingle_mode="text"
+    )
+    meta = MI.read_minhash_index_meta(spark, path)
+    assert (meta["num_hashes"], meta["num_bands"]) == (16, 4)
+    probe = old.filter("doc_id = 11").select(
+        (F.col("doc_id") + 50_000).alias("doc_id"), "text"
+    )
+    res = MI.query_minhash_index(probe, path, threshold=0.99)
+    got = _pairs(res)
+    DD.release_cache(res)
+    assert (11, 50_011, 1.0, "index-new") in got
+
+
+def test_id_type_mismatch_raises(spark, idx):
+    path, _, new, _ = idx
+    bad = new.select(F.col("doc_id").cast("int").alias("doc_id"), "text")
+    with pytest.raises(ValueError, match="id column"):
+        MI.query_minhash_index(bad, path)
+
+
+def test_missing_index_raises(spark, idx):
+    _, _, new, _ = idx
+    with pytest.raises(ValueError, match="manifest"):
+        MI.query_minhash_index(new, "/tmp/definitely/not/an/index")
+
+
+def test_bad_build_params_raise(spark, idx):
+    _, old, _, _ = idx
+    with pytest.raises(ValueError, match="divisible"):
+        MI.build_minhash_index(old, "/tmp/unused", num_hashes=32, num_bands=5)
+    with pytest.raises(ValueError, match="shingle_mode"):
+        MI.build_minhash_index(old, "/tmp/unused", shingle_mode="bogus")
+    with pytest.raises(ValueError, match="md5"):
+        MI.build_minhash_index(
+            old, "/tmp/unused", hash_family="md5", shingle_mode="hash"
+        )
+
+
+def test_empty_batch_stable_schema(spark, idx):
+    path, _, new, _ = idx
+    empty = new.filter("doc_id < 0")
+    res = MI.query_minhash_index(empty, path, include_within_batch=True)
+    assert res.count() == 0
+    assert res.columns == ["id_index", "id_new", "jaccard", "pair_type"]
+    DD.release_cache(res)
+
+
+def test_md5_family_round_trip(spark, sf_dir, tmp_path):
+    """The cross-engine md5 family builds/queries too (the oracle
+    entry's configuration): text shingles, string signatures."""
+    old, new = _corpus(spark, sf_dir)
+    path = str(tmp_path / "idx_md5")
+    MI.build_minhash_index(
+        old, path, num_hashes=8, num_bands=4,
+        shingle_mode="text", hash_family="md5",
+    )
+    sig = spark.read.parquet(f"{path}/signatures")
+    assert dict(sig.dtypes)["h0"] == "string"
+    res = MI.query_minhash_index(new, path, threshold=0.6)
+    got = _pairs(res)
+    DD.release_cache(res)
+    assert (7, 20_007, 1.0, "index-new") in got

@@ -1,0 +1,176 @@
+"""Incremental index-backed dedup vs full re-dedup — the measurement
+behind BENCH.md's "Incremental dedup" section.
+
+The claim under test is the module's whole point (operators/
+minhash_index.py): once a corpus is indexed, deduplicating a NEW crawl
+batch costs work proportional to the batch, not the corpus. A shop
+re-deduplicating from scratch per snapshot pays O(corpus) every time;
+the index path pays O(corpus) once (build) and O(batch + collisions)
+per snapshot.
+
+Protocol (synthetic v2 pages, deterministic):
+  corpus  = n docs (the already-ingested crawl)
+  batch   = n/10 docs: half fresh, half near-clones of indexed docs
+  leg A   = near_duplicates_minhash(corpus ∪ batch)   [from-scratch]
+  leg B   = build_minhash_index(corpus)               [one-time cost]
+  leg C   = query_minhash_index(batch)                [per-snapshot]
+  checks  = C's cross pairs ⊆ A's pairs restricted to cross (recall
+            printed; both use identical sketch code so any gap is
+            banding randomness, not drift), no persistent RDDs leaked.
+
+Usage: python tools/incremental_dedup_bench.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from data_quality_checker_spark import get_spark
+from data_quality_checker_spark.operators import dedup as DD
+from data_quality_checker_spark.operators import minhash_index as MI
+from data_quality_checker_spark.plans import synth
+
+THRESHOLD = 0.8
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+    root = f"/tmp/dqc_incr_dedup_{n}"
+    spark = get_spark(
+        "dqc-incremental-dedup", master="local[32]",
+        shuffle_partitions=256,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus_path = f"{root}/corpus"
+    batch_path = f"{root}/batch"
+    if not os.path.exists(f"{batch_path}/_SUCCESS"):
+        pages = (
+            synth.pages_df_distributed(spark, n + n // 20, seed=42)
+            .filter("text is not null")
+            .select(
+                F.xxhash64("url").alias("doc_id"), "url", "text"
+            )
+        )
+        pages.filter(f"pmod(doc_id, 21) < 20").limit(n).repartition(
+            64
+        ).write.mode("overwrite").parquet(corpus_path)
+        corpus = spark.read.parquet(corpus_path)
+        fresh = pages.join(
+            corpus.select("doc_id"), "doc_id", "left_anti"
+        ).limit(n // 20)
+        clones = (
+            corpus.filter("pmod(doc_id, 10) = 3")
+            .limit(n // 20)
+            .select(
+                F.xxhash64("url", F.lit("clone")).alias("doc_id"),
+                F.concat(F.lit("clone://"), F.col("url")).alias("url"),
+                F.concat(
+                    F.col("text"),
+                    F.lit(" appended crawl tail marker tokens"),
+                ).alias("text"),
+            )
+        )
+        fresh.select("doc_id", "url", "text").unionByName(
+            clones
+        ).repartition(16).write.mode("overwrite").parquet(batch_path)
+    corpus = spark.read.parquet(corpus_path)
+    batch = spark.read.parquet(batch_path)
+    n_corpus, n_batch = corpus.count(), batch.count()
+    print(f"corpus={n_corpus} batch={n_batch}", flush=True)
+
+    # leg A: from-scratch batch dedup over corpus ∪ batch
+    shutil.rmtree(f"{root}/full", ignore_errors=True)
+    t0 = time.time()
+    full = DD.near_duplicates_minhash(
+        corpus.unionByName(batch),
+        id_col="doc_id",
+        text_col="text",
+        threshold=THRESHOLD,
+        storage_path=f"{root}/full",
+    )
+    full.write.mode("overwrite").parquet(f"{root}/full_pairs")
+    t_full = time.time() - t0
+    n_full = spark.read.parquet(f"{root}/full_pairs").count()
+    print(
+        f"A from-scratch dedup: {n_full} pairs in {t_full:.1f}s "
+        f"({(n_corpus + n_batch) / t_full:.0f} docs/s)",
+        flush=True,
+    )
+
+    # leg B: one-time index build over the corpus
+    shutil.rmtree(f"{root}/index", ignore_errors=True)
+    t0 = time.time()
+    info = MI.build_minhash_index(
+        corpus, f"{root}/index", id_col="doc_id", text_col="text"
+    )
+    t_build = time.time() - t0
+    print(
+        f"B index build: {info['n_docs']} docs in {t_build:.1f}s "
+        f"({info['n_docs'] / t_build:.0f} docs/s)",
+        flush=True,
+    )
+
+    # leg C: per-snapshot incremental query (the steady-state cost)
+    t0 = time.time()
+    res = MI.query_minhash_index(
+        batch,
+        f"{root}/index",
+        threshold=THRESHOLD,
+        id_col="doc_id",
+        text_col="text",
+        include_within_batch=True,
+    )
+    res.write.mode("overwrite").parquet(f"{root}/incr_pairs")
+    t_query = time.time() - t0
+    DD.release_cache(res)
+    incr = spark.read.parquet(f"{root}/incr_pairs")
+    n_incr = incr.count()
+    n_cross = incr.filter("pair_type = 'index-new'").count()
+    print(
+        f"C incremental query: {n_incr} pairs ({n_cross} cross) in "
+        f"{t_query:.1f}s ({n_batch / t_query:.0f} batch docs/s) — "
+        f"{t_full / t_query:.1f}x faster than from-scratch",
+        flush=True,
+    )
+
+    # recall of the incremental path vs the from-scratch run's pairs
+    # touching the batch (identical sketch code; gap = 0 expected)
+    full_pairs = spark.read.parquet(f"{root}/full_pairs")
+    batch_ids = batch.select(F.col("doc_id").alias("bid"))
+    full_batch_pairs = (
+        full_pairs.join(
+            batch_ids.hint("broadcast"),
+            (F.col("id_a") == F.col("bid"))
+            | (F.col("id_b") == F.col("bid")),
+            "left_semi",
+        )
+    ).select(
+        F.least("id_a", "id_b").alias("x"),
+        F.greatest("id_a", "id_b").alias("y"),
+    ).distinct()
+    incr_norm = incr.select(
+        F.least("id_index", "id_new").alias("x"),
+        F.greatest("id_index", "id_new").alias("y"),
+    ).distinct()
+    n_truth = full_batch_pairs.count()
+    n_hit = full_batch_pairs.join(incr_norm, ["x", "y"], "inner").count()
+    print(
+        f"parity: {n_hit}/{n_truth} of from-scratch batch-touching "
+        f"pairs found incrementally "
+        f"(recall {n_hit / max(n_truth, 1):.4f})",
+        flush=True,
+    )
+    leaked = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    print(f"persistent RDDs after runs: {len(leaked)}")
+
+
+if __name__ == "__main__":
+    main()
