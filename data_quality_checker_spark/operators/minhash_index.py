@@ -63,6 +63,7 @@ __all__ = [
     "append_minhash_index",
     "query_minhash_index",
     "read_minhash_index_meta",
+    "compact_minhash_index",
 ]
 
 _FORMAT_VERSION = 1
@@ -275,6 +276,40 @@ def append_minhash_index(
     finally:
         base.unpersist()
     return {**meta, "n_appended": n_appended}
+
+
+def compact_minhash_index(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_mb: int = 256,
+) -> dict:
+    """Rewrite the index with healthy file sizes after many appends.
+
+    Every append adds a few files per table; a nightly-crawl index
+    accumulates thousands of sub-MB parquet files and query scans pay
+    per-file open cost (sources/io.compact_parquet has the full
+    rationale). Compacts shingles/signatures/bands via compact_parquet
+    and re-writes the manifest unchanged. NEVER in-place (a same-path
+    rewrite is non-atomic everywhere) — write to ``out_path`` and swap
+    directories in the orchestrator; queries running against the old
+    path are unaffected until the swap.
+
+    Returns per-table compaction stats keyed by table name."""
+    from data_quality_checker_spark.sources.io import compact_parquet
+
+    meta = read_minhash_index_meta(spark, path)
+    stats = {
+        name: compact_parquet(
+            spark, f"{path}/{name}", f"{out_path}/{name}", target_mb
+        )
+        for name in ("shingles", "signatures", "bands")
+    }
+    manifest = {k: meta[k] for k in ("format_version", *_META_KEYS)}
+    spark.createDataFrame([manifest]).coalesce(1).write.mode(
+        "overwrite"
+    ).json(f"{out_path}/meta")
+    return stats
 
 
 def _check_id_type(df: DataFrame, id_col: str, meta: dict) -> None:

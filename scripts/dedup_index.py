@@ -9,6 +9,9 @@
         --output /path/pairs [--threshold 0.8 --within-batch]
     spark-submit --py-files dqc.zip scripts/dedup_index.py append \
         --input /path/new_batch_parquet --index /path/index
+    spark-submit --py-files dqc.zip scripts/dedup_index.py compact \
+        --index /path/index --output /path/index_compacted \
+        [--target-mb 256]
 
 The rolling-crawl loop is `query` (report the batch's duplicates
 against everything ingested) then `append` (make the batch part of
@@ -30,10 +33,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("action", choices=["build", "query", "append"])
-    p.add_argument("--input", required=True, help="parquet path of docs")
+    p.add_argument(
+        "action", choices=["build", "query", "append", "compact"]
+    )
+    p.add_argument("--input", help="parquet path of docs")
     p.add_argument("--index", required=True, help="index root path")
-    p.add_argument("--output", help="pairs parquet path (query only)")
+    p.add_argument(
+        "--output",
+        help="pairs parquet path (query) / compacted index root (compact)",
+    )
+    p.add_argument("--target-mb", type=int, default=256)
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.add_argument("--threshold", type=float, default=0.7)
@@ -46,8 +55,10 @@ def main() -> None:
     )
     p.add_argument("--master", default=None, help="override (tests)")
     args = p.parse_args()
-    if args.action == "query" and not args.output:
-        p.error("query requires --output")
+    if args.action in ("query", "compact") and not args.output:
+        p.error(f"{args.action} requires --output")
+    if args.action != "compact" and not args.input:
+        p.error(f"{args.action} requires --input")
 
     from data_quality_checker_spark.operators import dedup as DD
     from data_quality_checker_spark.operators import minhash_index as MI
@@ -57,6 +68,12 @@ def main() -> None:
         f"dqc-dedup-index-{args.action}",
         **({"master": args.master} if args.master else {}),
     )
+    if args.action == "compact":
+        stats = MI.compact_minhash_index(
+            spark, args.index, args.output, target_mb=args.target_mb
+        )
+        print(json.dumps({"action": "compact", **stats}), flush=True)
+        return
     docs = spark.read.parquet(args.input)
     if args.action == "build":
         info = MI.build_minhash_index(

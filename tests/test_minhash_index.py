@@ -219,6 +219,41 @@ def test_empty_batch_stable_schema(spark, idx):
     DD.release_cache(res)
 
 
+def test_compact_preserves_results(spark, idx, tmp_path):
+    """Append fragments the index; compaction rewrites it with fewer
+    files and IDENTICAL query results (manifest carried over)."""
+    path0, old, new, _ = idx
+    path = str(tmp_path / "frag")
+    shutil.copytree(path0, path)
+    # two appends -> extra small files per table
+    MI.append_minhash_index(new.filter("doc_id >= 150"), path)
+    MI.append_minhash_index(
+        new.filter("doc_id < 150").select(
+            (F.col("doc_id") + 40_000).alias("doc_id"), "text"
+        ),
+        path,
+    )
+    probe = old.filter("doc_id = 22").select(
+        (F.col("doc_id") + 60_000).alias("doc_id"), "text"
+    )
+    before = MI.query_minhash_index(probe, path, threshold=0.9)
+    got_before = _pairs(before)
+    DD.release_cache(before)
+    compacted = str(tmp_path / "compacted")
+    stats = MI.compact_minhash_index(spark, path, compacted)
+    assert set(stats) == {"shingles", "signatures", "bands"}
+    assert all(
+        s["files_after"] <= s["files_before"] for s in stats.values()
+    )
+    assert stats["bands"]["files_after"] < stats["bands"]["files_before"]
+    meta = MI.read_minhash_index_meta(spark, compacted)
+    assert meta["num_hashes"] == 32
+    after = MI.query_minhash_index(probe, compacted, threshold=0.9)
+    got_after = _pairs(after)
+    DD.release_cache(after)
+    assert got_after == got_before and (22, 60_022, 1.0, "index-new") in got_after
+
+
 def test_md5_family_round_trip(spark, sf_dir, tmp_path):
     """The cross-engine md5 family builds/queries too (the oracle
     entry's configuration): text shingles, string signatures."""
