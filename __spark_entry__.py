@@ -3947,9 +3947,9 @@ def q_simhash_neardups(spark, sf):
         .filter(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= 3)
         .select("id_a", "id_b", F.lit(1).alias("_t"))
     )
-    found = DD.near_duplicates_simhash(docs, max_hamming=3).select(
-        "id_a", "id_b", F.lit(1).alias("_f")
-    )
+    found = DD.near_duplicates_simhash(
+        docs, max_hamming=3, persist=False
+    ).select("id_a", "id_b", F.lit(1).alias("_f"))
     j = truth.join(found, ["id_a", "id_b"], "full")
     return j.agg(
         (F.coalesce(F.sum(F.when(F.col("_f").isNull(), 1)), F.lit(0)) == 0)

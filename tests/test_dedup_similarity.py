@@ -56,9 +56,9 @@ def test_simhash_near_duplicates(spark):
     df = spark.createDataFrame(
         [(0, a), (1, a), (2, b), (3, c)], "doc_id long, text string"
     )
+    res = D.near_duplicates_simhash(df, max_hamming=6, persist=False)
     pairs = {
-        (r["id_a"], r["id_b"]): r["hamming"]
-        for r in D.near_duplicates_simhash(df, max_hamming=6).collect()
+        (r["id_a"], r["id_b"]): r["hamming"] for r in res.collect()
     }
     assert (0, 1) in pairs and pairs[(0, 1)] == 0
     assert (0, 2) in pairs and pairs[(0, 2)] > 0
