@@ -64,6 +64,7 @@ __all__ = [
     "query_minhash_index",
     "read_minhash_index_meta",
     "compact_minhash_index",
+    "filter_batch_against_index",
 ]
 
 _FORMAT_VERSION = 1
@@ -276,6 +277,60 @@ def append_minhash_index(
     finally:
         base.unpersist()
     return {**meta, "n_appended": n_appended}
+
+
+def filter_batch_against_index(
+    new_df: DataFrame,
+    path: str,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    drop_within_batch: bool = True,
+    **query_kwargs,
+) -> DataFrame:
+    """The operational form of :func:`query_minhash_index`: the batch
+    MINUS its duplicates — drop every batch doc that near-duplicates
+    an indexed doc and (``drop_within_batch``, default) keep one
+    canonical member (min id) per within-batch cluster, via the same
+    dedup.drop_near_duplicates rule the batch pipeline uses. The
+    survivors are what a rolling-crawl pipeline appends to the index
+    and ships downstream. Anti-joins on ids only — never touches
+    text. Call dedup.release_cache(result) once consumed.
+
+    Interaction rule when a doc is in BOTH pair kinds: cross drops
+    apply first, then within-batch clustering keeps its min-id
+    canonical among the batch. A within-cluster whose canonical also
+    matched the index loses all its members (the content is already
+    in the corpus); a non-canonical member that matched the index
+    drops without dragging down its cluster's canonical (near-dup at
+    a threshold is not transitive — the canonical earned no direct
+    index match)."""
+    from data_quality_checker_spark.operators.dedup import (
+        drop_near_duplicates,
+    )
+
+    pairs = query_minhash_index(
+        new_df, path, threshold=threshold, id_col=id_col,
+        text_col=text_col, include_within_batch=drop_within_batch,
+        **query_kwargs,
+    )
+    cached = list(getattr(pairs, "_cached_deps", ()))
+    cross_losers = (
+        pairs.filter(F.col("pair_type") == "index-new")
+        .select(F.col("id_new").alias(id_col))
+        .distinct()
+    )
+    out = new_df.join(cross_losers, id_col, "left_anti")
+    if drop_within_batch:
+        within = pairs.filter(F.col("pair_type") == "new-new").select(
+            "id_index", "id_new"
+        )
+        out = drop_near_duplicates(
+            out, within, id_col=id_col, id_a="id_index", id_b="id_new"
+        )
+        cached.extend(getattr(out, "_cached_deps", ()))
+    out._cached_deps = tuple(cached)
+    return out
 
 
 def compact_minhash_index(

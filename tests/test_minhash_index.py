@@ -219,6 +219,41 @@ def test_empty_batch_stable_schema(spark, idx):
     DD.release_cache(res)
 
 
+def test_filter_batch_against_index(spark, idx):
+    """Survivors = batch minus index-matches minus within-batch
+    non-canonicals; fresh docs pass through untouched."""
+    path, old, new, _ = idx
+    # add a within-batch duplicate PAIR of fresh content: 150' = clone
+    # of 150 under a higher id — 150 stays (canonical), clone drops
+    batch = new.unionByName(
+        new.filter("doc_id = 150").select(
+            (F.col("doc_id") + 70_000).alias("doc_id"), "text"
+        )
+    )
+    out = MI.filter_batch_against_index(batch, path, threshold=THRESHOLD)
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    DD.release_cache(out)
+    # exact clone of indexed doc 7 -> dropped
+    assert 20_007 not in kept
+    # EVERY batch doc that pairs with the index is gone (short docs'
+    # tail-appended clones can legitimately fall below threshold and
+    # survive — expected drops derive from the pairs, not the plant)
+    res = MI.query_minhash_index(
+        batch, path, threshold=THRESHOLD, include_within_batch=True
+    )
+    prs = _pairs(res)
+    DD.release_cache(res)
+    cross_losers = {p[1] for p in prs if p[3] == "index-new"}
+    assert cross_losers and not (cross_losers & kept)
+    # fresh canonical kept, its within-batch clone dropped
+    assert 150 in kept and 70_150 not in kept
+    # a batch doc in NO pair passes through
+    all_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    paired = {p[1] for p in prs} | {p[0] for p in prs if p[3] == "new-new"}
+    untouched = all_ids - paired
+    assert untouched and untouched <= kept
+
+
 def test_compact_preserves_results(spark, idx, tmp_path):
     """Append fragments the index; compaction rewrites it with fewer
     files and IDENTICAL query results (manifest carried over)."""
