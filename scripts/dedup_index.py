@@ -9,6 +9,9 @@
         --output /path/pairs [--threshold 0.8 --within-batch]
     spark-submit --py-files dqc.zip scripts/dedup_index.py append \
         --input /path/new_batch_parquet --index /path/index
+    spark-submit --py-files dqc.zip scripts/dedup_index.py filter \
+        --input /path/new_batch_parquet --index /path/index \
+        --output /path/survivors [--threshold 0.8]
     spark-submit --py-files dqc.zip scripts/dedup_index.py compact \
         --index /path/index --output /path/index_compacted \
         [--target-mb 256]
@@ -34,7 +37,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument(
-        "action", choices=["build", "query", "append", "compact"]
+        "action",
+        choices=["build", "query", "append", "filter", "compact"],
     )
     p.add_argument("--input", help="parquet path of docs")
     p.add_argument("--index", required=True, help="index root path")
@@ -47,6 +51,11 @@ def main() -> None:
     p.add_argument("--text-col", default="text")
     p.add_argument("--threshold", type=float, default=0.7)
     p.add_argument("--within-batch", action="store_true")
+    p.add_argument(
+        "--within-batch-keep-all",
+        action="store_true",
+        help="filter: drop only index matches, keep within-batch dups",
+    )
     p.add_argument("--num-hashes", type=int, default=32)
     p.add_argument("--num-bands", type=int, default=8)
     p.add_argument("--k-shingle", type=int, default=3)
@@ -55,7 +64,7 @@ def main() -> None:
     )
     p.add_argument("--master", default=None, help="override (tests)")
     args = p.parse_args()
-    if args.action in ("query", "compact") and not args.output:
+    if args.action in ("query", "filter", "compact") and not args.output:
         p.error(f"{args.action} requires --output")
     if args.action != "compact" and not args.input:
         p.error(f"{args.action} requires --input")
@@ -90,6 +99,22 @@ def main() -> None:
         info = MI.append_minhash_index(
             docs, args.index, id_col=args.id_col, text_col=args.text_col
         )
+    elif args.action == "filter":
+        survivors = MI.filter_batch_against_index(
+            docs,
+            args.index,
+            threshold=args.threshold,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            drop_within_batch=not args.within_batch_keep_all,
+        )
+        survivors.write.mode("overwrite").parquet(args.output)
+        DD.release_cache(survivors)
+        info = {
+            "n_in": docs.count(),
+            "n_survivors": spark.read.parquet(args.output).count(),
+            "output": args.output,
+        }
     else:
         pairs = MI.query_minhash_index(
             docs,
