@@ -2302,6 +2302,7 @@ def q_minhash_index_query(spark, sf):
     the reference has no incremental surface; this is the rolling-
     crawl workflow where only the new batch is ever re-sketched."""
     import hashlib
+    import os
 
     from data_quality_checker_spark.operators import minhash_index as MI
 
@@ -2323,9 +2324,15 @@ def q_minhash_index_query(spark, sf):
             )
         )
     )
+    # per-PROCESS path: this gate rebuilds (overwrite) on every call,
+    # so a shared path would race a concurrent check_oracle/pytest on
+    # the same machine (one process's overwrite deleting files the
+    # other is mid-scan on); pid-keying confines rewrites to sequential
+    # same-process calls, where overwrite is safe
     path = (
         "/tmp/dqc_oracle_minhash_index/"
         + hashlib.md5(sf.encode()).hexdigest()[:12]
+        + f"_pid{os.getpid()}"
     )
     MI.build_minhash_index(
         old, path, num_hashes=8, num_bands=4,

@@ -123,22 +123,34 @@ def _bench_spans_cdc(spark, sf_dir):
     )
 
 
+_INDEX_PARAMS = dict(k_shingle=3, num_hashes=32, num_bands=8, shingle_mode="hash")
+
+
 def _minhash_index_parquet(spark, sf_dir: str) -> str:
     """One-time MinHash index over the sf documents table (cached per
-    sf_dir, built OUTSIDE the timed legs — the _pages_parquet
-    convention; the build cost is a separately-reported one-time
-    number in BENCH.md's Incremental dedup section)."""
+    (sf_dir, every sketch parameter) — the _vectors_parquet keying
+    convention, so a recipe change can never silently reuse a stale
+    index — built OUTSIDE the timed legs; the build cost is a
+    separately-reported one-time number in BENCH.md's Incremental
+    dedup section). The cache sentinel is meta/_SUCCESS: the manifest
+    is the LAST table build_minhash_index writes, so an interrupted
+    build re-runs instead of wedging every later bench."""
     import hashlib
 
     from data_quality_checker_spark.operators import minhash_index as MI
 
+    p = _INDEX_PARAMS
+    key = (
+        f"{sf_dir}|k{p['k_shingle']}_h{p['num_hashes']}"
+        f"_b{p['num_bands']}_{p['shingle_mode']}"
+    )
     path = (
         "/tmp/dqc_bench/minhash_index_"
-        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        + hashlib.md5(key.encode()).hexdigest()[:12]
     )
-    if not os.path.exists(f"{path}/bands/_SUCCESS"):
+    if not os.path.exists(f"{path}/meta/_SUCCESS"):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        MI.build_minhash_index(docs, path)
+        MI.build_minhash_index(docs, path, **p)
     return path
 
 

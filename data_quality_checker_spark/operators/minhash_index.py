@@ -92,18 +92,38 @@ def _sketch(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(shingles [id, sh], signatures [id, h0..], bands [id, bk]) —
     the exact expressions near_duplicates_minhash builds."""
-    rows_per_band = num_hashes // num_bands
     base = _minhash_shingle_plan(df, id_col, text_col, k_shingle, shingle_mode)
+    sig, bands = _derive_sig_bands(
+        base, num_hashes, num_bands, shingle_mode, one_permutation,
+        hash_family,
+    )
+    return base, sig, bands
+
+
+def _bands_of(sig: DataFrame, num_hashes: int, num_bands: int) -> DataFrame:
+    """[id, bk] band-key table from a signature table — the ONE place
+    this derivation lives, so build/append/query forms cannot drift."""
+    return sig.select(
+        "id",
+        F.explode(
+            _minhash_band_key_array(num_bands, num_hashes // num_bands)
+        ).alias("bk"),
+    )
+
+
+def _derive_sig_bands(
+    base: DataFrame,
+    num_hashes: int,
+    num_bands: int,
+    shingle_mode: str,
+    one_permutation: bool,
+    hash_family: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(signatures, bands) from a shingle table (shared derivation)."""
     sig = _minhash_signature_plan(
         base, num_hashes, shingle_mode, one_permutation, hash_family
     )
-    bands = sig.select(
-        "id",
-        F.explode(
-            _minhash_band_key_array(num_bands, rows_per_band)
-        ).alias("bk"),
-    )
-    return base, sig, bands
+    return sig, _bands_of(sig, num_hashes, num_bands)
 
 
 def _validate_params(
@@ -198,12 +218,7 @@ def build_minhash_index(
     )
     sig.write.mode("overwrite").parquet(f"{path}/signatures")
     sig_r = spark.read.parquet(f"{path}/signatures")
-    bands = sig_r.select(
-        "id",
-        F.explode(
-            _minhash_band_key_array(num_bands, num_hashes // num_bands)
-        ).alias("bk"),
-    )
+    bands = _bands_of(sig_r, num_hashes, num_bands)
     bands.write.mode("overwrite").parquet(f"{path}/bands")
     meta = {
         "format_version": _FORMAT_VERSION,
@@ -247,29 +262,22 @@ def append_minhash_index(
     spark = new_df.sparkSession
     meta = read_minhash_index_meta(spark, path)
     _check_id_type(new_df, id_col, meta)
-    base, _, _ = _sketch(
-        new_df, id_col, text_col, meta["k_shingle"], meta["num_hashes"],
-        meta["num_bands"], meta["shingle_mode"], meta["one_permutation"],
-        meta["hash_family"],
-    )
-    base = base.persist()
+    base = _minhash_shingle_plan(
+        new_df, id_col, text_col, meta["k_shingle"], meta["shingle_mode"]
+    ).persist()
     try:
+        # sig/bands derive from the PERSISTED base (the only difference
+        # from _sketch's plain plans — derivation itself is shared)
+        sig, _ = _derive_sig_bands(
+            base, meta["num_hashes"], meta["num_bands"],
+            meta["shingle_mode"], meta["one_permutation"],
+            meta["hash_family"],
+        )
         base.write.mode("append").parquet(f"{path}/shingles")
-        sig = _minhash_signature_plan(
-            base, meta["num_hashes"], meta["shingle_mode"],
-            meta["one_permutation"], meta["hash_family"],
-        ).persist()
+        sig = sig.persist()
         try:
             sig.write.mode("append").parquet(f"{path}/signatures")
-            bands = sig.select(
-                "id",
-                F.explode(
-                    _minhash_band_key_array(
-                        meta["num_bands"],
-                        meta["num_hashes"] // meta["num_bands"],
-                    )
-                ).alias("bk"),
-            )
+            bands = _bands_of(sig, meta["num_hashes"], meta["num_bands"])
             bands.write.mode("append").parquet(f"{path}/bands")
             n_appended = base.count()
         finally:
@@ -309,6 +317,11 @@ def filter_batch_against_index(
         drop_near_duplicates,
     )
 
+    if "include_within_batch" in query_kwargs:
+        raise TypeError(
+            "filter_batch_against_index controls pair kinds via "
+            "drop_within_batch, not include_within_batch"
+        )
     pairs = query_minhash_index(
         new_df, path, threshold=threshold, id_col=id_col,
         text_col=text_col, include_within_batch=drop_within_batch,
@@ -351,8 +364,21 @@ def compact_minhash_index(
     path are unaffected until the swap.
 
     Returns per-table compaction stats keyed by table name."""
+    import os as _os
+
     from data_quality_checker_spark.sources.io import compact_parquet
 
+    # enforce the documented contract (local symlink aliases resolved;
+    # URI-addressed paths compare textually)
+    same = path.rstrip("/") == out_path.rstrip("/")
+    if not same and "://" not in path and "://" not in out_path:
+        same = _os.path.realpath(path) == _os.path.realpath(out_path)
+    if same:
+        raise ValueError(
+            "compact_minhash_index never rewrites in-place: out_path "
+            "must differ from path (write aside, then swap in the "
+            "orchestrator)"
+        )
     meta = read_minhash_index_meta(spark, path)
     stats = {
         name: compact_parquet(

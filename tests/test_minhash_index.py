@@ -289,6 +289,16 @@ def test_compact_preserves_results(spark, idx, tmp_path):
     assert got_after == got_before and (22, 60_022, 1.0, "index-new") in got_after
 
 
+def test_guards(spark, idx, tmp_path):
+    path, _, new, _ = idx
+    with pytest.raises(ValueError, match="in-place"):
+        MI.compact_minhash_index(spark, path, path + "/")
+    with pytest.raises(TypeError, match="drop_within_batch"):
+        MI.filter_batch_against_index(
+            new, path, include_within_batch=True
+        )
+
+
 def test_md5_family_round_trip(spark, sf_dir, tmp_path):
     """The cross-engine md5 family builds/queries too (the oracle
     entry's configuration): text shingles, string signatures."""
