@@ -2092,9 +2092,16 @@ def q_url_canonical(spark, sf):
 
 
 def _sql_url_canonical() -> str:
-    from data_quality_checker_spark.plans.urlfilter import TRACKING_PARAMS
+    from data_quality_checker_spark.plans.urlfilter import (
+        AUTH_CLASS,
+        TRACKING_PARAMS,
+    )
 
     tp = ", ".join(f"'{p}'" for p in TRACKING_PARAMS)
+    # the authority class (incl. its line-terminator exclusions)
+    # interpolates VERBATIM from the shared constant, so the twin can
+    # never drift from the Catalyst/Python forms
+    ac = AUTH_CLASS
     return rf"""
 with u as (
  select doc_id,
@@ -2120,9 +2127,9 @@ with u as (
 s as (select doc_id, url, string_split(url, '#')[1] nofrag from u),
 a as (select doc_id, url, nofrag,
   coalesce(regexp_extract(nofrag,
-    '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*'), '') auth,
+    '^[a-zA-Z][a-zA-Z0-9+.\-]*://{ac}*'), '') auth,
   regexp_replace(nofrag,
-    '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*', '') rest
+    '^[a-zA-Z][a-zA-Z0-9+.\-]*://{ac}*', '') rest
  from s),
 b as (select doc_id, url, auth,
   regexp_replace(

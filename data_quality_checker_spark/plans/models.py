@@ -97,9 +97,23 @@ def load_langid_model(path: str):
     the wordlist stand-in (this module) or the trained char-n-gram
     multinomial (plans/langid.py, dqs-langid-charngram-v1). Both
     loaders return a non-picklable object with ``.predict(text)`` —
-    the only contract plans/udfs.langid_udf needs."""
-    with gzip.open(path, "rt", encoding="utf-8") as fh:
-        payload = json.load(fh)
+    the only contract plans/udfs.langid_udf needs.
+
+    This loader handles ONLY the repo's gzip-json artifact formats —
+    a fastText .bin is NOT one of them (that path is
+    $SPARK_DQC_FASTTEXT_MODEL + langid_impl='udf' via
+    plans/udfs.langid_udf, which imports fasttext when present);
+    detect the mismatch here with an actionable error instead of a
+    worker-side BadGzipFile."""
+    try:
+        with gzip.open(path, "rt", encoding="utf-8") as fh:
+            payload = json.load(fh)
+    except (OSError, UnicodeDecodeError, json.JSONDecodeError) as exc:
+        raise ValueError(
+            f"{path} is not a gzip-json langid artifact (fastText "
+            f".bin models route via $SPARK_DQC_FASTTEXT_MODEL with "
+            f"langid_impl='udf', not langid_model_path): {exc}"
+        ) from exc
     fmt = payload.get("format")
     if fmt == FORMAT:
         return WordlistLangID(payload["langs"], payload["weights"])

@@ -52,13 +52,17 @@ class PipelineConfig:
     # "sql" = pure-Catalyst heuristic langid; "udf" = pandas-UDF path
     # (fastText-ready). Both produce the same labels in this sandbox.
     langid_impl: str = "sql"
-    # trained langid artifact (plans/langid char-ngram multinomial, or
-    # a fastText binary on a real cluster): when set, langid_impl
-    # "udf" routes through langid_conf_udf and the scored frame gains
-    # lang_detected + lang_confidence (calibrated P(correct)); the
-    # lang rule re-fires on the model's label. The north rule's
-    # "fastText language-ID scored inside vectorized pandas/Arrow
-    # UDFs", end to end.
+    # trained langid artifact — one of the repo's gzip-json formats
+    # (plans/langid char-ngram multinomial or the wordlist stand-in;
+    # models.load_langid_model rejects anything else with an
+    # actionable error). When set, langid_impl "udf" routes through
+    # langid_conf_udf and the scored frame gains lang_detected +
+    # lang_confidence (calibrated P(correct)); the lang rule re-fires
+    # on the model's label. A fastText .bin on a real cluster goes
+    # through $SPARK_DQC_FASTTEXT_MODEL + langid_impl='udf' (label
+    # only, no confidence column), NOT this knob. The north rule's
+    # "language-ID scored inside vectorized pandas/Arrow UDFs", end
+    # to end.
     langid_model_path: str | None = None
     # drop docs whose model label is allowed but whose calibrated
     # confidence is below this (CCNet-style low-confidence reject);
@@ -235,7 +239,12 @@ def with_near_dup_verdict(
     The left join back is on ``url``, so the sketch input is deduped on
     url first (score_pages with dedup_latest_capture already guarantees
     uniqueness; standalone callers may not) — otherwise a repeated url
-    would fan out scored rows and mislabel distinct documents.
+    would fan out scored rows and mislabel distinct documents. The
+    representative per url is the MIN-md5(text) capture — a
+    DETERMINISTIC choice, unlike dropDuplicates whose pick depends on
+    partition/file layout and would let the streaming and batch
+    compositions (different sink layouts, same rows) sketch different
+    texts for a multi-capture url and flakily diverge on near_dup_of.
 
     ``storage_path`` is forwarded to the MinHash sketcher: when set the
     shingle/signature intermediates are written as parquet (resumable,
@@ -251,7 +260,8 @@ def with_near_dup_verdict(
     kept = (
         scored.filter("keep")
         .select("url", "text")
-        .dropDuplicates(["url"])
+        .groupBy("url")
+        .agg(F.min_by("text", F.md5("text")).alias("text"))
     )
     pairs = near_duplicates_minhash(
         kept,

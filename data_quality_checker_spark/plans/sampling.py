@@ -67,23 +67,60 @@ def stride_sample_column(
     — and therefore the trained artifacts (BPE merges, POS perceptron,
     Shapiro sample) built from them. When a stable unique key exists,
     pass ``key_col`` to switch the draw to the repo's md5-threshold
-    predicate (hash_frac_predicate), which depends only on row VALUES:
-    same rows selected under any layout."""
+    predicate (hash_frac_predicate) AND a key-hash collect order:
+    both the drawn set and the stride cut then depend only on row
+    VALUES — same final sample under any layout (the draw alone
+    would not suffice: collect() returns partition order, and the
+    cut is positional).
+
+    ``key_col`` must be non-null on every sampled row (validated,
+    fail-fast): concat_ws SKIPS a null argument, so every null-key row
+    would hash the identical constant and the whole subpopulation
+    would be drawn all-or-nothing — either flooding the cut or
+    silently vanishing from the trained artifact."""
     cap = target if cap is None else cap
     src = df.select(
         col, *([key_col] if key_col and key_col != col else [])
     ).filter(F.col(col).isNotNull())
-    total = src.count()
+    if key_col is not None:
+        counts = src.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.col(key_col).isNull().cast("long")
+            ).alias("null_keys"),
+        ).head()
+        total = counts["n"]
+        if (counts["null_keys"] or 0) > 0:
+            raise ValueError(
+                f"key_col {key_col!r} has {counts['null_keys']} NULL "
+                f"values among sampled rows — the hash draw needs a "
+                f"never-null key (url/doc_id) or the null-key rows "
+                f"collapse into one all-or-nothing decision"
+            )
+    else:
+        total = src.count()
     frac = min(1.0, (target * oversample) / max(total, 1))
     if key_col is not None:
-        drawn = src.filter(
-            hash_frac_predicate(
-                F.concat_ws("|", F.col(key_col), F.lit(str(seed))), frac
-            )
+        hk = F.md5(
+            F.concat_ws("|", F.col(key_col), F.lit(str(seed)))
         )
+        drawn = src.filter(hash_frac_predicate(hk, frac))
+        # ORDER by the key hash too: collect() returns partition
+        # order, so without this the stride cut (positional) — and
+        # the artifact trained on the sample — would still change
+        # under a re-layout even though the drawn SET is stable. The
+        # hash order is a deterministic shuffle, preserving the cut's
+        # every-region-represented property without value-sorting
+        # bias.
+        vals = [
+            r[0]
+            for r in drawn.select(F.col(col), hk.alias("_hk"))
+            .orderBy("_hk", col)
+            .collect()
+        ]
     else:
         drawn = src.sample(fraction=frac, seed=seed)
-    vals = [r[0] for r in drawn.select(col).collect()]
+        vals = [r[0] for r in drawn.select(col).collect()]
     if len(vals) > cap:
         step = len(vals) / cap
         vals = [vals[int(i * step)] for i in range(cap)]

@@ -151,38 +151,62 @@ def pages_df_distributed(
     es_arr = F.array(*[F.lit(w) for w in STOPWORDS["es"]])
 
     def pick(arr, size, salt):
-        # deterministic word pick per (id, position, seed)
+        # deterministic word pick per (id, position, seed); salt may be
+        # an int literal or a column — xxhash64 sees IntegerType either
+        # way, so both forms produce THE SAME hash (byte-identity of
+        # the corpus across the two construction styles is pinned by
+        # test_synth_generator_byte_identity)
+        salt_c = F.lit(salt) if isinstance(salt, int) else salt
         return F.element_at(
             arr,
             (
                 F.pmod(
-                    F.xxhash64(F.col("id"), F.lit(salt), F.lit(seed)),
+                    F.xxhash64(F.col("id"), salt_c, F.lit(seed)),
                     F.lit(size),
                 )
                 + 1
             ).cast("int"),
         )
 
+    # Per-position picks via transform over a position sequence rather
+    # than an unrolled concat_ws of one subtree per position: the
+    # unrolled form put hundreds of xxhash64/element_at subtrees into
+    # ONE projection (text inlines twice: html + text), janino's 64 KB
+    # method limit tripped, and every corpus generation ran with
+    # whole-stage-codegen fallback noise (InternalCompilerException
+    # per attempt). The transform form is one expression per pool —
+    # HOFs evaluate per-element outside codegen, which is fine for the
+    # one-time generation job — and hashes IDENTICALLY (same salt
+    # integers, same types).
     def words_expr(n_words, stop_every=4):
-        parts = []
-        for i in range(n_words):
-            if i % stop_every == 0:
-                parts.append(pick(stop_arr, len(_STOP), 1000 + i))
-            else:
-                parts.append(pick(content_arr, len(_CONTENT), 2000 + i))
-        return F.concat_ws(" ", *parts)
+        idx = F.sequence(F.lit(0), F.lit(n_words - 1))
+
+        def _one(i):
+            return F.when(
+                F.pmod(i, F.lit(stop_every)) == 0,
+                pick(stop_arr, len(_STOP), i + F.lit(1000)),
+            ).otherwise(
+                pick(content_arr, len(_CONTENT), i + F.lit(2000))
+            )
+
+        return F.array_join(F.transform(idx, _one), " ")
+
+    def pool_expr(arr, size, n_words, salt_base):
+        idx = F.sequence(F.lit(salt_base), F.lit(salt_base + n_words - 1))
+        return F.array_join(
+            F.transform(idx, lambda s: pick(arr, size, s)), " "
+        )
 
     clean = words_expr(60)
     short = words_expr(3)
-    foreign = F.concat_ws(
-        " ", *[pick(es_arr, len(STOPWORDS["es"]), 3000 + i) for i in range(40)]
-    )
-    nostop = F.concat_ws(
-        " ", *[pick(content_arr, len(_CONTENT), 4000 + i) for i in range(50)]
-    )
-    repeated = F.concat_ws(
-        " ",
-        *([pick(content_arr, len(_CONTENT), 5000)] * 60 + [F.lit("the and")]),
+    foreign = pool_expr(es_arr, len(STOPWORDS["es"]), 40, 3000)
+    nostop = pool_expr(content_arr, len(_CONTENT), 50, 4000)
+    repeated = F.concat(
+        F.array_join(
+            F.array_repeat(pick(content_arr, len(_CONTENT), 5000), 60),
+            " ",
+        ),
+        F.lit(" the and"),
     )
     pii = F.concat(
         words_expr(45),

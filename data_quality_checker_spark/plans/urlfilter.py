@@ -352,7 +352,17 @@ TRACKING_PARAMS = (
     "sessionid", "phpsessid", "jsessionid",
 )
 
-_SCHEME_AUTH_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*"
+# Characters that END the authority: the URL delimiters plus EVERY
+# line terminator Java's dot excludes (\r \n     ).
+# Keeping terminators OUT of the authority is what makes the greedy
+# `^(.*@)` userinfo split agree across engines — Java's dot excludes
+# all five, RE2's only \n, Python's rfind none, so an authority that
+# contained one would split differently per engine; an authority that
+# cannot contain one sidesteps all three semantics. Shared with the
+# DuckDB twin (__spark_entry__ interpolates AUTH_CLASS).
+_AUTH_STOP = "/?#\r\n\u0085\u2028\u2029"
+AUTH_CLASS = f"[^{_AUTH_STOP}]"
+_SCHEME_AUTH_RE = rf"^[a-zA-Z][a-zA-Z0-9+.\-]*://{AUTH_CLASS}*"
 
 
 def canonical_url(

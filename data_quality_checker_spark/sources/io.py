@@ -3,8 +3,9 @@
 Production layout (north rule): Iceberg tables partitioned by
 ``bucket(N, url)``; this sandbox has no Iceberg runtime jar, so the
 same physical discipline is expressed as parquet partitioned by an
-explicit ``partition_id = pmod(xxhash64(url), N)`` column — identical
-task-to-data mapping, stable across runs/resumes, and the
+explicit ``partition_id = pmod(xxhash64(url), N)`` column — the same
+N-way stable url-hash layout (though not Iceberg's exact row-to-bucket
+assignment, which is murmur3-based — see write_table), and the
 `partitionOverwriteMode=dynamic` writer gives Iceberg-like idempotent
 per-partition overwrite. Swap `format("parquet")` for
 `writeTo(...iceberg...)` when session.ICEBERG_ENABLED.
@@ -111,8 +112,14 @@ def write_table(
     the bucket(N, url) partition transform when ``num_buckets`` is
     set) when the runtime has the Iceberg catalog
     (session.ICEBERG_ENABLED); parquet at `path` otherwise — the
-    fallback expresses the same bucketing as an explicit partition_id
-    column so the task-to-data mapping is identical."""
+    fallback expresses the ANALOGOUS bucketing discipline as an
+    explicit partition_id column: same N-way stable url-hash layout,
+    but NOT the same row-to-bucket assignment (partition_id uses
+    pmod(xxhash64(url), N); Iceberg's bucket transform is spec'd as
+    murmur3_x86_32), so a corpus written via the fallback and later
+    migrated into a real bucket(N, url) table lands rows in DIFFERENT
+    buckets — don't key resume/pruning logic on cross-format bucket
+    equality."""
     from data_quality_checker_spark.session import ICEBERG_ENABLED
 
     if ICEBERG_ENABLED:  # pragma: no cover - no Iceberg jars in sandbox

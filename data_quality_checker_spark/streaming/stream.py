@@ -146,7 +146,12 @@ def run_stream_with_near_dedup_available_now(
     streams incrementally; the near-dedup compaction runs over the
     complete scored snapshot, exactly like the latest-capture url
     dedup this module already delegates downstream. Batch parity is
-    therefore EXACT by construction — pinned by
+    therefore EXACT by construction: the post-pass is a pure function
+    of the scored ROW SET, and with_near_dup_verdict picks each url's
+    sketch representative deterministically (min-md5 text — NOT
+    layout-dependent dropDuplicates, which could sketch different
+    captures for the streamed sink vs the batch input and flip
+    near_dup_of). Pinned by
     tests/test_streaming.py and measured at v2-corpus scale in
     BENCH.md's Streaming section.
 

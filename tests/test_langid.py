@@ -232,7 +232,12 @@ def test_pipeline_with_trained_langid_artifact(spark, artifact, model):
     spark.sparkContext.addFile(artifact)
     en = "the people would make time for this year and day with them"
     es = "el tiempo es bueno para todo el mundo entre años y días"
-    ambiguous = "the el le der og und la de"
+    # chosen so the deterministic artifact resolves it to 'en' (the
+    # allowed lang) in a LOW calibration bin (raw posterior ~0.80 →
+    # bin accuracy 0.5, vs clean English's 0.992288 top bin): the
+    # shape the confidence-reject assertions below REQUIRE — they
+    # fail loudly on fixture drift rather than silently skipping
+    ambiguous = "this time el mundo would la make de"
     gib = "zqx vprw qqj zzk xq"
     ts = dt.datetime(2024, 3, 1)
     rows = [
@@ -268,19 +273,32 @@ def test_pipeline_with_trained_langid_artifact(spark, artifact, model):
     # top-bin confidence survives
     amb_conf = got["https://h.ex/2"]["lang_confidence"]
     en_conf = got["https://h.ex/0"]["lang_confidence"]
-    if got["https://h.ex/2"]["lang_detected"] == "en" and amb_conf < en_conf:
-        thresh = (amb_conf + en_conf) / 2
-        cfg2 = PipelineConfig(
-            dedup_latest_capture=False,
-            langid_impl="udf",
-            langid_model_path=artifact,
-            langid_min_confidence=thresh,
-        )
-        got2 = {
-            r["url"]: r["rule_lang"]
-            for r in score_pages(pages, cfg2)
-            .select("url", "rule_lang")
-            .collect()
-        }
-        assert got2["https://h.ex/2"] is True
-        assert got2["https://h.ex/0"] is False
+    # PRECONDITIONS as assertions, not a conditional skip: this block
+    # is the only end-to-end exercise of langid_min_confidence firing
+    # rule_lang — if a model/corpus tweak breaks the fixture's shape
+    # (ambiguous doc no longer 'en', or no longer lower-confidence
+    # than clean English), the test must FAIL so the fixture gets
+    # rebuilt, not silently stop asserting the reject path.
+    assert got["https://h.ex/2"]["lang_detected"] == "en", (
+        "fixture drift: the ambiguous doc must resolve to an ALLOWED "
+        "lang (en) so only the confidence threshold can fire its rule"
+    )
+    assert amb_conf < en_conf, (
+        "fixture drift: ambiguous doc must be lower-confidence than "
+        "clean English for a separating threshold to exist"
+    )
+    thresh = (amb_conf + en_conf) / 2
+    cfg2 = PipelineConfig(
+        dedup_latest_capture=False,
+        langid_impl="udf",
+        langid_model_path=artifact,
+        langid_min_confidence=thresh,
+    )
+    got2 = {
+        r["url"]: r["rule_lang"]
+        for r in score_pages(pages, cfg2)
+        .select("url", "rule_lang")
+        .collect()
+    }
+    assert got2["https://h.ex/2"] is True
+    assert got2["https://h.ex/0"] is False

@@ -146,3 +146,18 @@ def test_write_trigram_lm_min_count_prunes_and_guards(spark, tmp_path):
         lm.write_trigram_lm(
             str(tmp_path / "guard.lm.gz"), tri, bi, v, max_rows=1
         )
+
+
+def test_load_langid_model_rejects_non_gzip_json(tmp_path):
+    """A fastText .bin (or any non-gzip-json file) handed to the
+    gzip-json loader must fail with an ACTIONABLE error naming the
+    correct route, not a worker-side BadGzipFile (review r5: the
+    config comment used to invite exactly this mistake)."""
+    import pytest
+
+    from data_quality_checker_spark.plans.models import load_langid_model
+
+    bogus = tmp_path / "lid.176.bin"
+    bogus.write_bytes(b"\xba\xd0\x0d fastText binary-ish bytes")
+    with pytest.raises(ValueError, match="SPARK_DQC_FASTTEXT_MODEL"):
+        load_langid_model(str(bogus))

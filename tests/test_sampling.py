@@ -185,3 +185,27 @@ def test_plan_mixture_null_source(spark):
     assert null_row["expected_tokens"] == 0
     # the excluded volume is reported, not hidden
     assert null_row["available_tokens"] > 0
+
+
+def test_stride_sample_key_col_rejects_null_keys(spark):
+    """NULL keys would all hash the identical constant (concat_ws
+    skips nulls) and be drawn all-or-nothing — the draw validates and
+    fails fast instead (review r5)."""
+    import pytest
+
+    from data_quality_checker_spark.plans.sampling import (
+        stride_sample_column,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i), f"k{i}" if i % 3 else None) for i in range(60)],
+        "v double, k string",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        stride_sample_column(df, "v", target=10, key_col="k")
+    # non-null keys still work and are deterministic
+    a = stride_sample_column(df.filter("k is not null"), "v", 10, key_col="k")
+    b = stride_sample_column(
+        df.filter("k is not null").repartition(7), "v", 10, key_col="k"
+    )
+    assert a == b and len(a) == 10

@@ -149,6 +149,14 @@ def test_canonical_url(spark):
         "https://u:p@ss@HOST.com/x": "https://u:p@ss@host.com/x",
         # userinfo ending in a digit run must not confuse port-strip
         "http://key:80@H.com/x": "http://key:80@h.com/x",
+        # line terminators END the authority (the shared AUTH_CLASS
+        # exclusion): engines' dot-vs-terminator semantics differ
+        # (Java excludes \r\n\x85   from '.', RE2 only \n,
+        # Python rfind none), so an '@' AFTER a terminator must not be
+        # treated as a userinfo split by any engine — the remainder is
+        # path-territory and keeps its case
+        "http://AB\r@Host.com/x": "http://ab\r@Host.com/x",
+        "http://AB\n@Host.com/x": "http://ab\n@Host.com/x",
     }
     urls = list(cases)
     df = spark.createDataFrame([(u,) for u in urls], ["u"])
