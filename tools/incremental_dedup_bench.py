@@ -19,6 +19,14 @@ Protocol (synthetic v2 pages, deterministic):
             banding randomness, not drift), no persistent RDDs leaked.
 
 Usage: python tools/incremental_dedup_bench.py [n_docs]
+       python tools/incremental_dedup_bench.py [n_docs] --rolling [k]
+
+--rolling k: the steady-state simulation — build on the corpus, then
+k successive snapshots of n/10 fresh docs each run query THEN append
+(the production loop). Reports per-snapshot query+append seconds
+against the growing index: the claim under test is that per-snapshot
+cost tracks the BATCH (plus its collisions), not the index size — the
+property that makes the index the right tool at 100 TB.
 """
 
 from __future__ import annotations
@@ -30,6 +38,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from data_quality_checker_spark import get_spark
@@ -40,8 +49,79 @@ from data_quality_checker_spark.plans import synth
 THRESHOLD = 0.8
 
 
+def rolling(n: int, k: int) -> None:
+    """k query→append snapshot cycles against a growing index."""
+    root = f"/tmp/dqc_incr_rolling_{n}_{k}"
+    spark = get_spark(
+        "dqc-incremental-rolling", master="local[32]",
+        shuffle_partitions=256,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    snap = n // 10
+    pages_path = f"{root}/pages"
+    if not os.path.exists(f"{pages_path}/_SUCCESS"):
+        (
+            synth.pages_df_distributed(spark, n + k * snap, seed=42)
+            .filter("text is not null")
+            .select(F.xxhash64("url").alias("doc_id"), "text")
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(pages_path)
+        )
+    # bench-only corpus splitter: one global row_number window over
+    # the synthetic corpus — never a production pattern
+    pages = spark.read.parquet(pages_path).withColumn(
+        "_rk", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    base = pages.filter(F.col("_rk") <= n).drop("_rk")
+    import shutil as _sh
+
+    _sh.rmtree(f"{root}/index", ignore_errors=True)
+    t0 = time.time()
+    info = MI.build_minhash_index(
+        base, f"{root}/index", id_col="doc_id", text_col="text"
+    )
+    print(
+        f"build: {info['n_docs']} docs in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+    indexed = info["n_docs"]
+    for i in range(k):
+        lo, hi = n + i * snap, n + (i + 1) * snap
+        batch = pages.filter(
+            (F.col("_rk") > lo) & (F.col("_rk") <= hi)
+        ).drop("_rk")
+        t0 = time.time()
+        res = MI.query_minhash_index(
+            batch, f"{root}/index", threshold=0.8,
+            id_col="doc_id", text_col="text",
+        )
+        n_pairs = res.count()
+        t_q = time.time() - t0
+        DD.release_cache(res)
+        t0 = time.time()
+        app = MI.append_minhash_index(
+            batch, f"{root}/index", id_col="doc_id", text_col="text"
+        )
+        t_a = time.time() - t0
+        indexed += app["n_appended"]
+        print(
+            f"snapshot {i + 1}/{k}: index={indexed} docs, "
+            f"batch={app['n_appended']}, query {t_q:.1f}s "
+            f"({n_pairs} pairs), append {t_a:.1f}s",
+            flush=True,
+        )
+    leaked = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    print(f"persistent RDDs after runs: {len(leaked)}")
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+    if "--rolling" in sys.argv:
+        i = sys.argv.index("--rolling")
+        k = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 4
+        rolling(n, k)
+        return
     root = f"/tmp/dqc_incr_dedup_{n}"
     spark = get_spark(
         "dqc-incremental-dedup", master="local[32]",
