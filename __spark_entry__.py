@@ -2413,6 +2413,136 @@ from v where j >= 0.6
 """
 
 
+def q_minhash_index_filter(spark, sf):
+    """The operational survivors form
+    (minhash_index.filter_batch_against_index): batch MINUS docs that
+    near-duplicate the index MINUS within-batch non-canonicals (one
+    min-id canonical kept per within-cluster). Same md5-family
+    index/batch construction as q_minhash_index_query; the twin
+    re-derives cross losers from the band join + exact verify and
+    within losers via the recursive-CTE component labeling
+    (SQL_DEDUP_CLUSTERS pattern). Null-text batch rows are never
+    sketched and must SURVIVE — the twin enumerates the full batch,
+    not just the sketched rows."""
+    import hashlib
+    import os
+
+    from data_quality_checker_spark.operators import minhash_index as MI
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    old = docs.filter("doc_id < 150")
+    new = (
+        docs.filter("doc_id >= 150 and doc_id < 200")
+        .unionByName(
+            old.filter("doc_id % 3 = 0").select(
+                (F.col("doc_id") + 10_000).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" tail marker tokens appended")
+                ).alias("text"),
+            )
+        )
+        .unionByName(
+            old.filter("doc_id = 7").select(
+                (F.col("doc_id") + 20_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    path = (
+        "/tmp/dqc_oracle_minhash_index_f/"
+        + hashlib.md5(sf.encode()).hexdigest()[:12]
+        + f"_pid{os.getpid()}"
+    )
+    MI.build_minhash_index(
+        old, path, num_hashes=8, num_bands=4,
+        shingle_mode="text", hash_family="md5",
+    )
+    surv = MI.filter_batch_against_index(
+        new, path, threshold=0.6, broadcast=True, persist=False,
+    )
+    return surv.select("doc_id")
+
+
+def _sql_minhash_index_filter() -> str:
+    comps = ",\n  ".join(
+        f"list_min(list_transform(sg, s -> md5('{j}|' || s)))"
+        for j in range(8)
+    )
+    bands = ",\n  ".join(
+        f"'b{b}:' || md5(s[{2 * b + 1}] || ',' || s[{2 * b + 2}])"
+        for b in range(4)
+    )
+    return f"""
+with recursive
+base as (
+  select doc_id, 'i' side, text from documents
+   where doc_id < 150 and text is not null
+  union all
+  select doc_id, 'n', text from documents
+   where doc_id >= 150 and doc_id < 200 and text is not null
+  union all
+  select doc_id + 10000, 'n', text || ' tail marker tokens appended'
+    from documents
+   where doc_id < 150 and doc_id % 3 = 0 and text is not null
+  union all
+  select doc_id + 20000, 'n', text from documents
+   where doc_id = 7 and text is not null
+),
+batch_all as (
+  select doc_id from documents
+   where doc_id >= 150 and doc_id < 200
+  union all
+  select doc_id + 10000 from documents
+   where doc_id < 150 and doc_id % 3 = 0
+  union all
+  select doc_id + 20000 from documents where doc_id = 7
+),
+t as (select doc_id, side, {duck.toks('text')} tk from base),
+g as (select doc_id, side,
+  list_transform(generate_series(1, len(tk) - 2),
+    i -> array_to_string(tk[i:i+2], ' ')) sg
+  from t where len(tk) >= 3),
+sig as (select doc_id, side, [
+  {comps}] s
+  from g where len(sg) > 0),
+bands as (select doc_id, side, unnest([
+  {bands}]) bk from sig),
+cand as (
+  select distinct i.doc_id id_a, n.doc_id id_b, 'x' kind
+    from bands i join bands n using (bk)
+   where i.side = 'i' and n.side = 'n' and i.doc_id <> n.doc_id
+  union
+  select distinct a.doc_id, b.doc_id, 'w'
+    from bands a join bands b using (bk)
+   where a.side = 'n' and b.side = 'n' and a.doc_id < b.doc_id
+),
+v as (select id_a, id_b, kind,
+  len(list_intersect(list_distinct(x.sg), list_distinct(y.sg)))::double /
+  (len(list_distinct(x.sg)) + len(list_distinct(y.sg)) -
+   len(list_intersect(list_distinct(x.sg), list_distinct(y.sg)))) j
+  from cand
+  join g x on x.doc_id = id_a
+  join g y on y.doc_id = id_b),
+pairs as (select id_a, id_b, kind from v where j >= 0.6),
+cross_losers as (select distinct id_b as doc_id from pairs
+                 where kind = 'x'),
+edges as (select id_a s, id_b d from pairs where kind = 'w'
+          union
+          select id_b, id_a from pairs where kind = 'w'),
+walk(id, lab) as (
+  select distinct s, s from edges
+  union
+  select e.d, w.lab from walk w join edges e on e.s = w.id
+    where w.lab < e.d
+),
+clusters as (select id, min(lab) cluster_id from walk group by id),
+within_losers as (select id as doc_id from clusters
+                  where id <> cluster_id)
+select b.doc_id from batch_all b
+where b.doc_id not in (select doc_id from cross_losers)
+  and b.doc_id not in (select doc_id from within_losers)
+"""
+
+
 SQL_MINHASH_LSH = f"""
 with t as (select doc_id, {duck.toks('text')} tk
            from documents where doc_id < 200 and text is not null),
@@ -4658,6 +4788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_oph_portable": q_minhash_oph_portable,
         "minhash_lsh_portable": q_minhash_lsh_portable,
         "minhash_index_query": q_minhash_index_query,
+        "minhash_index_filter": q_minhash_index_filter,
         "dedup_clusters": q_dedup_clusters,
         "minhash_neardups": q_minhash_neardups,
         "simhash_neardups": q_simhash_neardups,
@@ -4780,6 +4911,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_oph_portable": _sql_minhash_oph(),
         "minhash_lsh_portable": SQL_MINHASH_LSH,
         "minhash_index_query": _sql_minhash_index_query(),
+        "minhash_index_filter": _sql_minhash_index_filter(),
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "simhash_portable": _sql_simhash_portable(),
         "perplexity": SQL_PERPLEXITY,
