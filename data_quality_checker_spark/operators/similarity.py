@@ -29,6 +29,7 @@ __all__ = [
     "topk_ivf",
     "IvfIndex",
     "build_ivf_index",
+    "append_ivf_index",
     "load_ivf_index",
     "search_ivf",
 ]
@@ -232,6 +233,42 @@ def build_ivf_index(
         ).write.mode("overwrite").parquet(f"{storage_path}/centroids")
         assignments = spark.read.parquet(f"{storage_path}/assignments")
     return IvfIndex(centroids=centroids, assignments=assignments)
+
+
+def append_ivf_index(
+    new_corpus: DataFrame,
+    storage_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Add a new vector batch to a disk-backed IVF index — the
+    rolling-crawl form for the embedding modality (the
+    minhash_index.append_minhash_index contract): ONLY the new batch
+    is assigned, against the FROZEN coarse quantizer, and appended
+    into the cell-partitioned assignment table. Work is proportional
+    to the batch; the existing assignments are never read.
+
+    Freezing the quantizer is the standard IVF add semantics (FAISS
+    ``index.add()``): refitting KMeans per append would re-assign the
+    WHOLE corpus (O(corpus), defeating the point) and silently move
+    past vectors between cells. Quantizer drift under distribution
+    shift is handled by a periodic REBUILD (build_ivf_index to a new
+    path, swap in the orchestrator), not per-append refits. Ids must
+    stay unique across the index lifetime (caller-owned, as in the
+    MinHash index).
+
+    Returns ``{"n_appended": ...}``."""
+    spark = new_corpus.sparkSession
+    index = load_ivf_index(spark, storage_path)
+    assignments = _nearest_cells(
+        new_corpus, id_col, vec_col, 1, index.centroids
+    ).withColumnsRenamed({"_id": "id", "_v": "cv"})
+    # same one-file-per-cell discipline as build (see the repartition
+    # note there); parquet append is per-file atomic
+    assignments.repartition(F.col("cell")).write.partitionBy(
+        "cell"
+    ).mode("append").parquet(f"{storage_path}/assignments")
+    return {"n_appended": new_corpus.count()}
 
 
 def load_ivf_index(spark, storage_path: str) -> IvfIndex:

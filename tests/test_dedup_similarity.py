@@ -322,6 +322,43 @@ def test_ivf_index_build_load_search(vectors, tmp_path, spark):
     assert got == exact  # n_probe == num_centroids -> exhaustive
 
 
+def test_ivf_index_append_then_search(vectors, tmp_path, spark):
+    """Rolling form for embeddings: build on half the corpus, append
+    the other half against the FROZEN quantizer — appended vectors are
+    searchable, base assignments untouched, and with n_probe exhaustive
+    the results equal brute force over the union."""
+    from pyspark.sql import functions as F
+
+    base = vectors.filter("vec_id % 2 = 0")
+    batch = vectors.filter("vec_id % 2 = 1")
+    path = str(tmp_path / "ivf_roll")
+    idx = SIM.build_ivf_index(base, num_centroids=4, storage_path=path)
+    n_base = base.count()
+    info = SIM.append_ivf_index(batch, path)
+    assert info["n_appended"] == batch.count()
+    reopened = SIM.load_ivf_index(spark, path)
+    assert reopened.centroids == idx.centroids  # quantizer frozen
+    assert reopened.assignments.count() == n_base + info["n_appended"]
+    # an exact duplicate of an APPENDED vector must be found top-1
+    probe = batch.filter("vec_id = 1").select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    got = SIM.search_ivf(reopened, probe, k=3, n_probe=4)
+    top = got.filter("rank = 1").head()
+    assert top["id"] == 1 and top["cosine"] > 0.999999
+    # exhaustive probe == brute force over the union
+    queries = vectors.filter("vec_id = 2")
+    union_ids = {
+        r["id"]
+        for r in SIM.search_ivf(reopened, queries, k=3, n_probe=4).collect()
+    }
+    exact_ids = {
+        r["id"]
+        for r in SIM.topk_bruteforce(vectors, queries, k=3).collect()
+    }
+    assert union_ids == exact_ids
+
+
 def _make_bmp(w: int, h: int) -> bytes:
     row = (w * 3 + 3) & ~3  # rows padded to 4 bytes
     data = b"\x00" * (row * h)
