@@ -2459,7 +2459,13 @@ def q_minhash_index_filter(spark, sf):
     surv = MI.filter_batch_against_index(
         new, path, threshold=0.6, broadcast=True, persist=False,
     )
-    return surv.select("doc_id")
+    out = surv.select("doc_id")
+    # re-attach the clustering checkpoint handle: select() returns a
+    # NEW DataFrame without _cached_deps, and the harness releases via
+    # that attribute — without this every run leaks one localCheckpoint
+    # RDD into the long-lived session (verified via getRDDStorageInfo)
+    out._cached_deps = getattr(surv, "_cached_deps", ())
+    return out
 
 
 def _sql_minhash_index_filter() -> str:

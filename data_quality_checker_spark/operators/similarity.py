@@ -260,15 +260,42 @@ def append_ivf_index(
     Returns ``{"n_appended": ...}``."""
     spark = new_corpus.sparkSession
     index = load_ivf_index(spark, storage_path)
+    # fail fast on shape/type drift vs the existing index: zip_with
+    # null-pads a wrong-dim vector, so every centroid distance would
+    # be NULL and the row lands in an arbitrary cell with no error —
+    # and mixed float/double files break the later read
+    want_t = dict(index.assignments.dtypes)["cv"]
+    got_t = dict(new_corpus.select(F.col(vec_col).alias("cv")).dtypes)[
+        "cv"
+    ]
+    if got_t != want_t:
+        raise ValueError(
+            f"vector column {vec_col!r} has type {got_t}, index stores "
+            f"{want_t} — cast upstream before appending"
+        )
+    dim = len(index.centroids[0][1])
+    probe = new_corpus.select(F.size(vec_col).alias("d")).head()
+    if probe is not None and probe["d"] != dim:
+        raise ValueError(
+            f"vector column {vec_col!r} has dimension {probe['d']}, "
+            f"index quantizer is {dim}-dimensional"
+        )
     assignments = _nearest_cells(
         new_corpus, id_col, vec_col, 1, index.centroids
-    ).withColumnsRenamed({"_id": "id", "_v": "cv"})
-    # same one-file-per-cell discipline as build (see the repartition
-    # note there); parquet append is per-file atomic
-    assignments.repartition(F.col("cell")).write.partitionBy(
-        "cell"
-    ).mode("append").parquet(f"{storage_path}/assignments")
-    return {"n_appended": new_corpus.count()}
+    ).withColumnsRenamed({"_id": "id", "_v": "cv"}).persist()
+    try:
+        # same one-file-per-cell discipline as build (see the
+        # repartition note there); parquet append is per-file atomic.
+        # n_appended counts the PERSISTED plan the write materialized —
+        # re-counting new_corpus would re-run its whole upstream DAG
+        # and could diverge from the rows actually written.
+        assignments.repartition(F.col("cell")).write.partitionBy(
+            "cell"
+        ).mode("append").parquet(f"{storage_path}/assignments")
+        n_appended = assignments.count()
+    finally:
+        assignments.unpersist()
+    return {"n_appended": n_appended}
 
 
 def load_ivf_index(spark, storage_path: str) -> IvfIndex:

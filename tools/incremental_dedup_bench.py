@@ -58,25 +58,50 @@ def rolling(n: int, k: int) -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     snap = n // 10
+    need = n + k * snap
     pages_path = f"{root}/pages"
     if not os.path.exists(f"{pages_path}/_SUCCESS"):
         (
-            synth.pages_df_distributed(spark, n + k * snap, seed=42)
+            # over-generate ~5%: the v2 mix emits ~2% null-text rows
+            # (filtered below) — without the margin the LAST snapshot
+            # window runs short of rows and mis-measures (and at large
+            # k would be empty)
+            synth.pages_df_distributed(
+                spark, int(need * 1.05) + 1_000, seed=42
+            )
             .filter("text is not null")
             .select(F.xxhash64("url").alias("doc_id"), "text")
+            .limit(need)
             .repartition(64)
             .write.mode("overwrite")
             .parquet(pages_path)
         )
     # bench-only corpus splitter: one global row_number window over
-    # the synthetic corpus — never a production pattern
+    # the synthetic corpus — never a production pattern. Each split is
+    # MATERIALIZED to parquet OUTSIDE the timers: the single-task
+    # global sort costs O(corpus) and would otherwise contaminate the
+    # exact claim under test (per-snapshot cost tracks the batch, not
+    # the corpus).
     pages = spark.read.parquet(pages_path).withColumn(
         "_rk", F.row_number().over(Window.orderBy("doc_id"))
     )
-    base = pages.filter(F.col("_rk") <= n).drop("_rk")
-    import shutil as _sh
+    base_path = f"{root}/base"
+    if not os.path.exists(f"{base_path}/_SUCCESS"):
+        pages.filter(F.col("_rk") <= n).drop("_rk").repartition(
+            64
+        ).write.mode("overwrite").parquet(base_path)
+    for i in range(k):
+        sp = f"{root}/snap{i}"
+        if not os.path.exists(f"{sp}/_SUCCESS"):
+            lo, hi = n + i * snap, n + (i + 1) * snap
+            pages.filter(
+                (F.col("_rk") > lo) & (F.col("_rk") <= hi)
+            ).drop("_rk").repartition(16).write.mode(
+                "overwrite"
+            ).parquet(sp)
+    base = spark.read.parquet(base_path)
 
-    _sh.rmtree(f"{root}/index", ignore_errors=True)
+    shutil.rmtree(f"{root}/index", ignore_errors=True)
     t0 = time.time()
     info = MI.build_minhash_index(
         base, f"{root}/index", id_col="doc_id", text_col="text"
@@ -87,10 +112,7 @@ def rolling(n: int, k: int) -> None:
     )
     indexed = info["n_docs"]
     for i in range(k):
-        lo, hi = n + i * snap, n + (i + 1) * snap
-        batch = pages.filter(
-            (F.col("_rk") > lo) & (F.col("_rk") <= hi)
-        ).drop("_rk")
+        batch = spark.read.parquet(f"{root}/snap{i}")
         t0 = time.time()
         res = MI.query_minhash_index(
             batch, f"{root}/index", threshold=0.8,
@@ -116,12 +138,22 @@ def rolling(n: int, k: int) -> None:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
-    if "--rolling" in sys.argv:
-        i = sys.argv.index("--rolling")
-        k = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 4
+    # parse the flag FIRST: n_docs is optional, so argv[1] may BE the
+    # flag ('--rolling 4' without n_docs must not int('--rolling'))
+    args = list(sys.argv[1:])
+    k = 4
+    if "--rolling" in args:
+        i = args.index("--rolling")
+        tail = args[i + 1 : i + 2]
+        if tail and not tail[0].startswith("--"):
+            k = int(tail[0])
+            del args[i : i + 2]
+        else:
+            del args[i : i + 1]
+        n = int(args[0]) if args else 500_000
         rolling(n, k)
         return
+    n = int(args[0]) if args else 500_000
     root = f"/tmp/dqc_incr_dedup_{n}"
     spark = get_spark(
         "dqc-incremental-dedup", master="local[32]",
