@@ -299,6 +299,81 @@ def test_guards(spark, idx, tmp_path):
         )
 
 
+def test_property_cross_parity_random_corpora(spark, tmp_path_factory):
+    """Hypothesis-randomized corpora (repetitive word soup so near-dup
+    pairs actually occur): the index query over a random old/new split
+    must equal the batch operator's cross+within pairs EXACTLY — same
+    gate as test_cross_parity_with_batch_operator, over corpus shapes
+    nobody hand-picked. Few examples (each is a full Spark round
+    trip); the fixed-corpus tests carry the volume."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    words = ("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    _doc = st.lists(
+        st.sampled_from(words), min_size=0, max_size=12
+    ).map(" ".join)
+    _corpus = st.lists(
+        st.one_of(st.none(), _doc), min_size=4, max_size=18
+    )
+
+    @given(texts=_corpus, split=st.integers(min_value=1, max_value=3))
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def _run(texts, split):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        old = df.filter(f"doc_id % 4 < {split}")
+        new = df.filter(f"doc_id % 4 >= {split}")
+        path = str(
+            tmp_path_factory.mktemp("mi_prop") / "idx"
+        )
+        MI.build_minhash_index(
+            old, path, k_shingle=2, num_hashes=16, num_bands=4
+        )
+        res = MI.query_minhash_index(
+            new, path, threshold=0.5, include_within_batch=True,
+            broadcast=True, persist=False,
+        )
+        got = _pairs(res)
+        # ground truth from the batch operator with MATCHING sketch
+        # params (_expected uses the defaults, 32x8/k=3)
+        full = DD.near_duplicates_minhash(
+            old.unionByName(new), threshold=0.5,
+            k_shingle=2, num_hashes=16, num_bands=4,
+        )
+        old_ids = {r.doc_id for r in old.select("doc_id").collect()}
+        exp = set()
+        for r in full.collect():
+            a_old, b_old = r.id_a in old_ids, r.id_b in old_ids
+            if a_old and b_old:
+                continue
+            j = round(r.jaccard, 6)
+            if a_old != b_old:
+                i_, n_ = (
+                    (r.id_a, r.id_b) if a_old else (r.id_b, r.id_a)
+                )
+                exp.add((i_, n_, j, "index-new"))
+            else:
+                exp.add(
+                    (
+                        min(r.id_a, r.id_b),
+                        max(r.id_a, r.id_b),
+                        j,
+                        "new-new",
+                    )
+                )
+        DD.release_cache(full)
+        assert got == exp, (texts, split, got ^ exp)
+
+    _run()
+
+
 def test_md5_family_round_trip(spark, sf_dir, tmp_path):
     """The cross-engine md5 family builds/queries too (the oracle
     entry's configuration): text shingles, string signatures."""
