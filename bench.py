@@ -3,10 +3,14 @@
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and the pages
 pipeline over a deterministic synthetic corpus sized to the SF, then
-prints ONE JSON line:
-  {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": ...,
-   "pipeline_docs_per_sec": ..., "cpus": ...}
+prints ONE compact JSON headline line (kept under ~500 B so the
+driver's output-tail capture always parses it — round 5 lost its
+headline to a 2.6 KB line):
+  {"metric": ..., "value": <total sec>, "unit": "sec", "sf": ...,
+   "cpus": ..., "n_queries": ..., "pipeline_docs_per_sec": ...,
+   "pipeline_docs": ..., "detail": "BENCH_DETAIL.json"}
+Per-query timings and both interleaved legs are written to
+BENCH_DETAIL.json next to this script.
 
 Scaling-proxy runs (north rule: efficiency >= 0.8 from N to 4N):
   SPARK_GRAFT_CPUS=8 python bench.py   vs   SPARK_GRAFT_CPUS=32 ...
@@ -343,24 +347,42 @@ def main() -> None:
     v1_sec = min(v1_runs)
 
     total = round(sum(timings.values()), 3)
+    # Round-5 postmortem: the driver captures only a ~2 KB output tail,
+    # and the single JSON line had grown past it (31 queries + 31 legs
+    # ≈ 2.6 KB) — BENCH_r05.json recorded `"parsed": null` and the
+    # round's headline number was lost. Contract since round 6: stdout
+    # carries ONE compact headline line (~300 B, fits any capture
+    # window); the per-query timings + both legs go to
+    # BENCH_DETAIL.json next to this script (committed per round).
+    detail = {
+        "queries": timings,
+        "query_legs": {
+            k: [round(x, 3) for x in v] for k, v in legs.items()
+        },
+        "sf": sf,
+        "cpus": cpus,
+        "pipeline_corpus": "v2",
+        "pipeline_kept": kept,
+        "pipeline_v1_sec": round(v1_sec, 3),
+        "pipeline_v1_docs_per_sec": round(n_v1 / v1_sec, 1),
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_plus_pipeline_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "query_legs": {
-                    k: [round(x, 3) for x in v] for k, v in legs.items()
-                },
                 "sf": sf,
+                "cpus": cpus,
+                "n_queries": len(timings),
                 "pipeline_docs_per_sec": docs_per_sec,
                 "pipeline_docs": n_pages,
-                "pipeline_kept": kept,
-                "pipeline_corpus": "v2",
-                "pipeline_v1_sec": round(v1_sec, 3),
-                "pipeline_v1_docs_per_sec": round(n_v1 / v1_sec, 1),
-                "cpus": cpus,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

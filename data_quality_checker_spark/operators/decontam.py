@@ -45,9 +45,34 @@ __all__ = [
     "eval_ngrams",
     "contamination_report",
     "drop_contaminated",
+    "guarded_bad_set",
 ]
 
 _KEY_MODES = ("text", "xxhash64")
+
+
+def guarded_bad_set(
+    bad: DataFrame, max_rows: int = 5_000_000
+) -> tuple[DataFrame, DataFrame]:
+    """Row-count guard for broadcasting a contaminated-id set BACK at
+    the corpus. Contamination is rare by construction — eval suites are
+    tiny next to a crawl — but an adversarial or misconfigured eval set
+    (``eval_is_ngrams`` with common grams + ``min_hits=1``) makes
+    ``bad`` corpus-sized, and an unconditional ``F.broadcast(bad)``
+    then OOMs the driver-side broadcast build. Mirror of the eval-side
+    guard in :func:`contamination_report`: persist ``bad`` (so the
+    guard's count() and the subsequent join share one computation of
+    the contamination job), count it, and only hint broadcast when it
+    fits ``max_rows``; otherwise return it unhinted so the join
+    shuffles on the id (AQE may still downgrade to broadcast from the
+    measured size — that check is the point).
+
+    Returns ``(join_side, handle)`` — join ``join_side``; unpersist
+    ``handle`` when done (callers attach it via ``_cached_deps``).
+    """
+    bad = bad.persist()
+    hinted = F.broadcast(bad) if bad.count() <= max_rows else bad
+    return hinted, bad
 
 
 def _ngram_key(ng: Column, key_mode: str) -> Column:
@@ -228,7 +253,10 @@ def drop_contaminated(
     so the corpus itself is scanned twice but never shuffled wide;
     persist/checkpoint ``docs`` upstream to make the second scan
     cheap. ``broadcast``/``broadcast_max_keys`` forward to
-    :func:`contamination_report` (eval-side join-strategy guard)."""
+    :func:`contamination_report` (eval-side join-strategy guard); the
+    broadcast BACK of the contaminated-id set takes its own
+    :func:`guarded_bad_set` row-count guard (a pathological eval set
+    can make it corpus-sized)."""
     bad = (
         contamination_report(
             docs,
@@ -246,4 +274,7 @@ def drop_contaminated(
         .filter(F.col("contaminated"))
         .select(id_col)
     )
-    return docs.join(F.broadcast(bad), id_col, "left_anti")
+    bad_side, handle = guarded_bad_set(bad, broadcast_max_keys)
+    out = docs.join(bad_side, id_col, "left_anti")
+    out._cached_deps = (handle, *getattr(docs, "_cached_deps", ()))
+    return out

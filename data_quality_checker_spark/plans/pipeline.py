@@ -332,6 +332,7 @@ def with_decontam_verdict(
     eval_df: DataFrame,
     cfg: PipelineConfig | None = None,
     eval_is_ngrams: bool = False,
+    broadcast_max_bad: int = 5_000_000,
 ) -> DataFrame:
     """Benchmark-decontamination stage (operators/decontam.py): flags
     surviving documents whose raw ``text`` shares >= decontam_min_hits
@@ -339,11 +340,17 @@ def with_decontam_verdict(
     Runs AFTER rules (and near-dedup when enabled) so already-dropped
     rows never pay for n-gram generation; adds ``contaminated`` and
     folds it into ``keep_final``. Non-destructive like the near-dedup
-    stage: verdict/metrics columns are untouched. The contaminated-id
-    set is broadcast back (contamination is rare by construction —
-    eval suites are tiny next to a crawl)."""
+    stage: verdict/metrics columns are untouched. The contaminated-url
+    set joins back under decontam.guarded_bad_set's row-count guard:
+    contamination is rare by construction (eval suites are tiny next
+    to a crawl) so the common case broadcasts, but a pathological eval
+    set (eval_is_ngrams with common grams + min_hits=1) can make the
+    set corpus-sized — above ``broadcast_max_bad`` rows the join is
+    left unhinted and shuffles on url instead of OOMing the broadcast
+    build. The guard's persist handle rides ``_cached_deps``."""
     from data_quality_checker_spark.operators.decontam import (
         contamination_report,
+        guarded_bad_set,
     )
 
     cfg = cfg or PipelineConfig()
@@ -363,8 +370,9 @@ def with_decontam_verdict(
         .filter(F.col("contaminated"))
         .select("url", F.lit(True).alias("contaminated"))
     )
-    return (
-        scored.join(F.broadcast(bad), "url", "left")
+    bad_side, handle = guarded_bad_set(bad, broadcast_max_bad)
+    out = (
+        scored.join(bad_side, "url", "left")
         .withColumn(
             "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
         )
@@ -372,6 +380,8 @@ def with_decontam_verdict(
             "keep_final", F.col(keep_col) & ~F.col("contaminated")
         )
     )
+    out._cached_deps = (handle, *getattr(scored, "_cached_deps", ()))
+    return out
 
 
 def partition_metrics(scored: DataFrame, run_id: str) -> DataFrame:

@@ -258,6 +258,64 @@ def test_pipeline_decontam_stage(spark):
         assert total == n_contam
 
 
+def test_decontam_verdict_broadcast_guard(spark):
+    """The contaminated-url join-back in with_decontam_verdict takes a
+    row-count guard (guarded_bad_set): a pathological eval set — the
+    kept corpus's own text with decontam_ngram=1, min_hits=1 — makes
+    EVERY kept page contaminated, so `bad` is corpus-sized and must
+    not force a broadcast build over the threshold. Verdicts are
+    identical under both strategies, and the fallback plan joins back
+    without the broadcast hint (shuffle join)."""
+    from data_quality_checker_spark.plans import synth
+    from data_quality_checker_spark.plans.pipeline import (
+        PipelineConfig,
+        score_pages,
+        with_decontam_verdict,
+    )
+
+    base = synth.pages_df(spark, 80, seed=41)
+    cfg = PipelineConfig(decontam_ngram=1, decontam_min_hits=1)
+    scored = score_pages(base, cfg)
+    eval_df = scored.filter("keep").select("text")
+
+    def verdicts(**kw):
+        out = with_decontam_verdict(scored, eval_df, cfg, **kw)
+        rows = sorted(
+            (r["url"], r["contaminated"], r["keep_final"])
+            for r in out.select(
+                "url", "contaminated", "keep_final"
+            ).collect()
+        )
+        plan = (
+            out._jdf.queryExecution().executedPlan().toString()
+        )
+        for dep in getattr(out, "_cached_deps", ()):
+            dep.unpersist()
+        return rows, plan
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # pin auto-broadcast off so Catalyst can't hide the fallback
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bc_rows, bc_plan = verdicts()  # guard passes -> hinted
+        fb_rows, fb_plan = verdicts(broadcast_max_bad=0)  # guard trips
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    assert bc_rows == fb_rows
+    # sanity: the adversarial eval really contaminated every kept page
+    n_kept = scored.filter("keep").count()
+    assert n_kept > 0
+    assert sum(1 for _, c, _ in bc_rows if c) == n_kept
+    assert all(not kf for _, c, kf in bc_rows if c)
+    # fallback plan shuffles the join-back instead of broadcasting
+    assert "SortMergeJoin" in fb_plan or "ShuffledHashJoin" in fb_plan
+    assert (
+        "SortMergeJoin" not in bc_plan
+        and "ShuffledHashJoin" not in bc_plan
+    )
+
+
 def test_dedup_lines_corpus(spark):
     """C4-style line dedup: the boilerplate line survives only at its
     first (id, pos) occurrence; empty lines are structure and never
