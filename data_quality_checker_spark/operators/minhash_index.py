@@ -40,10 +40,22 @@ Scale notes (100 TB):
    make the large-batch case shuffle-free on the index side too — the
    parquet layout here keeps the same schema so that swap is a writer
    change only.
- - append: sketches ONLY the new batch and appends (the parquet
-   append is atomic per file; Iceberg would make it a snapshot
-   commit). The tables are the truth — nothing else tracks index
-   membership.
+ - append: sketches ONLY the new batch. Appends are STAGED then
+   PUBLISHED: the batch's three sketch tables are written to
+   ``_staging/<batch_id>/`` (inert — live tables untouched), a begin
+   marker lands in the ``_appends/`` ledger, the staged files are
+   renamed into the live table dirs under a ``batch-<batch_id>-``
+   filename prefix (rename is the cheapest primitive every Hadoop
+   filesystem offers), and a commit marker replaces the begin marker.
+   A crash anywhere leaves either (a) staging garbage (harmless,
+   overwritten on retry) or (b) a begin-without-commit ledger entry —
+   which read_minhash_index_meta REFUSES to read past (every
+   query/append entrypoint detects the torn batch) and
+   repair_minhash_index rolls back by prefix-deleting that batch's
+   published files. Re-appending an already-committed ``batch_id`` is
+   a no-op, so retries are exactly-once per batch id. On Iceberg the
+   three writes would collapse into one snapshot commit; this ledger
+   gives plain parquet the same detect/repair/idempotence contract.
 """
 
 from __future__ import annotations
@@ -65,7 +77,11 @@ __all__ = [
     "read_minhash_index_meta",
     "compact_minhash_index",
     "filter_batch_against_index",
+    "repair_minhash_index",
+    "verify_minhash_index",
 ]
+
+_TABLES = ("shingles", "signatures", "bands")
 
 _FORMAT_VERSION = 1
 _META_KEYS = (
@@ -142,12 +158,163 @@ def _validate_params(
         raise ValueError(f"k_shingle must be >= 1, got {k_shingle}")
 
 
-def read_minhash_index_meta(spark: SparkSession, path: str) -> dict:
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` — the Hadoop FS API via py4j, so
+    marker/rename/delete primitives work on HDFS/S3A/local alike (the
+    read_minhash_index_meta portability rationale)."""
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _touch(spark: SparkSession, path: str) -> None:
+    fs, p = _hadoop_fs(spark, path)
+    fs.create(p, True).close()
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _hadoop_fs(spark, path)
+    return bool(fs.exists(p))
+
+
+def _delete(spark: SparkSession, path: str) -> None:
+    fs, p = _hadoop_fs(spark, path)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def _check_batch_id(batch_id: str) -> str:
+    if not batch_id or not all(
+        c.isalnum() or c in "._-" for c in batch_id
+    ):
+        raise ValueError(
+            f"batch_id must be non-empty [A-Za-z0-9._-], got {batch_id!r}"
+        )
+    return batch_id
+
+
+def _uncommitted_batches(spark: SparkSession, path: str) -> list[str]:
+    """Ledger batch ids with a begin marker but no commit marker —
+    torn appends that need repair_minhash_index."""
+    fs, ledger = _hadoop_fs(spark, f"{path}/_appends")
+    if not fs.exists(ledger):
+        return []
+    begun, committed = set(), set()
+    for st in fs.listStatus(ledger):
+        name = st.getPath().getName()
+        if name.endswith(".begin"):
+            begun.add(name[: -len(".begin")])
+        elif name.endswith(".commit"):
+            committed.add(name[: -len(".commit")])
+    return sorted(begun - committed)
+
+
+def _publish_staged_table(
+    spark: SparkSession, path: str, batch_id: str, table: str
+) -> int:
+    """Rename the staged part files of one table into the live table
+    dir under the batch-id prefix; returns files moved. Idempotent for
+    a re-run after a partial publish: a name collision means the file
+    already landed, so the stale staged copy is dropped."""
+    fs, src_dir = _hadoop_fs(spark, f"{path}/_staging/{batch_id}/{table}")
+    jvm = spark.sparkContext._jvm
+    moved = 0
+    for st in fs.listStatus(src_dir):
+        name = st.getPath().getName()
+        if not name.endswith(".parquet"):
+            continue  # _SUCCESS etc.
+        dst = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/{table}/batch-{batch_id}-{name}"
+        )
+        if fs.exists(dst):
+            fs.delete(st.getPath(), False)
+            continue
+        if not fs.rename(st.getPath(), dst):
+            raise IOError(
+                f"rename failed publishing {table} of batch "
+                f"{batch_id!r} into {path}"
+            )
+        moved += 1
+    return moved
+
+
+def _rollback_batch(spark: SparkSession, path: str, batch_id: str) -> int:
+    """Delete every published file of a batch (prefix glob per table)
+    plus its staging dir and begin marker; returns files removed."""
+    jvm = spark.sparkContext._jvm
+    removed = 0
+    for table in _TABLES:
+        fs, _ = _hadoop_fs(spark, f"{path}/{table}")
+        glob = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/{table}/batch-{batch_id}-*"
+        )
+        for st in fs.globStatus(glob) or []:
+            fs.delete(st.getPath(), False)
+            removed += 1
+    _delete(spark, f"{path}/_staging/{batch_id}")
+    _delete(spark, f"{path}/_appends/{batch_id}.begin")
+    return removed
+
+
+def repair_minhash_index(spark: SparkSession, path: str) -> dict:
+    """Roll back every torn append (begin marker without commit): the
+    batch's published files are prefix-deleted from the live tables,
+    its staging dir and begin marker removed. The index returns to its
+    last committed state; re-run append_minhash_index with the same
+    batch_id to land the batch. Returns
+    ``{batch_id: files_removed}``."""
+    return {
+        bid: _rollback_batch(spark, path, bid)
+        for bid in _uncommitted_batches(spark, path)
+    }
+
+
+def verify_minhash_index(spark: SparkSession, path: str) -> dict:
+    """Cross-table consistency check: the distinct-id sets of
+    shingles/signatures/bands must agree (every committed append moves
+    all three in lockstep). Returns per-table distinct-id counts plus
+    ``consistent``; raises on uncommitted appends (repair first)."""
+    torn = _uncommitted_batches(spark, path)
+    if torn:
+        raise ValueError(
+            f"MinHash index at {path} has uncommitted appends "
+            f"{torn} — run repair_minhash_index first"
+        )
+    counts = {
+        t: spark.read.parquet(f"{path}/{t}").select("id").distinct().count()
+        for t in _TABLES
+    }
+    counts["consistent"] = len(set(counts.values())) == 1
+    return counts
+
+
+def read_minhash_index_meta(
+    spark: SparkSession, path: str, check_appends: bool = True
+) -> dict:
     """The index's parameter manifest (written by build_minhash_index).
 
     Stored as a single-row JSON dataset under ``<path>/meta`` — written
     through the Spark writer so the index works on any Hadoop
-    filesystem (HDFS/S3/local), not just a local driver disk."""
+    filesystem (HDFS/S3/local), not just a local driver disk.
+
+    Refuses to read an index with a torn append (begin marker without
+    commit in the ``_appends`` ledger, ``check_appends=True`` default):
+    every query/append entrypoint goes through here, so a crashed
+    append can never silently feed duplicate or partial sketch rows
+    into dedup decisions — run repair_minhash_index, then retry the
+    append with the same batch_id. (append_minhash_index rolls back
+    its OWN torn batch_id before this check, so retrying the crashed
+    batch self-heals; a DIFFERENT batch's torn state still fails.)"""
+    if check_appends:
+        torn = _uncommitted_batches(spark, path)
+        if torn:
+            raise ValueError(
+                f"MinHash index at {path} has uncommitted appends "
+                f"{torn} (crashed mid-publish) — run "
+                f"repair_minhash_index(spark, path), then re-append "
+                f"with the same batch_id"
+            )
     try:
         row = spark.read.json(f"{path}/meta").head()
     except Exception as exc:  # noqa: BLE001 — repackage with the path
@@ -246,45 +413,87 @@ def append_minhash_index(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_id: str | None = None,
 ) -> dict:
     """Sketch ONLY ``new_df`` (with the manifest's frozen parameters)
-    and append its rows to the index tables. The caller owns id
-    uniqueness vs what's already indexed — re-appending the same ids
-    would double-count them in every later query.
+    and publish its rows into the index tables as ONE repairable unit.
+    The caller owns id uniqueness vs what's already indexed —
+    appending genuinely-new ids twice under different batch_ids would
+    double-count them in every later query.
 
-    Returns the manifest plus ``n_appended``.
+    ``batch_id`` names the unit in the ``_appends`` ledger (sanitized
+    [A-Za-z0-9._-]). Pass a stable id (crawl snapshot name, task
+    attempt-independent) to get exactly-once retry semantics: a
+    batch_id whose commit marker already exists is a NO-OP (returns
+    ``n_appended=0, already_committed=True``), and a batch_id that
+    previously crashed mid-publish is rolled back (its published files
+    prefix-deleted) and re-landed. With ``batch_id=None`` a fresh
+    random id is minted — the append is still torn-proof (detect +
+    repair), but a blind retry lands the batch twice.
 
-    Work is proportional to the NEW batch only: its shingle table is
-    persist()ed once and the three appends derive from it — the
-    existing index tables are never scanned. Parquet append is
-    per-file atomic; on Iceberg these three writes would be one
-    snapshot commit (sources/io.write_table is the gated path)."""
+    Protocol (see the module docstring): stage the three sketch tables
+    under ``_staging/<batch_id>/`` (live tables untouched — a crash
+    here costs nothing), write ``<batch_id>.begin`` to the ledger,
+    rename the staged files into the live dirs under a
+    ``batch-<batch_id>-`` prefix, write ``<batch_id>.commit``, drop
+    the begin marker and staging dir. read_minhash_index_meta refuses
+    to serve an index holding a begin-without-commit entry, so a torn
+    publish is caught at the next query/append, and
+    repair_minhash_index reverts it by prefix delete.
+
+    Work is proportional to the NEW batch only: one sketch pass writes
+    staging; signatures/bands derive from the staged shingles read
+    back. The existing index tables are never scanned. Returns the
+    manifest plus ``n_appended``."""
+    import uuid
+
     spark = new_df.sparkSession
+    if batch_id is None:
+        batch_id = uuid.uuid4().hex[:16]
+    _check_batch_id(batch_id)
+    if _exists(spark, f"{path}/_appends/{batch_id}.commit"):
+        meta = read_minhash_index_meta(spark, path)
+        return {
+            **meta,
+            "batch_id": batch_id,
+            "n_appended": 0,
+            "already_committed": True,
+        }
+    # a prior attempt of THIS batch may have died mid-publish: roll it
+    # back (other batches' torn appends still fail the meta read below)
+    if _exists(spark, f"{path}/_appends/{batch_id}.begin"):
+        _rollback_batch(spark, path, batch_id)
     meta = read_minhash_index_meta(spark, path)
     _check_id_type(new_df, id_col, meta)
+
+    staging = f"{path}/_staging/{batch_id}"
     base = _minhash_shingle_plan(
         new_df, id_col, text_col, meta["k_shingle"], meta["shingle_mode"]
-    ).persist()
-    try:
-        # sig/bands derive from the PERSISTED base (the only difference
-        # from _sketch's plain plans — derivation itself is shared)
-        sig, _ = _derive_sig_bands(
-            base, meta["num_hashes"], meta["num_bands"],
-            meta["shingle_mode"], meta["one_permutation"],
-            meta["hash_family"],
-        )
-        base.write.mode("append").parquet(f"{path}/shingles")
-        sig = sig.persist()
-        try:
-            sig.write.mode("append").parquet(f"{path}/signatures")
-            bands = _bands_of(sig, meta["num_hashes"], meta["num_bands"])
-            bands.write.mode("append").parquet(f"{path}/bands")
-            n_appended = base.count()
-        finally:
-            sig.unpersist()
-    finally:
-        base.unpersist()
-    return {**meta, "n_appended": n_appended}
+    )
+    # one corpus pass lands staged shingles; derive the rest from the
+    # WRITTEN table (the build_minhash_index convention — no persist
+    # needed, the re-read replaces it)
+    base.write.mode("overwrite").parquet(f"{staging}/shingles")
+    base_r = spark.read.parquet(f"{staging}/shingles")
+    sig, _ = _derive_sig_bands(
+        base_r, meta["num_hashes"], meta["num_bands"],
+        meta["shingle_mode"], meta["one_permutation"],
+        meta["hash_family"],
+    )
+    sig.write.mode("overwrite").parquet(f"{staging}/signatures")
+    sig_r = spark.read.parquet(f"{staging}/signatures")
+    _bands_of(sig_r, meta["num_hashes"], meta["num_bands"]).write.mode(
+        "overwrite"
+    ).parquet(f"{staging}/bands")
+    n_appended = sig_r.count()
+
+    _touch(spark, f"{path}/_appends/{batch_id}.begin")
+    for table in _TABLES:
+        _publish_staged_table(spark, path, batch_id, table)
+    _touch(spark, f"{path}/_appends/{batch_id}.commit")
+    _delete(spark, f"{path}/_appends/{batch_id}.begin")
+    _delete(spark, staging)
+    return {**meta, "batch_id": batch_id, "n_appended": n_appended}
 
 
 def filter_batch_against_index(
@@ -390,6 +599,15 @@ def compact_minhash_index(
     spark.createDataFrame([manifest]).coalesce(1).write.mode(
         "overwrite"
     ).json(f"{out_path}/meta")
+    # carry the committed-append ledger forward so a batch_id retried
+    # AFTER the compact-and-swap still no-ops instead of re-landing
+    # (the meta read above already refused any uncommitted entry)
+    fs, ledger = _hadoop_fs(spark, f"{path}/_appends")
+    if fs.exists(ledger):
+        for st in fs.listStatus(ledger):
+            name = st.getPath().getName()
+            if name.endswith(".commit"):
+                _touch(spark, f"{out_path}/_appends/{name}")
     return stats
 
 

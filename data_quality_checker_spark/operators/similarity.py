@@ -274,11 +274,21 @@ def append_ivf_index(
             f"{want_t} — cast upstream before appending"
         )
     dim = len(index.centroids[0][1])
-    probe = new_corpus.select(F.size(vec_col).alias("d")).head()
-    if probe is not None and probe["d"] != dim:
+    # aggregate over the WHOLE batch, not a first-row probe: a batch
+    # with mixed dimensions would pass a head() check on its first row
+    # and the wrong-dim tail would be silently null-padded into
+    # arbitrary cells — the exact failure this guard exists to stop
+    d = F.coalesce(F.size(vec_col), F.lit(-1))  # NULL vector -> -1
+    bad = new_corpus.agg(
+        F.sum((d != F.lit(dim)).cast("long")).alias("n_bad"),
+        F.min(d).alias("d_min"),
+        F.max(d).alias("d_max"),
+    ).head()
+    if bad is not None and (bad["n_bad"] or 0) > 0:
         raise ValueError(
-            f"vector column {vec_col!r} has dimension {probe['d']}, "
-            f"index quantizer is {dim}-dimensional"
+            f"vector column {vec_col!r} has {bad['n_bad']} rows whose "
+            f"dimension (range {bad['d_min']}..{bad['d_max']}) differs "
+            f"from the index quantizer's {dim}"
         )
     assignments = _nearest_cells(
         new_corpus, id_col, vec_col, 1, index.centroids

@@ -123,10 +123,16 @@ def langid_udf(col, model_path: str | None = None):
 
                 local = models.resolve_artifact(wl_path)
                 if local:
+                    # ONE worker-side model instance shared with
+                    # langid_conf_udf (key parity): caching a bound
+                    # .predict under a separate key used to load the
+                    # count tables twice per worker when a session used
+                    # both UDFs — double executor memory for large
+                    # artifacts
                     predict = _worker_cached(
-                        ("langid", local),
-                        lambda: models.load_langid_model(local).predict,
-                    )
+                        ("langid_model", local),
+                        lambda: models.load_langid_model(local),
+                    ).predict
             if predict is None and ft_path:
                 try:  # pragma: no cover - fastText not in sandbox
                     import fasttext
@@ -180,10 +186,9 @@ def langid_conf_udf(col, model_path: str | None = None):
 
                 local = models.resolve_artifact(wl_path)
                 if local:
-                    # distinct cache key: langid_udf caches the bound
-                    # .predict under ("langid", local) in the same
-                    # worker — colliding would hand one UDF the wrong
-                    # object type
+                    # SHARED cache key with langid_udf: both UDFs hold
+                    # the same worker-side model instance, so a session
+                    # using both loads the count tables once per worker
                     m = _worker_cached(
                         ("langid_model", local),
                         lambda: models.load_langid_model(local),

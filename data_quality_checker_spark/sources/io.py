@@ -119,7 +119,18 @@ def write_table(
     murmur3_x86_32), so a corpus written via the fallback and later
     migrated into a real bucket(N, url) table lands rows in DIFFERENT
     buckets — don't key resume/pruning logic on cross-format bucket
-    equality."""
+    equality.
+
+    write_table REPLACES the whole table in every branch: the bucketed
+    fallback uses a STATIC partitioned overwrite (the whole path is
+    cleared), matching the Iceberg branch's createOrReplace and the
+    unbucketed fallback's full overwrite. It must not route through
+    write_partitioned — dynamic mode only replaces the partitions
+    present in ``df``, so a rewrite whose data happens to miss some
+    buckets would leave the old table's rows for those buckets in
+    place. For idempotent per-partition RESUME semantics call
+    write_partitioned directly (the run_pipeline scored/metrics
+    path)."""
     from data_quality_checker_spark.session import ICEBERG_ENABLED
 
     if ICEBERG_ENABLED:  # pragma: no cover - no Iceberg jars in sandbox
@@ -128,11 +139,14 @@ def write_table(
         if path is None:
             raise ValueError("path required for the parquet fallback")
         if num_buckets:
-            write_partitioned(
+            (
                 df.withColumn(
                     "partition_id", bucket_id(bucket_col, num_buckets)
-                ),
-                path,
+                )
+                .write.option("partitionOverwriteMode", "static")
+                .partitionBy("partition_id")
+                .mode("overwrite")
+                .parquet(path)
             )
         else:
             df.write.mode("overwrite").parquet(path)

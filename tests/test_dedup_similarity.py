@@ -359,6 +359,41 @@ def test_ivf_index_append_then_search(vectors, tmp_path, spark):
     assert union_ids == exact_ids
 
 
+def test_ivf_append_rejects_mixed_dim_batch(vectors, tmp_path, spark):
+    """The append dim guard must aggregate over the WHOLE batch: a
+    batch whose FIRST row has the right dimension but whose tail does
+    not (the case a head() probe waves through) is rejected, and the
+    assignment table is untouched. NULL vectors are rejected too."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "ivf_dim")
+    SIM.build_ivf_index(
+        vectors.filter("vec_id % 2 = 0"), num_centroids=4,
+        storage_path=path,
+    )
+    n0 = SIM.load_ivf_index(spark, path).assignments.count()
+    good = vectors.filter("vec_id % 2 = 1")
+    # first row keeps the index dim, later rows are truncated
+    mixed = good.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") <= 1, F.col("embedding")
+        ).otherwise(F.slice("embedding", 1, 3)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="dimension"):
+        SIM.append_ivf_index(mixed, path)
+    with_null = good.select(
+        "vec_id",
+        F.when(F.col("vec_id") > 1, F.col("embedding")).alias(
+            "embedding"
+        ),
+    )
+    with pytest.raises(ValueError, match="dimension"):
+        SIM.append_ivf_index(with_null, path)
+    assert SIM.load_ivf_index(spark, path).assignments.count() == n0
+
+
 def _make_bmp(w: int, h: int) -> bytes:
     row = (w * 3 + 3) & ~3  # rows padded to 4 bytes
     data = b"\x00" * (row * h)

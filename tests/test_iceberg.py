@@ -68,9 +68,32 @@ def test_parquet_fallback_same_bucketing_discipline(spark, tmp_path):
         ).collect()
     }
     assert got == want
-    # partition directories exist on disk (dynamic-overwrite layout)
-    parts = {p.name for p in (tmp_path / "pages").iterdir() if p.is_dir()}
-    assert parts == {f"partition_id={i}" for i in sorted(set(want.values()))}
+
+
+def test_write_table_bucketed_fallback_full_replace(spark, tmp_path):
+    """write_table REPLACES the whole table in the bucketed parquet
+    fallback too (matching Iceberg's createOrReplace): a rewrite whose
+    data happens to miss some buckets must not leave the first write's
+    rows for those buckets behind (dynamic partition overwrite would —
+    that's write_partitioned's resume contract, not a table sink's)."""
+    d = str(tmp_path / "pages_replace")
+    df = _df(spark)
+    IO.write_table(df, "pages", path=d, num_buckets=4)
+    assert spark.read.parquet(d).count() == 20
+    # second write: one row -> occupies a single bucket
+    one = df.limit(1)
+    IO.write_table(one, "pages", path=d, num_buckets=4)
+    back = spark.read.parquet(d)
+    assert back.count() == 1  # no stale rows from missed buckets
+    assert back.select("partition_id").distinct().count() == 1
+    # static overwrite cleared the whole path: ONLY the surviving
+    # bucket's directory remains on disk (no stale partition dirs)
+    parts = {
+        p.name
+        for p in (tmp_path / "pages_replace").iterdir()
+        if p.is_dir() and p.name.startswith("partition_id=")
+    }
+    assert len(parts) == 1
 
 
 def test_iceberg_round_trip_when_jars_present(spark, tmp_path):

@@ -165,6 +165,119 @@ def test_append_then_query_sees_both_generations(spark, idx, tmp_path):
     assert 3 in ids_hit  # the original generation (10003 is 3's clone)
 
 
+def test_append_idempotent_retry(spark, idx, tmp_path):
+    """Re-appending an already-committed batch_id is a NO-OP: the
+    retry returns already_committed and the index tables are
+    byte-count identical — a task-retry can never double-land a
+    batch's sketch rows."""
+    path0, _, new, _ = idx
+    path = str(tmp_path / "idx_retry")
+    shutil.copytree(path0, path)
+    info1 = MI.append_minhash_index(new, path, batch_id="crawl-001")
+    assert info1["n_appended"] > 0
+    assert info1["batch_id"] == "crawl-001"
+    counts1 = MI.verify_minhash_index(spark, path)
+    assert counts1["consistent"]
+    raw1 = {
+        t: spark.read.parquet(f"{path}/{t}").count()
+        for t in ("shingles", "signatures", "bands")
+    }
+    info2 = MI.append_minhash_index(new, path, batch_id="crawl-001")
+    assert info2["n_appended"] == 0 and info2["already_committed"]
+    assert MI.verify_minhash_index(spark, path) == counts1
+    # raw (non-distinct) row counts unchanged too: no duplicate files
+    raw2 = {
+        t: spark.read.parquet(f"{path}/{t}").count()
+        for t in ("shingles", "signatures", "bands")
+    }
+    assert raw2 == raw1
+    with pytest.raises(ValueError, match="batch_id"):
+        MI.append_minhash_index(new, path, batch_id="../evil")
+
+
+def test_torn_append_detected_and_repaired(spark, idx, tmp_path):
+    """A crash mid-publish (one table's files landed, begin marker
+    without commit) is refused by every entrypoint, rolled back by
+    repair_minhash_index to the last committed state, and the same
+    batch_id then re-lands cleanly."""
+    path0, _, new, _ = idx
+    path = str(tmp_path / "idx_torn")
+    shutil.copytree(path0, path)
+    base_counts = MI.verify_minhash_index(spark, path)
+    meta = MI.read_minhash_index_meta(spark, path)
+
+    # simulate the crash: stage the batch's shingles, publish ONLY
+    # that table, leave the begin marker — exactly the state after a
+    # failure between the first and second rename loop
+    from data_quality_checker_spark.operators.dedup import (
+        _minhash_shingle_plan,
+    )
+
+    staging = f"{path}/_staging/torn1"
+    _minhash_shingle_plan(
+        new, "doc_id", "text", meta["k_shingle"], meta["shingle_mode"]
+    ).write.mode("overwrite").parquet(f"{staging}/shingles")
+    MI._touch(spark, f"{path}/_appends/torn1.begin")
+    assert MI._publish_staged_table(spark, path, "torn1", "shingles") > 0
+
+    with pytest.raises(ValueError, match="uncommitted"):
+        MI.read_minhash_index_meta(spark, path)
+    with pytest.raises(ValueError, match="uncommitted"):
+        MI.query_minhash_index(new, path)
+    with pytest.raises(ValueError, match="uncommitted"):
+        MI.verify_minhash_index(spark, path)
+
+    repaired = MI.repair_minhash_index(spark, path)
+    assert set(repaired) == {"torn1"} and repaired["torn1"] > 0
+    assert MI.verify_minhash_index(spark, path) == base_counts
+
+    # the same batch_id re-lands after repair
+    info = MI.append_minhash_index(new, path, batch_id="torn1")
+    assert info["n_appended"] > 0
+    assert MI.verify_minhash_index(spark, path)["consistent"]
+
+
+def test_append_self_heals_own_torn_batch(spark, idx, tmp_path):
+    """Retrying append_minhash_index with the batch_id that crashed
+    rolls back its own partial publish and lands the batch — no manual
+    repair step; query results equal a never-crashed append's."""
+    path0, _, new, _ = idx
+    clean, crashed = str(tmp_path / "clean"), str(tmp_path / "crashed")
+    shutil.copytree(path0, clean)
+    shutil.copytree(path0, crashed)
+    MI.append_minhash_index(new, clean, batch_id="b1")
+
+    meta = MI.read_minhash_index_meta(spark, crashed)
+    from data_quality_checker_spark.operators.dedup import (
+        _minhash_shingle_plan,
+    )
+
+    _minhash_shingle_plan(
+        new, "doc_id", "text", meta["k_shingle"], meta["shingle_mode"]
+    ).write.mode("overwrite").parquet(
+        f"{crashed}/_staging/b1/shingles"
+    )
+    MI._touch(spark, f"{crashed}/_appends/b1.begin")
+    MI._publish_staged_table(spark, crashed, "b1", "shingles")
+
+    info = MI.append_minhash_index(new, crashed, batch_id="b1")
+    assert info["n_appended"] > 0 and "already_committed" not in info
+    assert (
+        MI.verify_minhash_index(spark, crashed)
+        == MI.verify_minhash_index(spark, clean)
+    )
+    probe = new.filter("doc_id = 10003").select(
+        (F.col("doc_id") + 40_000).alias("doc_id"), "text"
+    )
+    ra = MI.query_minhash_index(probe, crashed, threshold=THRESHOLD)
+    rb = MI.query_minhash_index(probe, clean, threshold=THRESHOLD)
+    try:
+        assert _pairs(ra) == _pairs(rb)
+    finally:
+        DD.release_cache(ra)
+        DD.release_cache(rb)
+
+
 def test_query_params_come_from_manifest(spark, sf_dir, tmp_path):
     """Build with non-default banding; query reads it back — a probe
     identical to an indexed doc is found even though the caller never
