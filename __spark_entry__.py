@@ -4584,14 +4584,17 @@ from documents where doc_id < 300
 def q_multimodal_content(spark, sf):
     """REAL pixel/sample decode (multimodal.content_decode): each doc
     gets a deterministic VALID payload — 24-bit BMP (varying stride
-    padding) / 16-bit PCM WAV / opaque video blob — built distributed
-    by attach_synth_media; content_decode then parses the BINARY and
+    padding) or zlib-compressed filtered 8-bit RGB PNG (image ids
+    alternate container; SAME closed-form pixel ramps, scanline
+    filters cycle 0..4 so all five unfilter branches run) / 16-bit
+    PCM WAV / opaque video blob — built distributed by
+    attach_synth_media; content_decode then parses the BINARY and
     reports Rec.601 luminance mean/σ + channel clip fraction (image)
     and full-scale RMS/peak + rail-clip fraction (audio). The DuckDB
     twin never sees the bytes: it recomputes every statistic
     ANALYTICALLY from the closed-form pixel/sample ramps, so a stride,
-    offset, channel-order, or normalization bug in the decoder is a
-    value mismatch."""
+    offset, channel-order, inflate, unfilter, or normalization bug in
+    EITHER image decoder is a value mismatch."""
     from data_quality_checker_spark.operators.multimodal import (
         attach_synth_media,
         content_decode,

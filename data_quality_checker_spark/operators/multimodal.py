@@ -3,10 +3,11 @@ metadata. The Spark-side plumbing (schema, partitioning, mapInPandas
 batch shape, Arrow transfer of binary) is real and tested; the codec
 layer is tiered behind `decoder=` hooks: ``header_decode`` (real
 PNG/BMP/GIF/WAV header metadata), ``content_decode`` (REAL pixel /
-sample statistics for the two formats parseable with numpy alone —
-uncompressed 24-bit BMP and 16-bit PCM WAV), and a deterministic fake;
-compressed formats (JPEG/MP3/H.264) still need PIL/ffmpeg and raise
-via ``_real_decode``.
+sample statistics for the formats parseable with the stdlib + numpy
+alone — uncompressed 24-bit BMP, 8-bit non-interlaced PNG via stdlib
+``zlib`` inflate + full filter-0..4 unfiltering, and 16-bit PCM WAV),
+and a deterministic fake; formats needing an external codec (JPEG/
+MP3/H.264) still need PIL/ffmpeg and raise via ``_real_decode``.
 
 Design for 100 TB: binary payloads ride in their own column so column
 pruning keeps them out of every non-media plan (same discipline as the
@@ -19,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -34,6 +36,7 @@ __all__ = [
     "header_decode",
     "content_decode",
     "synth_bmp",
+    "synth_png",
     "synth_wav",
     "sample_video_frames",
 ]
@@ -98,6 +101,98 @@ def synth_bmp(media_id: int) -> bytes:
     return header + body
 
 
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4): a=left, b=up, c=upper-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_filter_row(
+    row: np.ndarray, prev: np.ndarray, ftype: int, bpp: int
+) -> np.ndarray:
+    """Apply PNG scanline filter ``ftype`` for ENCODING. Pure function
+    of the raw bytes (no recursion on reconstructed values), so every
+    branch vectorizes."""
+    r = row.astype(np.int16)
+    left = np.concatenate([np.zeros(bpp, np.int16), r[:-bpp]])
+    up = prev.astype(np.int16)
+    upleft = np.concatenate([np.zeros(bpp, np.int16), up[:-bpp]])
+    if ftype == 0:
+        out = r
+    elif ftype == 1:  # Sub
+        out = r - left
+    elif ftype == 2:  # Up
+        out = r - up
+    elif ftype == 3:  # Average
+        out = r - (left + up) // 2
+    else:  # Paeth
+        p = left + up - upleft
+        pa, pb, pc = (
+            np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+        )
+        pred = np.where(
+            (pa <= pb) & (pa <= pc),
+            left,
+            np.where(pb <= pc, up, upleft),
+        )
+        out = r - pred
+    return (out % 256).astype(np.uint8)
+
+
+def synth_png(media_id: int) -> bytes:
+    """Deterministic VALID 8-bit RGB PNG carrying the SAME closed-form
+    pixel ramps as :func:`synth_bmp` (width/height and the per-channel
+    mod-256 linear ramps are identical; only the container differs, and
+    PNG scanlines are RGB where BMP rows are BGR). Each scanline uses
+    filter type ``y % 5``, so a round-trip through content_decode
+    exercises every unfilter branch (None/Sub/Up/Average/Paeth). The
+    analytic DuckDB oracle for the BMP rows therefore covers PNG rows
+    with zero changes — a filter, channel-order, or inflate bug in the
+    decoder surfaces as a value-hash mismatch."""
+    mid = int(media_id)
+    w = 4 + mid % 5
+    h = 3 + mid % 4
+    x = np.arange(w).reshape(1, w)
+    y = np.arange(h).reshape(h, 1)
+    px = np.stack(
+        [
+            (5 * mid + 3 * x + 17 * y) % 256,  # R
+            (3 * mid + 11 * x + 5 * y) % 256,  # G
+            (mid + 7 * x + 13 * y) % 256,  # B
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    raw = px.reshape(h, w * 3)
+    prev = np.zeros(w * 3, dtype=np.uint8)
+    scanlines = bytearray()
+    for yi in range(h):
+        ftype = yi % 5
+        scanlines.append(ftype)
+        scanlines += _png_filter_row(raw[yi], prev, ftype, 3).tobytes()
+        prev = raw[yi]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(scanlines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def synth_wav(media_id: int) -> bytes:
     """Deterministic VALID 16-bit PCM mono WAV (8 kHz): n=200+id%100
     samples s_i = ((31*id + 997*i) % 65536) - 32768 — full-scale ramp
@@ -115,10 +210,12 @@ def synth_wav(media_id: int) -> bytes:
 
 
 def attach_synth_media(df: DataFrame, id_col: str) -> DataFrame:
-    """Fixture builder: one REAL decodable payload per row — 24-bit
-    BMP for ``media_id % 3 == 0``, PCM WAV for ``% 3 == 1``, and an
-    opaque (undecodable) blob for video — built distributed inside
-    mapInPandas, deterministic per id."""
+    """Fixture builder: one REAL decodable payload per row — an image
+    for ``media_id % 3 == 0`` (24-bit BMP when ``% 6 == 0``, filtered
+    8-bit RGB PNG when ``% 6 == 3`` — both carry the SAME closed-form
+    pixel ramps, so one analytic oracle covers both containers), PCM
+    WAV for ``% 3 == 1``, and an opaque (undecodable) blob for video —
+    built distributed inside mapInPandas, deterministic per id."""
 
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -127,7 +224,11 @@ def attach_synth_media(df: DataFrame, id_col: str) -> DataFrame:
                 m = int(mid) % 3
                 if m == 0:
                     kinds.append("image")
-                    payloads.append(synth_bmp(mid))
+                    payloads.append(
+                        synth_bmp(mid)
+                        if int(mid) % 6 == 0
+                        else synth_png(mid)
+                    )
                 elif m == 1:
                     kinds.append("audio")
                     payloads.append(synth_wav(mid))
@@ -198,6 +299,83 @@ def header_decode(payload: bytes, kind: str) -> dict:
     return out
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type -> samples/px
+
+
+def _png_decode(p: bytes) -> tuple[np.ndarray, int] | None:
+    """Zero-dep PNG pixel decode: chunk walk -> stdlib zlib inflate ->
+    per-scanline unfilter (all five filter types, Paeth included).
+    Returns ``(pixels uint8 (h, w, channels), color_type)`` for 8-bit
+    non-interlaced grayscale / RGB / gray+alpha / RGBA images, or None
+    for anything else (palette, 16-bit, interlaced, malformed,
+    truncated) — the caller treats None as "content stats unknown".
+
+    Unfiltering is inherently sequential row-to-row (Up/Average/Paeth
+    reference the reconstructed previous scanline); within a row,
+    None/Up vectorize, Sub is a per-lane mod-256 cumsum, and
+    Average/Paeth walk bytes (their predictor needs the reconstructed
+    left neighbor). That per-byte walk is the price of zero deps — at
+    100 TB this is still one payload per task inside mapInPandas, and
+    the decoder= hook swaps in PIL unchanged when it's available."""
+    if p[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(p):
+        ln = int.from_bytes(p[pos : pos + 4], "big")
+        tag = p[pos + 4 : pos + 8]
+        body = p[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            return None  # truncated chunk
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln  # len + tag + body + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h = struct.unpack(">II", ihdr[:8])
+    bit_depth, color_type, interlace = ihdr[8], ihdr[9], ihdr[12]
+    ch = _PNG_CHANNELS.get(color_type)
+    if bit_depth != 8 or interlace != 0 or ch is None or w < 1 or h < 1:
+        return None
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    bpp = ch  # bytes per pixel at bit depth 8
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for yi in range(h):
+        off = yi * (stride + 1)
+        ftype = raw[off]
+        frow = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=off + 1
+        ).astype(np.int32)
+        if ftype == 0:
+            row = frow
+        elif ftype == 1:  # Sub: per-lane cumsum mod 256
+            row = frow.copy()
+            for lane in range(bpp):
+                row[lane::bpp] = np.cumsum(row[lane::bpp]) % 256
+        elif ftype == 2:  # Up
+            row = (frow + prev) % 256
+        elif ftype in (3, 4):  # Average / Paeth: need recon left
+            row = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                pred = (a + b) // 2 if ftype == 3 else _paeth(a, b, c)
+                row[i] = (int(frow[i]) + pred) % 256
+        else:
+            return None  # invalid filter type
+        recon[yi] = row.astype(np.uint8)
+        prev = row
+    return recon.reshape(h, w, ch), color_type
+
+
 def content_decode(payload: bytes, kind: str) -> dict:
     """REAL pixel/sample decode for the two formats parseable with
     numpy alone, layered on :func:`header_decode` metadata:
@@ -206,12 +384,19 @@ def content_decode(payload: bytes, kind: str) -> dict:
       luminance, population σ) and ``clip_frac`` (fraction of channel
       bytes at 0 or 255) — row-stride padding and top-down (negative
       height) layouts handled;
+    - 8-bit non-interlaced PNG (gray / RGB / gray+alpha / RGBA) ->
+      the same luminance stats via :func:`_png_decode` (stdlib zlib
+      inflate + full filter-0..4 unfilter); ``clip_frac`` is over the
+      COLOR channel bytes only (alpha excluded — BMP-consistent);
+      grayscale luminance IS the gray sample. Palette / 16-bit /
+      interlaced PNGs fall through to header metadata with stats None;
     - 16-bit PCM mono/stereo WAV -> ``rms`` / ``peak`` (full-scale
       normalized) and ``clip_frac`` (fraction of samples at the rail,
       |s| >= 32767).
 
-    Compressed formats fall through with content stats None (header
-    metadata only). Pass as ``decoder=content_decode``."""
+    Formats needing an external codec (JPEG/MP3) fall through with
+    content stats None (header metadata only). Pass as
+    ``decoder=content_decode``."""
     out = header_decode(payload, kind)
     out.update(
         {"lum_mean": None, "lum_std": None, "rms": None, "peak": None,
@@ -247,6 +432,26 @@ def content_decode(payload: bytes, kind: str) -> dict:
                 out["clip_frac"] = float(
                     ((ch == 0) | (ch == 255)).mean()
                 )
+        elif p[:8] == b"\x89PNG\r\n\x1a\n":
+            dec = _png_decode(p)
+            if dec is not None:
+                px, color_type = dec  # uint8 (h, w, channels)
+                a = px.astype(np.float64)
+                if color_type in (2, 6):  # RGB / RGBA: scanlines are RGB
+                    lum = (
+                        0.299 * a[:, :, 0]
+                        + 0.587 * a[:, :, 1]
+                        + 0.114 * a[:, :, 2]
+                    )
+                    color = px[:, :, :3]
+                else:  # grayscale (+alpha): luminance IS the sample
+                    lum = a[:, :, 0]
+                    color = px[:, :, :1]
+                out["lum_mean"] = float(lum.mean())
+                out["lum_std"] = float(lum.std())  # population σ
+                out["clip_frac"] = float(
+                    ((color == 0) | (color == 255)).mean()
+                )
         elif (
             p[:4] == b"RIFF"
             and p[8:12] == b"WAVE"
@@ -277,11 +482,11 @@ def content_decode(payload: bytes, kind: str) -> dict:
 
 def _real_decode(payload: bytes, kind: str) -> dict:  # pragma: no cover
     raise NotImplementedError(
-        "compressed-format decoding (JPEG/MP3/H.264) needs "
-        "PIL/torchaudio/ffmpeg — not present in this environment; "
-        "header_decode covers PNG/BMP/GIF/WAV metadata, content_decode "
-        "covers BMP pixel + WAV PCM statistics, _fake_decode gives "
-        "deterministic stand-ins"
+        "JPEG/MP3/H.264 decoding needs PIL/torchaudio/ffmpeg — not "
+        "present in this environment; header_decode covers "
+        "PNG/BMP/GIF/WAV metadata, content_decode covers BMP + 8-bit "
+        "PNG pixel and WAV PCM statistics (stdlib zlib + numpy only), "
+        "_fake_decode gives deterministic stand-ins"
     )
 
 

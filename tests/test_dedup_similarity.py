@@ -486,9 +486,11 @@ def test_header_decode_real_formats(spark):
 
 
 def test_content_decode_pixel_and_pcm_stats(spark):
-    """content_decode parses REAL BMP pixels / WAV PCM samples through
-    the mapInPandas plumbing; stats match the closed-form generators
-    (numpy truth recomputed here), top-down BMPs give identical
+    """content_decode parses REAL BMP pixels, zlib-inflated PNG
+    scanlines, and WAV PCM samples through the mapInPandas plumbing;
+    stats match the closed-form generators (numpy truth recomputed
+    here — image ids alternate BMP/PNG containers over the SAME pixel
+    ramps, so one truth covers both), top-down BMPs give identical
     orientation-invariant stats, and undecodable payloads yield Nones
     — never crashes."""
     import numpy as np
@@ -543,6 +545,108 @@ def test_content_decode_pixel_and_pcm_stats(spark):
     assert M.content_decode(M.synth_bmp(3)[:40], "image")["lum_mean"] is None
     assert M.content_decode(b"BMgarbage", "image")["lum_mean"] is None
     assert M.content_decode(M.synth_wav(4)[:43], "audio")["rms"] is None
+
+
+def test_png_content_decode_zero_dep():
+    """The stdlib-zlib PNG pixel decoder: synth_png payloads (scanline
+    filters cycling 0..4) produce stats BIT-IDENTICAL to the BMP twin
+    of the same id — same closed-form ramps, different container — so
+    an inflate, unfilter, or RGB-vs-BGR bug cannot hide; grayscale and
+    RGBA color types decode (alpha excluded from clip_frac, matching
+    the BMP channel-byte semantics); palette/16-bit/interlaced/
+    truncated/corrupt-IDAT payloads yield Nones, never exceptions."""
+    import struct as _s
+    import zlib as _z
+
+    import numpy as np
+
+    def chunk(tag, body):
+        return (
+            _s.pack(">I", len(body)) + tag + body
+            + _s.pack(">I", _z.crc32(tag + body))
+        )
+
+    def png_of(w, h, color_type, rows):
+        ihdr = _s.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        raw = b"".join(b"\x00" + r for r in rows)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _z.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    # container parity: every image id 0..60 (heights 3..6 cover all
+    # five filter types via y % 5, widths 4..8 vary the scanline size)
+    for mid in range(0, 60, 3):
+        png = M.content_decode(M.synth_png(mid), "image")
+        bmp = M.content_decode(M.synth_bmp(mid), "image")
+        for k in ("lum_mean", "lum_std", "clip_frac"):
+            assert abs(png[k] - bmp[k]) < 1e-12, (mid, k, png[k], bmp[k])
+        hd = M.header_decode(M.synth_png(mid), "image")
+        assert (hd["width"], hd["height"]) == (4 + mid % 5, 3 + mid % 4)
+
+    # grayscale: luminance IS the sample; rail values clip
+    g = M.content_decode(png_of(5, 4, 0, [bytes([200]) * 5] * 4), "image")
+    assert (g["lum_mean"], g["lum_std"], g["clip_frac"]) == (200.0, 0.0, 0.0)
+    assert M.content_decode(
+        png_of(5, 4, 0, [bytes([255]) * 5] * 4), "image"
+    )["clip_frac"] == 1.0
+
+    # RGBA: opaque alpha (255) must NOT count toward clip_frac
+    row = bytes([10, 20, 30, 255]) * 4
+    r = M.content_decode(png_of(4, 3, 6, [row] * 3), "image")
+    want_lum = 0.299 * 10 + 0.587 * 20 + 0.114 * 30
+    assert abs(r["lum_mean"] - want_lum) < 1e-9
+    assert r["clip_frac"] == 0.0
+
+    # gray+alpha (color type 4)
+    ga = M.content_decode(
+        png_of(3, 2, 4, [bytes([100, 255]) * 3] * 2), "image"
+    )
+    assert (ga["lum_mean"], ga["clip_frac"]) == (100.0, 0.0)
+
+    # undecodable variants -> header metadata only, stats None
+    base = M.synth_png(3)
+
+    def mutated(idx, val):
+        b = bytearray(base)
+        b[idx] = val
+        return bytes(b)
+
+    ihdr_off = 8 + 8  # sig + len/tag of IHDR
+    assert M.content_decode(base[:30], "image")["lum_mean"] is None
+    assert (
+        M.content_decode(mutated(ihdr_off + 12, 1), "image")["lum_mean"]
+        is None
+    )  # interlace=Adam7
+    assert (
+        M.content_decode(mutated(ihdr_off + 8, 16), "image")["lum_mean"]
+        is None
+    )  # 16-bit depth
+    assert (
+        M.content_decode(mutated(ihdr_off + 9, 3), "image")["lum_mean"]
+        is None
+    )  # palette color type
+    corrupt = mutated(len(base) // 2, (base[len(base) // 2] ^ 0xFF))
+    assert M.content_decode(corrupt, "image")["lum_mean"] is None
+    # ... and a PNG whose IDAT inflates short of h*(stride+1)
+    short = png_of(4, 3, 2, [b"\x00" * 12] * 2)  # 2 rows, header says 3
+    assert M.content_decode(short, "image")["lum_mean"] is None
+
+    # the synth fixture really alternates containers on image ids
+    assert M.synth_png(3)[:8] == b"\x89PNG\r\n\x1a\n"
+    assert M.synth_bmp(6)[:2] == b"BM"
+    # numpy truth for one PNG id, independent of the BMP twin
+    mid, w, h = 9, 4 + 9 % 5, 3 + 9 % 4
+    x, y = np.arange(w).reshape(1, w), np.arange(h).reshape(h, 1)
+    b_, g_, r_ = (
+        (mid + 7 * x + 13 * y) % 256,
+        (3 * mid + 11 * x + 5 * y) % 256,
+        (5 * mid + 3 * x + 17 * y) % 256,
+    )
+    lum = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+    got = M.content_decode(M.synth_png(mid), "image")
+    assert abs(got["lum_mean"] - lum.mean()) < 1e-9
+    assert abs(got["lum_std"] - lum.std()) < 1e-9
 
 
 def test_minhash_prefilter_equivalence_and_liveness(docs):
