@@ -4665,6 +4665,184 @@ from ids where doc_id % 3 = 2
 """
 
 
+def q_multimodal_jpeg(spark, sf):
+    """The in-repo baseline-JPEG decoder (operators/jpeg.py: stream
+    Huffman tables, dequant, vectorized IDCT, T.81 markers) pinned by
+    the analytic-oracle pattern: each doc gets a VALID solid-grayscale
+    baseline JPEG (value v=(37*id+11)%256 — solid blocks are DC-only,
+    so decode is EXACT integer math), content_decode runs the full
+    entropy-decode + IDCT path over the binary, and the DuckDB twin
+    recomputes width/height/stats in closed form without parsing a
+    byte. Any Huffman, zigzag, dequant, IDCT-scale, or level-shift bug
+    is a value-hash mismatch."""
+    from data_quality_checker_spark.operators.multimodal import (
+        content_decode,
+        extract_media_features,
+        synth_jpeg_gray,
+    )
+
+    docs = _t(spark, sf, "documents").filter("doc_id < 200")
+
+    def _build(batches):
+        import pandas as pd  # worker-side
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": [
+                        synth_jpeg_gray(int(i)) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    media = docs.select("doc_id").mapInPandas(
+        _build, schema="media_id long, kind string, payload binary"
+    )
+    feat = extract_media_features(media, decoder=content_decode)
+    return feat.select(
+        "media_id",
+        "width",
+        "height",
+        _r6(F.col("lum_mean")).alias("lum_mean"),
+        _r6(F.col("lum_std")).alias("lum_std"),
+        _r6(F.col("clip_frac")).alias("clip_frac"),
+    )
+
+
+SQL_MULTIMODAL_JPEG = """
+select doc_id as media_id,
+       (4 + doc_id % 5)::int as width,
+       (3 + doc_id % 4)::int as height,
+       round(((37 * doc_id + 11) % 256)::double, 6) as lum_mean,
+       0.0::double as lum_std,
+       (case when (37 * doc_id + 11) % 256 in (0, 255)
+             then 1.0 else 0.0 end)::double as clip_frac
+from documents where doc_id < 200
+"""
+
+
+def q_doc_embed_hashing(spark, sf):
+    """The text->embedding bridge (plans/embed.hashed_doc_vectors):
+    hashed TF-IDF doc vectors — token -> md5-prefix bucket, TF x
+    smoothed IDF, L2 normalization, pure Catalyst — returned in
+    EXPLODED (doc_id, bucket, weight) form so the DuckDB twin pins the
+    ENTIRE vector content cell by cell: a tokenization, hash-bucket,
+    IDF-smoothing, or normalization bug anywhere in the embedder is a
+    value-hash mismatch. This is the deterministic default embedder
+    semantic_dedup_text / ivf_index_from_text feed into SemDeDup and
+    IVF search (reference ancestor nlp_analyzer.py:745-817 builds
+    TF-IDF and Word2Vec similarity but never bridges doc vectors into
+    dedup/search)."""
+    from data_quality_checker_spark.plans import embed as E
+
+    docs = _t(spark, sf, "documents").filter("doc_id < 300")
+    vecs = E.hashed_doc_vectors(docs, dim=64)
+    return (
+        vecs.select(
+            "doc_id", F.posexplode("embedding").alias("bucket", "w")
+        )
+        .filter(F.col("w") != 0.0)
+        .select("doc_id", "bucket", _r6(F.col("w")).alias("weight"))
+    )
+
+
+SQL_DOC_EMBED_HASHING = f"""
+with t as (select doc_id, unnest({duck.toks('text')}) as t
+           from documents where doc_id < 300 and text is not null),
+tb as (select doc_id,
+              (('0x' || substr(md5(t), 1, 13))::bigint % 64)::int bucket
+       from t),
+tf as (select doc_id, bucket, count(*)::double w from tb group by 1, 2),
+nd as (select count(distinct doc_id) n from tb),
+dfb as (select bucket, count(distinct doc_id)::double dfb
+        from tb group by 1),
+wi as (select tf.doc_id, tf.bucket,
+              tf.w * (ln((nd.n + 1) / (dfb.dfb + 1)) + 1) w
+       from tf
+       join dfb using (bucket)
+       cross join nd),
+nrm as (select doc_id, sqrt(sum(w * w)) nrm from wi group by 1)
+select wi.doc_id, wi.bucket, round(wi.w / nrm.nrm, 6) as weight
+from wi join nrm using (doc_id)
+"""
+
+
+def q_stream_windowed_counts(spark, sf):
+    """The streaming surface's first value-pinned CORRECTNESS row: the
+    events table is re-ingested THROUGH the Structured Streaming
+    engine (readStream file source -> watermarked tumbling-window
+    aggregate (streaming/windowed.windowed_event_counts) -> memory
+    sink, availableNow trigger, complete output mode so every window
+    is emitted and the result is deterministic), then compared against
+    a plain relational DuckDB twin. Exercises the real incremental
+    machinery — StateStore-backed window aggregation, trigger
+    lifecycle, sink commit — not a batch plan dressed up as one.
+    Window starts emitted as epoch micros (the repo's timestamp
+    convention); mean rounded 6dp both sides."""
+    import os
+    import tempfile
+    import uuid
+
+    from data_quality_checker_spark.streaming.windowed import (
+        windowed_event_counts,
+    )
+
+    name = f"swc_{uuid.uuid4().hex[:8]}"
+    # the streaming file source only accepts a DIRECTORY; stage the
+    # single-file fixture behind a symlink (no data copy)
+    in_dir = tempfile.mkdtemp(prefix=f"{name}_in_")
+    os.symlink(
+        os.path.abspath(f"{sf}/events.parquet"),
+        f"{in_dir}/events.parquet",
+    )
+    schema = _t(spark, sf, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(in_dir)
+        # parquet timestamp[us] loads as TIMESTAMP_NTZ; watermarks
+        # require TIMESTAMP — with the repo's pinned UTC session
+        # timezone the cast is micros-identity (session.py)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = windowed_event_counts(
+        stream,
+        ts_col="ts",
+        key_col="event_type",
+        window="10 minutes",
+        watermark="20 minutes",
+        value_col="value",
+    )
+    ckpt = tempfile.mkdtemp(prefix=f"{name}_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "key",
+        "n",
+        _r6(F.col("mean_value")).alias("mean_value"),
+    )
+
+
+SQL_STREAM_WINDOWED_COUNTS = """
+select (floor(epoch(ts) / 600) * 600 * 1000000)::bigint
+         as window_start_us,
+       event_type as key,
+       count(*) as n,
+       round(avg(value), 6) as mean_value
+from events
+group by 1, 2
+"""
+
+
 # --------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------
@@ -4808,6 +4986,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": q_ann_topk_lsh,
         "semantic_dedup_pairs": q_semantic_dedup_pairs,
         "semantic_dedup_keep": q_semantic_dedup_keep,
+        "doc_embed_hashing": q_doc_embed_hashing,
+        "stream_windowed_counts": q_stream_windowed_counts,
+        "multimodal_jpeg": q_multimodal_jpeg,
         "perplexity": q_perplexity,
         # multimodal
         "multimodal_features": q_multimodal_features,
@@ -4935,6 +5116,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_pairs": SQL_EMB_PAIRS,
         "semantic_dedup_pairs": SQL_SEMDEDUP_PAIRS,
         "semantic_dedup_keep": SQL_SEMDEDUP_KEEP,
+        "doc_embed_hashing": SQL_DOC_EMBED_HASHING,
+        "stream_windowed_counts": SQL_STREAM_WINDOWED_COUNTS,
+        "multimodal_jpeg": SQL_MULTIMODAL_JPEG,
         "multimodal_features": SQL_MULTIMODAL,
         "multimodal_content": SQL_MULTIMODAL_CONTENT,
     }

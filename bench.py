@@ -101,6 +101,19 @@ def _bench_semdedup(spark, sf_dir):
     )
 
 
+def _bench_embed_dedup(spark, sf_dir):
+    """Text->embedding bridge flagship: semantic dedup straight from
+    documents(text) — hashed TF-IDF embed (pure Catalyst) -> SemDeDup
+    keep set -> semi-join, the end-to-end run a user starts from a
+    raw text corpus (no precomputed vectors)."""
+    from data_quality_checker_spark.plans import embed as E
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return E.semantic_dedup_text(
+        docs, dim=128, k=32, tau=0.95, impl="arrow"
+    )
+
+
 def _bench_spans_cdc(spark, sf_dir):
     """Content-anchored exact-substring dedup, PRODUCTION shape
     (xxhash64 8-byte window keys — the oracle twin uses key_mode='text'
@@ -191,6 +204,7 @@ BENCH_OVERRIDES = {
     "semantic_dedup_pairs": _bench_semdedup,
     "duplicate_spans_cdc": _bench_spans_cdc,
     "minhash_index_incr": _bench_minhash_index,
+    "semantic_dedup_text": _bench_embed_dedup,
 }
 
 HEADLINE = [
@@ -232,6 +246,13 @@ HEADLINE = [
     # round-5 addition: incremental index-backed dedup (steady-state
     # rolling-crawl query against the prebuilt MinHash index)
     "minhash_index_incr",
+    # round-6 addition: text->embedding bridge (embed + SemDeDup e2e
+    # from raw text; the vector content is oracle-pinned separately
+    # by doc_embed_hashing)
+    "semantic_dedup_text",
+    # round-6 addition: in-repo baseline-JPEG decode through the
+    # mapInPandas feature extractor (operators/jpeg.py)
+    "multimodal_jpeg",
 ]
 
 

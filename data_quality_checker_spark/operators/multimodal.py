@@ -2,12 +2,13 @@
 metadata. The Spark-side plumbing (schema, partitioning, mapInPandas
 batch shape, Arrow transfer of binary) is real and tested; the codec
 layer is tiered behind `decoder=` hooks: ``header_decode`` (real
-PNG/BMP/GIF/WAV header metadata), ``content_decode`` (REAL pixel /
-sample statistics for the formats parseable with the stdlib + numpy
-alone — uncompressed 24-bit BMP, 8-bit non-interlaced PNG via stdlib
-``zlib`` inflate + full filter-0..4 unfiltering, and 16-bit PCM WAV),
-and a deterministic fake; formats needing an external codec (JPEG/
-MP3/H.264) still need PIL/ffmpeg and raise via ``_real_decode``.
+PNG/BMP/GIF/JPEG/WAV header metadata), ``content_decode`` (REAL
+pixel / sample statistics for the formats parseable with the stdlib +
+numpy alone — uncompressed 24-bit BMP, 8-bit non-interlaced PNG via
+stdlib ``zlib`` inflate + full filter-0..4 unfiltering, baseline JPEG
+via the in-repo T.81 decoder (operators/jpeg.py), and 16-bit PCM
+WAV), and a deterministic fake; formats needing an external codec
+(MP3/H.264, progressive JPEG) still raise via ``_real_decode``.
 
 Design for 100 TB: binary payloads ride in their own column so column
 pruning keeps them out of every non-media plan (same discipline as the
@@ -37,6 +38,7 @@ __all__ = [
     "content_decode",
     "synth_bmp",
     "synth_png",
+    "synth_jpeg_gray",
     "synth_wav",
     "sample_video_frames",
 ]
@@ -193,6 +195,25 @@ def synth_png(media_id: int) -> bytes:
     )
 
 
+def synth_jpeg_gray(media_id: int) -> bytes:
+    """Deterministic VALID baseline JPEG (operators/jpeg.py encoder):
+    solid grayscale value ``v = (37*id + 11) % 256`` at the same
+    width/height formula as the other image synths. Solid-color
+    streams decode EXACTLY (DC-only blocks, integer math end to end),
+    so the DuckDB oracle recomputes the content stats in closed form —
+    the JPEG Huffman/dequant/IDCT path is value-pinned without the
+    oracle ever seeing a byte."""
+    from data_quality_checker_spark.operators.jpeg import (
+        encode_baseline_jpeg,
+    )
+
+    mid = int(media_id)
+    w = 4 + mid % 5
+    h = 3 + mid % 4
+    v = (37 * mid + 11) % 256
+    return encode_baseline_jpeg(np.full((h, w), v, dtype=np.uint8))
+
+
 def synth_wav(media_id: int) -> bytes:
     """Deterministic VALID 16-bit PCM mono WAV (8 kHz): n=200+id%100
     samples s_i = ((31*id + 997*i) % 65536) - 32768 — full-scale ramp
@@ -283,6 +304,26 @@ def header_decode(payload: bytes, kind: str) -> dict:
         elif p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 10:
             out["width"] = int.from_bytes(p[6:8], "little")
             out["height"] = int.from_bytes(p[8:10], "little")
+        elif p[:2] == b"\xff\xd8":  # JPEG: walk segments to any SOFn
+            pos = 2
+            while pos + 9 <= len(p) and p[pos] == 0xFF:
+                marker, ln = p[pos + 1], int.from_bytes(
+                    p[pos + 2 : pos + 4], "big"
+                )
+                if marker in (
+                    0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+                ):
+                    out["height"] = int.from_bytes(
+                        p[pos + 5 : pos + 7], "big"
+                    )
+                    out["width"] = int.from_bytes(
+                        p[pos + 7 : pos + 9], "big"
+                    )
+                    break
+                if marker == 0xDA:  # SOS without SOF: give up
+                    break
+                pos += 2 + ln
         elif (
             p[:4] == b"RIFF"
             and p[8:12] == b"WAVE"
@@ -390,6 +431,9 @@ def content_decode(payload: bytes, kind: str) -> dict:
       COLOR channel bytes only (alpha excluded — BMP-consistent);
       grayscale luminance IS the gray sample. Palette / 16-bit /
       interlaced PNGs fall through to header metadata with stats None;
+    - baseline JPEG (grayscale or YCbCr, any sampling factors) -> the
+      same luminance stats via operators/jpeg.decode_baseline_jpeg;
+      progressive/arithmetic streams fall through with stats None;
     - 16-bit PCM mono/stereo WAV -> ``rms`` / ``peak`` (full-scale
       normalized) and ``clip_frac`` (fraction of samples at the rail,
       |s| >= 32767).
@@ -431,6 +475,29 @@ def content_decode(payload: bytes, kind: str) -> dict:
                 ch = rows[:, : w * 3]
                 out["clip_frac"] = float(
                     ((ch == 0) | (ch == 255)).mean()
+                )
+        elif p[:2] == b"\xff\xd8":  # baseline JPEG (operators/jpeg.py)
+            from data_quality_checker_spark.operators.jpeg import (
+                decode_baseline_jpeg,
+            )
+
+            px = decode_baseline_jpeg(p)
+            if px is not None:
+                a = px.astype(np.float64)
+                if px.ndim == 3:  # RGB
+                    lum = (
+                        0.299 * a[:, :, 0]
+                        + 0.587 * a[:, :, 1]
+                        + 0.114 * a[:, :, 2]
+                    )
+                    color = px
+                else:  # grayscale: luminance IS the sample
+                    lum = a
+                    color = px
+                out["lum_mean"] = float(lum.mean())
+                out["lum_std"] = float(lum.std())  # population σ
+                out["clip_frac"] = float(
+                    ((color == 0) | (color == 255)).mean()
                 )
         elif p[:8] == b"\x89PNG\r\n\x1a\n":
             dec = _png_decode(p)
@@ -482,11 +549,12 @@ def content_decode(payload: bytes, kind: str) -> dict:
 
 def _real_decode(payload: bytes, kind: str) -> dict:  # pragma: no cover
     raise NotImplementedError(
-        "JPEG/MP3/H.264 decoding needs PIL/torchaudio/ffmpeg — not "
-        "present in this environment; header_decode covers "
-        "PNG/BMP/GIF/WAV metadata, content_decode covers BMP + 8-bit "
-        "PNG pixel and WAV PCM statistics (stdlib zlib + numpy only), "
-        "_fake_decode gives deterministic stand-ins"
+        "MP3/H.264 (and progressive JPEG) decoding needs "
+        "PIL/torchaudio/ffmpeg — not present in this environment; "
+        "header_decode covers PNG/BMP/GIF/JPEG/WAV metadata, "
+        "content_decode covers BMP + 8-bit PNG + baseline JPEG pixel "
+        "and WAV PCM statistics (stdlib + numpy only), _fake_decode "
+        "gives deterministic stand-ins"
     )
 
 

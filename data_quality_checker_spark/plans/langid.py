@@ -274,6 +274,112 @@ LANGID_WORDS: dict[str, tuple[str, ...]] = {
         "子", "你", "地", "出", "道", "也", "时", "年", "得", "就",
         "那", "要", "下", "以", "生", "会", "自", "着", "去", "人",
     ),
+    # round-6 expansion: +12 languages. Five unique scripts (th bn ta
+    # te ka) ride free on trigram separation; fa shares Arabic script
+    # with ar but disjoint function words; sw/bg/hr/lt/lv/az stress
+    # the confusable-neighbor regime (bg vs ru/uk Cyrillic, hr vs
+    # cs/pl Latin-Slavic, az vs tr Turkic) — the held-out gates keep
+    # them honest.
+    "th": (
+        "ที่", "และ", "เป็น", "ใน", "ของ", "มี", "ไม่", "ได้",
+        "ให้", "ว่า", "จะ", "มา", "ไป", "กับ", "แต่", "ก็", "นี้",
+        "นั้น", "คน", "เรา", "คุณ", "เขา", "อยู่", "ต้อง",
+        "เมื่อ", "แล้ว", "ถ้า", "เพราะ", "อย่าง", "ทำ", "วัน",
+        "เวลา", "ปี", "ดี", "ใหม่", "โลก", "หลัง", "อะไร",
+        "ใคร", "ที่ไหน",
+    ),
+    "bn": (
+        "এবং", "আমি", "তুমি", "সে", "আমরা", "তারা", "এই", "সেই",
+        "হয়", "ছিল", "না", "কিন্তু", "থেকে", "জন্য", "সঙ্গে",
+        "করে", "বলে", "সব", "এক", "সময়", "বছর", "দিন", "ভালো",
+        "নতুন", "মানুষ", "পরে", "কি", "কে", "কোথায়", "তাই",
+        "কেন", "আর", "হবে", "পারে", "আরো", "এখন", "যখন",
+        "মধ্যে", "উপর", "কিছু",
+    ),
+    "ta": (
+        "மற்றும்", "நான்", "நீ", "அவன்", "அவள்", "நாங்கள்",
+        "அவர்கள்", "இது", "அது", "இருக்கிறது", "இல்லை",
+        "ஆனால்", "இருந்து", "உடன்", "செய்ய", "என்று",
+        "எல்லாம்", "ஒரு", "நேரம்", "ஆண்டு", "நாள்", "நல்ல",
+        "புதிய", "மக்கள்", "பிறகு", "என்ன", "யார்", "எங்கே",
+        "அதனால்", "ஏன்", "மேலும்", "இப்போது", "போது",
+        "நடுவில்", "மேல்", "சில", "மிகவும்", "இரண்டு",
+        "உலகம்", "வேண்டும்",
+    ),
+    "te": (
+        "మరియు", "నేను", "నీవు", "అతను", "ఆమె", "మేము", "వారు",
+        "ఇది", "అది", "ఉంది", "లేదు", "కానీ", "నుండి", "కోసం",
+        "తో", "చేయు", "అని", "అన్ని", "ఒక", "సమయం",
+        "సంవత్సరం", "రోజు", "మంచి", "కొత్త", "ప్రజలు",
+        "తరువాత", "ఏమి", "ఎవరు", "ఎక్కడ", "కాబట్టి", "ఎందుకు",
+        "ఇంకా", "ఇప్పుడు", "ఉన్నప్పుడు", "మధ్య", "పైన",
+        "కొన్ని", "చాలా", "రెండు", "ప్రపంచం",
+    ),
+    "ka": (
+        "და", "არის", "იყო", "არ", "მაგრამ", "ისინი", "აქვს",
+        "შენ", "ჩვენ", "ყველა", "ერთი", "დრო", "წელი", "დღე",
+        "კარგი", "ახალი", "ჩვენი", "შესახებ", "მათ",
+        "შეუძლია", "იქნება", "მხოლოდ", "ადამიანები", "როცა",
+        "რომელიც", "იქ", "გააკეთოს", "მოსწონს", "რა", "როდის",
+        "სად", "ასე", "რატომ", "კიდევ", "ახლა", "შორის",
+        "ზემოთ", "რამდენიმე", "ძალიან", "ორი",
+    ),
+    "fa": (
+        "است", "که", "از", "را", "با", "این", "آن", "برای",
+        "در", "به", "نیست", "اما", "آنها", "دارند", "شما", "ما",
+        "همه", "یک", "زمان", "سال", "روز", "خوب", "جدید",
+        "مردم", "بعد", "چه", "کسی", "کجا", "پس", "چرا", "هنوز",
+        "اکنون", "وقتی", "میان", "بالا", "برخی", "بسیار", "دو",
+        "جهان", "باشد",
+    ),
+    "sw": (
+        "na", "ni", "ya", "wa", "kwa", "katika", "si", "lakini",
+        "wao", "kuwa", "nina", "wewe", "sisi", "wote", "moja",
+        "wakati", "mwaka", "siku", "nzuri", "mpya", "watu",
+        "baada", "nini", "nani", "wapi", "hivyo", "kwanini",
+        "bado", "sasa", "kila", "kati", "juu", "baadhi", "sana",
+        "mbili", "dunia", "kama", "hii", "ile", "yake",
+    ),
+    "bg": (
+        "и", "е", "на", "не", "са", "но", "те", "има", "ти",
+        "ние", "всички", "един", "време", "година", "ден",
+        "добър", "нов", "хора", "след", "какво", "кой", "къде",
+        "така", "защо", "още", "сега", "когато", "между",
+        "върху", "някои", "много", "две", "свят", "като",
+        "това", "онова", "който", "може", "ще", "само",
+    ),
+    "hr": (
+        "i", "je", "na", "u", "za", "ne", "su", "ali", "oni",
+        "ima", "ti", "mi", "svi", "jedan", "vrijeme", "godina",
+        "dan", "dobar", "nov", "ljudi", "poslije", "što", "tko",
+        "gdje", "tako", "zašto", "još", "sada", "kada", "između",
+        "iznad", "neki", "vrlo", "dva", "svijet", "kao", "ovaj",
+        "onaj", "koji", "može",
+    ),
+    "lt": (
+        "ir", "yra", "buvo", "ne", "bet", "jie", "turi", "tu",
+        "mes", "visi", "vienas", "laikas", "metai", "diena",
+        "geras", "naujas", "žmonės", "po", "kas", "kur", "taip",
+        "kodėl", "dar", "dabar", "kai", "tarp", "virš", "kurie",
+        "labai", "du", "pasaulis", "kaip", "šis", "tas", "kuris",
+        "gali", "bus", "tik", "apie", "jau",
+    ),
+    "lv": (
+        "un", "ir", "bija", "ne", "bet", "viņi", "tu", "mēs",
+        "visi", "viens", "laiks", "gads", "diena", "labs",
+        "jauns", "cilvēki", "pēc", "kas", "kur", "tā", "kāpēc",
+        "vēl", "tagad", "kad", "starp", "virs", "daži", "ļoti",
+        "divi", "pasaule", "kā", "šis", "tas", "kurš", "var",
+        "būs", "tikai", "par", "jau", "arī",
+    ),
+    "az": (
+        "və", "bir", "bu", "o", "biz", "siz", "onlar", "üçün",
+        "ilə", "amma", "deyil", "var", "yox", "hamı", "zaman",
+        "il", "gün", "yaxşı", "yeni", "insanlar", "sonra", "nə",
+        "kim", "harada", "görə", "niyə", "hələ", "indi", "vaxt",
+        "arasında", "üstündə", "bəzi", "çox", "iki", "dünya",
+        "kimi", "həmin", "hansı", "olar", "edir",
+    ),
 }
 
 LANGID_LANGS: tuple[str, ...] = tuple(LANGID_WORDS)
@@ -410,7 +516,18 @@ def _norm_expr(text_col, order: int):
         ),
         lambda pw: F.length(pw) > order,
     )
-    return F.concat(*per_order, words)
+    # pure-space grams (the padding 1-gram " ", and "  " from empty
+    # text) are normalization artifacts with NO language signal — but
+    # as the highest-count "seen" gram in every language they reward
+    # real languages over the uniform 'und' background on junk input:
+    # at 38 languages the vocabulary grew enough that bare punctuation
+    # ("?!") out-scored abstention through its space grams alone.
+    # Dropped from training and scoring alike (mirror rule in
+    # CharNgramLangID._grams).
+    return F.filter(
+        F.concat(*per_order, words),
+        lambda g: F.trim(g) != F.lit(""),
+    )
 
 
 def train_charngram_counts(
@@ -497,7 +614,10 @@ class CharNgramLangID:
             for w in norm.strip().split(" ")
             if w and len(pw := f" {w} ") > self.order
         )
-        return out
+        # mirror of _norm_expr's pure-space filter: padding grams are
+        # signal-free and would reward every real language over 'und'
+        # on punctuation-only input
+        return [g for g in out if g.strip()]
 
     def _scores(self, grams: list[str]) -> dict[str, float]:
         out = {}

@@ -78,6 +78,16 @@ class PipelineConfig:
     # shingle instead of num_hashes) — the crawl-scale sketch; recall
     # is gated in tests, pair precision unchanged (exact verify join)
     near_dedup_oph: bool = False
+    # optional SemDeDup semantic-duplicate stage over kept docs, from
+    # TEXT alone (run_pipeline / with_semantic_dup_verdict): hashed
+    # TF-IDF doc vectors (plans/embed.py, deterministic — no trained
+    # encoder needed) -> cell-blocked cosine pairs -> components.
+    # Catches template/paraphrase redundancy the lexical MinHash stage
+    # misses; composes with near_dedup (keep_final folds both).
+    semantic_dedup: bool = False
+    semantic_dedup_tau: float = 0.97
+    semantic_dedup_dim: int = 128
+    semantic_dedup_k: int = 64
     # optional benchmark-decontamination stage (run_pipeline /
     # with_decontam_verdict): exact n-gram collision vs an eval corpus
     decontam_ngram: int = 13
@@ -283,6 +293,74 @@ def with_near_dup_verdict(
     # call time), so the pair-stage caches are already consumed; the
     # final label cache is still read lazily by `out` — hand its
     # release handle to the caller
+    release_cache(pairs)
+    out._cached_deps = getattr(clusters, "_cached_deps", ())
+    return out
+
+
+def with_semantic_dup_verdict(
+    scored: DataFrame, cfg: PipelineConfig | None = None
+) -> DataFrame:
+    """SemDeDup semantic-duplicate stage over the KEPT documents, from
+    TEXT alone: hashed TF-IDF doc vectors (plans/embed.py — pure
+    Catalyst, deterministic, value-pinned by the doc_embed_hashing
+    oracle) -> cell-blocked cosine pairs (operators/semdedup.py, never
+    all-pairs) -> connected components -> every non-canonical member
+    gets ``sem_dup_of`` (the canonical url, min of the component) and
+    ``keep_final`` excludes the losers. Composes with
+    with_near_dup_verdict: when the lexical stage already produced
+    ``keep_final``, this stage folds into it (a doc must survive BOTH
+    to keep ``keep_final``); standalone it folds into ``keep``.
+
+    Same deterministic-representative rule as the lexical stage: the
+    sketch input is deduped on url via min-md5(text), so batch and
+    streaming compositions can never diverge on layout."""
+    from data_quality_checker_spark.operators.dedup import (
+        duplicate_clusters,
+        release_cache,
+    )
+    from data_quality_checker_spark.operators.semdedup import (
+        semantic_dedup_pairs,
+    )
+    from data_quality_checker_spark.plans.embed import hashed_doc_vectors
+
+    cfg = cfg or PipelineConfig()
+    base_keep = (
+        F.col("keep_final")
+        if "keep_final" in scored.columns
+        else F.col("keep")
+    )
+    kept = (
+        scored.filter("keep")
+        .select("url", "text")
+        .groupBy("url")
+        .agg(F.min_by("text", F.md5("text")).alias("text"))
+    )
+    vecs = hashed_doc_vectors(
+        kept, id_col="url", text_col="text", dim=cfg.semantic_dedup_dim
+    )
+    pairs = semantic_dedup_pairs(
+        vecs,
+        id_col="url",
+        vec_col="embedding",
+        k=cfg.semantic_dedup_k,
+        tau=cfg.semantic_dedup_tau,
+        dim=cfg.semantic_dedup_dim,
+        impl="arrow",
+    )
+    clusters = duplicate_clusters(
+        pairs.select("id_a", "id_b")
+    )
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("url"),
+        F.col("cluster_id").alias("sem_dup_of"),
+    )
+    out = scored.join(losers, "url", "left").withColumn(
+        "keep_final", base_keep & F.col("sem_dup_of").isNull()
+    )
+    # clustering ran eagerly (convergence counts execute at call
+    # time); the pair stage's arrow path holds no persisted frames of
+    # its own, the final label cache is read lazily by `out`
     release_cache(pairs)
     out._cached_deps = getattr(clusters, "_cached_deps", ())
     return out
@@ -532,6 +610,9 @@ def run_pipeline(
         scored = nd_handle = with_near_dup_verdict(
             scored, cfg, storage_path=f"{out_dir}/near_dedup"
         )
+    sd_handle = None
+    if cfg.semantic_dedup:
+        scored = sd_handle = with_semantic_dup_verdict(scored, cfg)
     if decontam_eval is not None:
         scored = with_decontam_verdict(scored, decontam_eval, cfg)
     if quality_model_path is not None:
@@ -548,15 +629,17 @@ def run_pipeline(
             scored, PipelineModel.load(quality_model_path)
         )
     write_partitioned(scored, scored_path, "partition_id")
-    if nd_handle is not None:
-        # scored is parquet-materialized now; free the clustering's
-        # final label cache (the one cache with_near_dup_verdict must
-        # keep alive until its result is consumed)
+    if nd_handle is not None or sd_handle is not None:
+        # scored is parquet-materialized now; free the clustering
+        # label caches (the caches the dedup verdict stages must keep
+        # alive until their result is consumed)
         from data_quality_checker_spark.operators.dedup import (
             release_cache,
         )
 
-        release_cache(nd_handle)
+        for h in (nd_handle, sd_handle):
+            if h is not None:
+                release_cache(h)
 
     # mergeSchema: resuming an out_dir with an opt-in stage TOGGLED
     # (c4/gopher/decontam) leaves scored files with and without the

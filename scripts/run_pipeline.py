@@ -50,6 +50,14 @@ def main() -> None:
         "near_dup_of + keep_final columns",
     )
     p.add_argument(
+        "--semantic-dedup",
+        action="store_true",
+        help="SemDeDup semantic dedup over kept docs FROM TEXT ALONE "
+        "(hashed TF-IDF doc vectors, plans/embed.py): adds sem_dup_of "
+        "and folds into keep_final; composes with --near-dedup",
+    )
+    p.add_argument("--semantic-tau", type=float, default=0.97)
+    p.add_argument(
         "--url-prefilter",
         action="store_true",
         help="drop urls failing shape heuristics (asset extensions, "
@@ -134,6 +142,8 @@ def main() -> None:
         num_buckets=args.buckets,
         langid_impl=args.langid,
         near_dedup=args.near_dedup,
+        semantic_dedup=args.semantic_dedup,
+        semantic_dedup_tau=args.semantic_tau,
         url_prefilter=bool(
             args.url_prefilter
             or args.block_domains

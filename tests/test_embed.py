@@ -1,0 +1,130 @@
+"""Text -> embedding bridge (plans/embed.py): hashed TF-IDF vectors
+are unit-norm, deterministic, and zero-safe; semantic_dedup_text
+drops planted clones straight from documents(text); the text-built
+IVF index retrieves a near-copy's source at rank 1 using the CORPUS
+IDF on the query side; Word2Vec doc vectors are deterministic for a
+pinned (seed, num_partitions). The embedder's full vector CONTENT is
+separately value-pinned by the doc_embed_hashing DuckDB oracle."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_checker_spark.plans import embed as E
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id < 120")
+        .select("doc_id", "text")
+    )
+
+
+def test_hashed_vectors_unit_norm_deterministic_zero_safe(spark, docs):
+    dim = 32
+    corpus = docs.unionByName(
+        spark.createDataFrame(
+            [(900001, None), (900002, "   ")], "doc_id long, text string"
+        )
+    )
+    vecs = E.hashed_doc_vectors(corpus, dim=dim)
+    rows = {r["doc_id"]: r["embedding"] for r in vecs.collect()}
+    assert len(rows) == 122  # one row per input row, none dropped
+    for did, v in rows.items():
+        assert len(v) == dim
+        n = math.sqrt(sum(x * x for x in v))
+        if did >= 900001:  # NULL / token-less text -> zero vector
+            assert n == 0.0
+        else:
+            assert abs(n - 1.0) < 1e-9
+    # bit-identical across runs: no rand(), no training
+    again = {
+        r["doc_id"]: r["embedding"]
+        for r in E.hashed_doc_vectors(corpus, dim=dim).collect()
+    }
+    assert again == rows
+    # IDF is live, not dead code: disabling it changes the weights
+    raw = {
+        r["doc_id"]: r["embedding"]
+        for r in E.hashed_doc_vectors(
+            corpus, dim=dim, use_idf=False
+        ).collect()
+    }
+    assert raw != rows
+
+
+def test_semantic_dedup_text_drops_planted_clones(docs):
+    clones = docs.filter("doc_id < 5").select(
+        (F.col("doc_id") + 700000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(clones)
+    kept = E.semantic_dedup_text(
+        corpus, dim=64, k=8, tau=0.999, keep="min_id"
+    )
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # exact clones embed identically (cosine 1.0): one of each pair
+    # dropped, keep='min_id' retains the original
+    assert kept_ids.issuperset(set(range(5)))
+    assert not any(i >= 700000 for i in kept_ids)
+    assert len(kept_ids) == 120
+    # deterministic end to end
+    again = {
+        r["doc_id"]
+        for r in E.semantic_dedup_text(
+            corpus, dim=64, k=8, tau=0.999, keep="min_id"
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert again == kept_ids
+    # original columns pass through untouched
+    assert kept.columns == corpus.columns
+
+
+def test_ivf_text_search_finds_source_doc(spark, docs):
+    index, idf = E.ivf_index_from_text(
+        docs, dim=64, num_centroids=4, seed=7
+    )
+    assert idf is not None  # hashing embedder hands back the IDF dim
+    # queries = the doc's own text under a fresh id namespace: the
+    # source doc must come back at rank 1 with cosine ~ 1
+    queries = docs.filter("doc_id in (3, 41, 87)").select(
+        (F.col("doc_id") + 500000).alias("query_id"), "text"
+    )
+    hits = E.search_text(
+        index, queries, idf=idf, dim=64, k=3, nprobe=4
+    ).filter("rank = 1")
+    top = {r["query_id"] - 500000: r for r in hits.collect()}
+    for src in (3, 41, 87):
+        assert top[src]["id"] == src, top[src]
+        assert top[src]["cosine"] > 1 - 1e-9
+
+
+def test_word2vec_doc_vectors_deterministic(docs):
+    small = docs.filter("doc_id < 40")
+    a = {
+        r["doc_id"]: r["embedding"]
+        for r in E.word2vec_doc_vectors(
+            small, dim=8, seed=11, num_partitions=1
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["embedding"]
+        for r in E.word2vec_doc_vectors(
+            small, dim=8, seed=11, num_partitions=1
+        ).collect()
+    }
+    assert a == b
+    assert all(len(v) == 8 for v in a.values())
+
+
+def test_doc_vectors_dispatch_rejects_unknown():
+    with pytest.raises(ValueError, match="embedder"):
+        E.doc_vectors(None, embedder="bert")
+    with pytest.raises(ValueError, match="dim"):
+        E.hashed_doc_vectors(None, dim=0)

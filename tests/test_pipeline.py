@@ -336,6 +336,67 @@ def test_near_dup_pipeline_stage(spark):
     assert clean.filter(F.col("keep_final") != F.col("keep")).count() == 0
 
 
+def test_semantic_dup_pipeline_stage(spark):
+    """with_semantic_dup_verdict: exact-clone pages under distinct
+    urls embed identically (hashed TF-IDF), get sem_dup_of = the
+    canonical min-url, and keep_final goes false for the losers;
+    untouched docs keep keep_final == keep; composing AFTER the
+    lexical stage folds both verdicts. Deterministic across runs."""
+    from data_quality_checker_spark.plans.pipeline import (
+        PipelineConfig,
+        score_pages,
+        with_near_dup_verdict,
+        with_semantic_dup_verdict,
+    )
+    from data_quality_checker_spark.plans import synth
+
+    base = synth.pages_df(spark, 120, seed=33)
+    src = (
+        base.filter("text is not null").orderBy("url").first()
+    )
+    clone_rows = [
+        (f"https://clone{i}.example.com/x", src["warc_ts"], src["html"],
+         src["text"], src["lang"])
+        for i in range(3)
+    ]
+    pages = base.unionByName(
+        spark.createDataFrame(clone_rows, base.schema)
+    )
+    cfg = PipelineConfig(semantic_dedup=True, semantic_dedup_tau=0.999)
+    out = with_semantic_dup_verdict(score_pages(pages, cfg), cfg)
+    assert {"sem_dup_of", "keep_final"} <= set(out.columns)
+    dups = out.filter(F.col("url").like("https://clone%")).collect()
+    if any(r["keep"] for r in dups):
+        kept_dups = [r for r in dups if r["keep"]]
+        flagged = [r for r in kept_dups if r["sem_dup_of"] is not None]
+        # identical text => cosine 1.0 pairs; all but the canonical
+        # member (min url across the component, possibly src itself)
+        assert len(flagged) >= len(kept_dups) - 1
+        for r in flagged:
+            assert r["keep_final"] is False and r["keep"] is True
+    clean = out.filter(F.col("sem_dup_of").isNull())
+    assert clean.filter(F.col("keep_final") != F.col("keep")).count() == 0
+    # deterministic: same loser set on a second run
+    again = with_semantic_dup_verdict(score_pages(pages, cfg), cfg)
+    a = {r["url"] for r in out.filter("sem_dup_of is not null").collect()}
+    b = {r["url"] for r in again.filter("sem_dup_of is not null").collect()}
+    assert a == b
+    # composition: lexical stage first, then semantic — keep_final
+    # requires surviving BOTH
+    cfg2 = PipelineConfig(
+        near_dedup=True, near_dedup_threshold=0.7,
+        semantic_dedup=True, semantic_dedup_tau=0.999,
+    )
+    both = with_semantic_dup_verdict(
+        with_near_dup_verdict(score_pages(pages, cfg2), cfg2), cfg2
+    )
+    assert {"near_dup_of", "sem_dup_of", "keep_final"} <= set(both.columns)
+    loser = both.filter(
+        F.col("near_dup_of").isNotNull() | F.col("sem_dup_of").isNotNull()
+    )
+    assert loser.filter(F.col("keep_final")).count() == 0
+
+
 def test_near_dup_resume_and_corpus_wide_replay(spark, pages, tmp_path_factory):
     """Kill between scoring legs with near_dedup on, resume, then run
     the documented corpus-wide near-dedup replay over the read-back
