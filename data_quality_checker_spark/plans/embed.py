@@ -58,6 +58,13 @@ __all__ = [
 ]
 
 
+def _id_type(df: DataFrame, id_col: str) -> str:
+    t = dict(df.dtypes).get(id_col)
+    if t is None:
+        raise ValueError(f"no column {id_col!r} in {df.columns}")
+    return t
+
+
 def _bucket(tok, dim: int):
     """md5-prefix bucket in [0, dim): 13 hex chars = 52 bits, always
     positive in a long, so ``%`` == pmod and the DuckDB twin
@@ -104,6 +111,47 @@ def hashing_idf(
     )
 
 
+def _assemble_arrow(kv: DataFrame, id_type: str, dim: int, normalize: bool):
+    """Arrow dense assembly: scatter each row's (buckets, weights)
+    arrays into a numpy zero row, then L2-normalize with a SEQUENTIAL
+    per-dimension accumulation — the same left-to-right IEEE754 order
+    as the Catalyst fold, so the two assembly paths are bit-identical
+    (np.sum's pairwise summation would differ in ulps and could flip a
+    6dp oracle rounding). The per-batch work is one fancy-indexed
+    assign per row plus dim vectorized column ops — this replaces the
+    interpreted dim-map-probes + 2*dim-step fold per row that made the
+    'sql' assembly the measured hot spot (50.8 s of a 63 s
+    semantic_dedup_text e2e at 210k docs)."""
+    import numpy as np
+    import pandas as pd
+
+    schema = f"id {id_type}, v array<double>"
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            V = np.zeros((n, dim), dtype=np.float64)
+            bs, ws = pdf["bs"].values, pdf["ws"].values
+            for i in range(n):
+                V[i, np.asarray(bs[i], dtype=np.int64)] = np.asarray(
+                    ws[i], dtype=np.float64
+                )
+            if normalize:
+                acc = np.zeros(n, dtype=np.float64)
+                for j in range(dim):  # sequential: matches the fold
+                    acc = acc + V[:, j] * V[:, j]
+                nrm = np.sqrt(acc)
+                ok = nrm > 0
+                V[ok] = V[ok] / nrm[ok, None]
+            yield pd.DataFrame(
+                {"id": pdf["id"].values, "v": list(V)}
+            )
+
+    return kv.mapInPandas(gen, schema)
+
+
 def hashed_doc_vectors(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -113,18 +161,28 @@ def hashed_doc_vectors(
     use_idf: bool = True,
     normalize: bool = True,
     vec_col: str = "embedding",
+    impl: str = "sql",
 ) -> DataFrame:
-    """Hashed TF(-IDF) document vectors, pure Catalyst: one row per
-    input row (``(id, embedding array<double>)``), token-less or NULL
-    texts get the all-zero vector (semantic_dedup's norm guard already
-    excludes zero vectors from pairing; they pass through as uniques).
+    """Hashed TF(-IDF) document vectors: one row per input row
+    (``(id, embedding array<double>)``), token-less or NULL texts get
+    the all-zero vector (semantic_dedup's norm guard already excludes
+    zero vectors from pairing; they pass through as uniques).
 
     ``idf`` — a (bucket, idf) table from :func:`hashing_idf`; computed
     internally when ``use_idf`` and omitted. Pass the CORPUS table when
     embedding queries. ``normalize`` L2-normalizes (cosine becomes a
-    dot product downstream)."""
+    dot product downstream).
+
+    ``impl`` — 'sql' (default): pure-Catalyst dense assembly, the
+    engine-portable form the doc_embed_hashing DuckDB twin pins.
+    'arrow': identical tokenize/TF/IDF stages, numpy scatter +
+    sequential-order normalize for the dense assembly — bit-identical
+    output (pinned by test), ~5x the assembly rate; the scale path
+    semantic_dedup_text forwards to."""
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
+    if impl not in ("sql", "arrow"):
+        raise ValueError(f"impl must be 'sql' or 'arrow', got {impl!r}")
     tf = (
         _token_buckets(df, id_col, text_col, dim)
         .groupBy("id", "bucket")
@@ -140,30 +198,42 @@ def hashed_doc_vectors(
             "bucket",
             (F.col("w") * F.coalesce(F.col("idf"), F.lit(1.0))).alias("w"),
         )
-    kv = tf.groupBy("id").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("bucket"), F.col("w")))
-        ).alias("kv")
+    entries = tf.groupBy("id").agg(
+        F.collect_list(F.struct(F.col("bucket"), F.col("w"))).alias("e")
     )
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.coalesce(F.col("kv")[i], F.lit(0.0)),
-    )
-    vecs = kv.select("id", dense.alias("v"))
-    if normalize:
-        nrm = F.sqrt(
-            F.aggregate(
-                F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x
-            )
-        )
-        vecs = vecs.select(
+    if impl == "arrow":
+        # aligned (buckets, weights) arrays split from ONE
+        # collect_list of structs — two separate collect_lists would
+        # not guarantee a shared order
+        kv_arrays = entries.select(
             "id",
-            F.when(
-                nrm > 0, F.transform(F.col("v"), lambda x: x / nrm)
-            )
-            .otherwise(F.col("v"))
-            .alias("v"),
+            F.col("e.bucket").alias("bs"),
+            F.col("e.w").alias("ws"),
         )
+        vecs = _assemble_arrow(
+            kv_arrays, _id_type(df, id_col), dim, normalize
+        )
+    else:
+        kv = entries.select("id", F.map_from_entries("e").alias("kv"))
+        dense = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.coalesce(F.col("kv")[i], F.lit(0.0)),
+        )
+        vecs = kv.select("id", dense.alias("v"))
+        if normalize:
+            nrm = F.sqrt(
+                F.aggregate(
+                    F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            )
+            vecs = vecs.select(
+                "id",
+                F.when(
+                    nrm > 0, F.transform(F.col("v"), lambda x: x / nrm)
+                )
+                .otherwise(F.col("v"))
+                .alias("v"),
+            )
     zero = F.array_repeat(F.lit(0.0), dim)
     return (
         df.select(F.col(id_col).alias("id"))
@@ -248,18 +318,65 @@ def semantic_dedup_text(
     impl: str = "sql",
     lloyd_iters: int = 0,
     embed_kw: dict | None = None,
+    exact_group: bool = True,
 ) -> DataFrame:
     """SemDeDup straight from text: embed -> semantic_dedup keep set ->
     semi-join the ORIGINAL rows (all columns untouched, embeddings
     never materialize outside the dedup subplan). A real user's first
-    semantic-dedup run starts here, not at a vectors table."""
+    semantic-dedup run starts here, not at a vectors table.
+
+    ``exact_group`` (default on) collapses exact-text duplicates to
+    one min-id representative BEFORE the vector stages and expands the
+    verdict back after. Exact copies embed to the SAME vector, so a
+    group of m copies forms an m^2/2 clique of cosine-1.0 pairs inside
+    one cell — pure quadratic waste the representative carries alone
+    (measured on the 210k-doc sustained corpus: 13% exact-dup rows
+    produced 63% of all tau-pairs). Semantics are preserved exactly
+    relative to running SemDeDup over the same representative set:
+    within a group every member ties on cos_centroid, so the keep
+    rule's (cos, id) min is always the min-id member — the
+    representative — and non-representatives of token-BEARING groups
+    are cosine-1.0 duplicates of it, dropped by construction.
+    Token-LESS groups embed to the zero vector, which the norm guard
+    passes through unpaired, so those members are all kept (identical
+    to the ungrouped behavior). The one visible difference: centroid
+    seeds are drawn from representatives only, so cell boundaries (and
+    therefore which CROSS-text near-dup pairs land in one cell) can
+    differ from an exact_group=False run — both are valid SemDeDup
+    drawings; set exact_group=False to reproduce the ungrouped draw.
+    The group/expand joins shuffle only (id, 16-byte md5) pairs —
+    texts never travel."""
     from data_quality_checker_spark.operators.semdedup import (
         semantic_dedup,
     )
 
+    if exact_group:
+        member = df.select(
+            F.col(id_col).alias("_mid"),
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_tk"),
+        )
+        rep_of = member.groupBy("_tk").agg(F.min("_mid").alias("_rid"))
+        base = df.join(
+            rep_of.select(F.col("_rid").alias(id_col)), id_col,
+            "left_semi",
+        )
+    else:
+        base = df
+    # persisted: the embed subtree feeds FIVE consumers downstream
+    # (centroid draw, assignment, the cell-pairs vectors join, the
+    # keep-set anti-join, and the final semi-join back) — without the
+    # persist each one re-executes the full tokenize/agg/assemble
+    # plan (measured 14.4 s -> materialize-once on the sf0.1 bench
+    # leg). n_docs x dim doubles, the same footprint the vector
+    # operators already assume fits the cluster's storage fraction.
+    ekw = dict(embed_kw or {})
+    if embedder == "hashing":
+        # the caller's impl choice ('arrow' = scale path) applies to
+        # the embed assembly too — the two paths are bit-identical
+        ekw.setdefault("impl", impl)
     vecs = doc_vectors(
-        df, id_col, text_col, embedder, dim, **(embed_kw or {})
-    )
+        base, id_col, text_col, embedder, dim, **ekw
+    ).persist()
     kept = semantic_dedup(
         vecs,
         id_col=id_col,
@@ -271,11 +388,34 @@ def semantic_dedup_text(
         impl=impl,
         lloyd_iters=lloyd_iters,
     )
-    out = df.join(kept.select(id_col), id_col, "left_semi")
+    if exact_group:
+        # zero-vector representatives: their groups never pair (norm
+        # guard), so EVERY member passes through — exactly what the
+        # ungrouped run does with each member individually. (The
+        # word2vec embedder DROPS token-less rows instead of zeroing
+        # them, so there vecs has no zero rows and whole token-less
+        # groups fall out — again identical to its ungrouped shape.)
+        zero_reps = vecs.filter(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda a, x: a + x * x
+            )
+            == 0.0
+        ).select(F.col(id_col).alias("_rid"))
+        zero_members = (
+            member.join(rep_of, "_tk")
+            .join(zero_reps, "_rid", "left_semi")
+            .select(F.col("_mid").alias(id_col))
+        )
+        keep_ids = kept.select(id_col).unionByName(zero_members)
+    else:
+        keep_ids = kept.select(id_col)
+    # left_semi never multiplies rows, so the union may carry the
+    # zero representatives twice without a distinct
+    out = df.join(keep_ids, id_col, "left_semi")
     # projections drop the attribute — re-attach so the caller's
-    # dedup.release_cache(out) frees the assignment persist +
-    # clustering checkpoint (the established _cached_deps contract)
-    out._cached_deps = tuple(getattr(kept, "_cached_deps", ()))
+    # dedup.release_cache(out) frees the embed persist + assignment
+    # persist + clustering checkpoint (the _cached_deps contract)
+    out._cached_deps = (vecs,) + tuple(getattr(kept, "_cached_deps", ()))
     return out
 
 
@@ -308,7 +448,13 @@ def ivf_index_from_text(
     if embedder == "hashing" and kw.get("use_idf", True):
         idf_tab = hashing_idf(df, id_col, text_col, dim)
         kw["idf"] = idf_tab
-    vecs = doc_vectors(df, id_col, text_col, embedder, dim, **kw)
+    # persisted: build_ivf_index consumes the embed subtree twice
+    # (KMeans fit + the assignment pass) — materialize once. With a
+    # storage_path the build is EAGER (assignments are written and
+    # re-read), so the cache is released before returning; the
+    # in-memory path hands the release to the caller via the
+    # assignments frame's _cached_deps (the repo contract).
+    vecs = doc_vectors(df, id_col, text_col, embedder, dim, **kw).persist()
     index = build_ivf_index(
         vecs,
         id_col=id_col,
@@ -318,6 +464,12 @@ def ivf_index_from_text(
         seed=seed,
         storage_path=storage_path,
     )
+    if storage_path is not None:
+        vecs.unpersist()
+    else:
+        index.assignments._cached_deps = (vecs,) + tuple(
+            getattr(index.assignments, "_cached_deps", ())
+        )
     return index, idf_tab
 
 

@@ -336,9 +336,20 @@ def with_semantic_dup_verdict(
         .groupBy("url")
         .agg(F.min_by("text", F.md5("text")).alias("text"))
     )
+    # impl='arrow': numpy dense assembly, bit-identical to the
+    # oracle-pinned Catalyst form (test_embed parity) at ~5x the
+    # assembly rate — the interpreted map-probe/fold assembly was the
+    # measured hot spot of the text->dedup path
     vecs = hashed_doc_vectors(
-        kept, id_col="url", text_col="text", dim=cfg.semantic_dedup_dim
-    )
+        kept,
+        id_col="url",
+        text_col="text",
+        dim=cfg.semantic_dedup_dim,
+        impl="arrow",
+    ).persist()
+    # persisted: the pair stage consumes the embed subtree three ways
+    # (centroid draw, assignment, the cell-pairs vectors join);
+    # released below once clustering has run eagerly
     pairs = semantic_dedup_pairs(
         vecs,
         id_col="url",
@@ -360,8 +371,10 @@ def with_semantic_dup_verdict(
     )
     # clustering ran eagerly (convergence counts execute at call
     # time); the pair stage's arrow path holds no persisted frames of
-    # its own, the final label cache is read lazily by `out`
+    # its own, the final label cache is read lazily by `out`. The
+    # embed cache is fully consumed once the edge list materialized.
     release_cache(pairs)
+    vecs.unpersist()
     out._cached_deps = getattr(clusters, "_cached_deps", ())
     return out
 

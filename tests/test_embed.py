@@ -86,6 +86,88 @@ def test_semantic_dedup_text_drops_planted_clones(docs):
     assert kept.columns == corpus.columns
 
 
+def test_hashed_vectors_arrow_assembly_bit_identical(spark, docs):
+    """The arrow dense assembly (numpy scatter + SEQUENTIAL-order
+    normalize) must be bit-identical to the Catalyst form the DuckDB
+    oracle pins — same placements, same IEEE754 summation order."""
+    dim = 32
+    corpus = docs.unionByName(
+        spark.createDataFrame(
+            [(900001, None), (900002, "   ")], "doc_id long, text string"
+        )
+    )
+    sql_v = {
+        r["doc_id"]: r["embedding"]
+        for r in E.hashed_doc_vectors(corpus, dim=dim).collect()
+    }
+    arrow_v = {
+        r["doc_id"]: r["embedding"]
+        for r in E.hashed_doc_vectors(
+            corpus, dim=dim, impl="arrow"
+        ).collect()
+    }
+    assert arrow_v == sql_v  # exact equality, not approx
+    # un-normalized path too (distinct arithmetic branch)
+    raw_sql = {
+        r["doc_id"]: r["embedding"]
+        for r in E.hashed_doc_vectors(
+            corpus, dim=dim, normalize=False
+        ).collect()
+    }
+    raw_arrow = {
+        r["doc_id"]: r["embedding"]
+        for r in E.hashed_doc_vectors(
+            corpus, dim=dim, normalize=False, impl="arrow"
+        ).collect()
+    }
+    assert raw_arrow == raw_sql
+    with pytest.raises(ValueError, match="impl"):
+        E.hashed_doc_vectors(corpus, dim=dim, impl="numpy")
+
+
+def test_semantic_dedup_text_exact_group_semantics(spark, docs):
+    """exact_group (default): exact-text copies collapse to the min-id
+    representative before the vector stages — clones still drop,
+    token-LESS groups (zero vector, never paired by the norm guard)
+    keep EVERY member, and on a corpus with no cross-text near-dups
+    the kept set is identical to the exact_group=False run."""
+    clones = docs.filter("doc_id < 5").select(
+        (F.col("doc_id") + 700000).alias("doc_id"), "text"
+    )
+    blanks = spark.createDataFrame(
+        [(800001, None), (800002, None), (800003, "   ")],
+        "doc_id long, text string",
+    )
+    corpus = docs.unionByName(clones).unionByName(blanks)
+    kept = {
+        r["doc_id"]
+        for r in E.semantic_dedup_text(
+            corpus, dim=64, k=8, tau=0.999, keep="min_id"
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert not any(700000 <= i < 800000 for i in kept)  # clones drop
+    # 800001/800002 share the NULL-text group, 800003 is its own
+    # whitespace group — all three are zero-vector members, all kept
+    assert {800001, 800002, 800003} <= kept
+    assert len(kept) == 123
+    ungrouped = {
+        r["doc_id"]
+        for r in E.semantic_dedup_text(
+            corpus,
+            dim=64,
+            k=8,
+            tau=0.999,
+            keep="min_id",
+            exact_group=False,
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert kept == ungrouped
+
+
 def test_ivf_text_search_finds_source_doc(spark, docs):
     index, idf = E.ivf_index_from_text(
         docs, dim=64, num_centroids=4, seed=7
