@@ -44,9 +44,11 @@ Scale notes (100 TB):
    PUBLISHED: the batch's three sketch tables are written to
    ``_staging/<batch_id>/`` (inert — live tables untouched), a begin
    marker lands in the ``_appends/`` ledger, the staged files are
-   renamed into the live table dirs under a ``batch-<batch_id>-``
-   filename prefix (rename is the cheapest primitive every Hadoop
-   filesystem offers), and a commit marker replaces the begin marker.
+   renamed into the live table dirs under a ``batch-<batch_id>~``
+   filename prefix ('~' sits outside the batch-id alphabet, so one
+   id's prefix can never cover another's files; rename is the
+   cheapest primitive every Hadoop filesystem offers), and a commit
+   marker replaces the begin marker.
    A crash anywhere leaves either (a) staging garbage (harmless,
    overwritten on retry) or (b) a begin-without-commit ledger entry —
    which read_minhash_index_meta REFUSES to read past (every
@@ -59,6 +61,8 @@ Scale notes (100 TB):
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -185,9 +189,10 @@ def _delete(spark: SparkSession, path: str) -> None:
 
 
 def _check_batch_id(batch_id: str) -> str:
-    if not batch_id or not all(
-        c.isalnum() or c in "._-" for c in batch_id
-    ):
+    # anchored ASCII class — str.isalnum would admit any Unicode
+    # letter/digit ("снимок", "①") into object keys and ledger marker
+    # names the docstring promises are [A-Za-z0-9._-]
+    if not batch_id or not re.fullmatch(r"[A-Za-z0-9._-]+", batch_id):
         raise ValueError(
             f"batch_id must be non-empty [A-Za-z0-9._-], got {batch_id!r}"
         )
@@ -216,7 +221,12 @@ def _publish_staged_table(
     """Rename the staged part files of one table into the live table
     dir under the batch-id prefix; returns files moved. Idempotent for
     a re-run after a partial publish: a name collision means the file
-    already landed, so the stale staged copy is dropped."""
+    already landed, so the stale staged copy is dropped.
+
+    The '~' separating the id from the part-file name is deliberately
+    OUTSIDE the [A-Za-z0-9._-] batch-id alphabet: with '-' (which ids
+    may contain) the rollback prefix glob for batch "2024" would also
+    match committed files of batch "2024-06" and delete them."""
     fs, src_dir = _hadoop_fs(spark, f"{path}/_staging/{batch_id}/{table}")
     jvm = spark.sparkContext._jvm
     moved = 0
@@ -225,7 +235,7 @@ def _publish_staged_table(
         if not name.endswith(".parquet"):
             continue  # _SUCCESS etc.
         dst = jvm.org.apache.hadoop.fs.Path(
-            f"{path}/{table}/batch-{batch_id}-{name}"
+            f"{path}/{table}/batch-{batch_id}~{name}"
         )
         if fs.exists(dst):
             fs.delete(st.getPath(), False)
@@ -240,18 +250,26 @@ def _publish_staged_table(
 
 
 def _rollback_batch(spark: SparkSession, path: str, batch_id: str) -> int:
-    """Delete every published file of a batch (prefix glob per table)
-    plus its staging dir and begin marker; returns files removed."""
+    """Delete every published file of a batch plus its staging dir
+    and begin marker; returns files removed. Matches on the
+    ``batch-<id>~`` prefix — '~' is outside the batch-id alphabet, so
+    the glob for one id can never swallow another id that extends it
+    (the "2024" vs "2024-06" prefix trap). A second, legacy glob
+    covers ``batch-<id>-part-`` files published by pre-'~' builds;
+    its id must be followed by the literal Spark part-file prefix, so
+    it only collides for ids that themselves end in "-part"."""
     jvm = spark.sparkContext._jvm
     removed = 0
     for table in _TABLES:
         fs, _ = _hadoop_fs(spark, f"{path}/{table}")
-        glob = jvm.org.apache.hadoop.fs.Path(
-            f"{path}/{table}/batch-{batch_id}-*"
-        )
-        for st in fs.globStatus(glob) or []:
-            fs.delete(st.getPath(), False)
-            removed += 1
+        for pat in (
+            f"{path}/{table}/batch-{batch_id}~*",
+            f"{path}/{table}/batch-{batch_id}-part-*",
+        ):
+            glob = jvm.org.apache.hadoop.fs.Path(pat)
+            for st in fs.globStatus(glob) or []:
+                fs.delete(st.getPath(), False)
+                removed += 1
     _delete(spark, f"{path}/_staging/{batch_id}")
     _delete(spark, f"{path}/_appends/{batch_id}.begin")
     return removed
@@ -435,7 +453,7 @@ def append_minhash_index(
     under ``_staging/<batch_id>/`` (live tables untouched — a crash
     here costs nothing), write ``<batch_id>.begin`` to the ledger,
     rename the staged files into the live dirs under a
-    ``batch-<batch_id>-`` prefix, write ``<batch_id>.commit``, drop
+    ``batch-<batch_id>~`` prefix, write ``<batch_id>.commit``, drop
     the begin marker and staging dir. read_minhash_index_meta refuses
     to serve an index holding a begin-without-commit entry, so a torn
     publish is caught at the next query/append, and

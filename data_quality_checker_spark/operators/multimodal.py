@@ -306,23 +306,35 @@ def header_decode(payload: bytes, kind: str) -> dict:
             out["height"] = int.from_bytes(p[8:10], "little")
         elif p[:2] == b"\xff\xd8":  # JPEG: walk segments to any SOFn
             pos = 2
-            while pos + 9 <= len(p) and p[pos] == 0xFF:
-                marker, ln = p[pos + 1], int.from_bytes(
-                    p[pos + 2 : pos + 4], "big"
-                )
+            while pos + 1 < len(p) and p[pos] == 0xFF:
+                marker = p[pos + 1]
+                if marker == 0xFF:
+                    # T.81-legal fill byte (0xFF padding before a
+                    # marker): resync on the next byte — treating it
+                    # as a segment would parse a garbage length and
+                    # skip or misread the real SOF
+                    pos += 1
+                    continue
+                if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                    pos += 2  # TEM/RSTn/SOI/EOI: no length field
+                    continue
+                if pos + 4 > len(p):
+                    break
+                ln = int.from_bytes(p[pos + 2 : pos + 4], "big")
                 if marker in (
                     0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                     0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
                 ):
-                    out["height"] = int.from_bytes(
-                        p[pos + 5 : pos + 7], "big"
-                    )
-                    out["width"] = int.from_bytes(
-                        p[pos + 7 : pos + 9], "big"
-                    )
+                    if pos + 9 <= len(p):
+                        out["height"] = int.from_bytes(
+                            p[pos + 5 : pos + 7], "big"
+                        )
+                        out["width"] = int.from_bytes(
+                            p[pos + 7 : pos + 9], "big"
+                        )
                     break
-                if marker == 0xDA:  # SOS without SOF: give up
-                    break
+                if marker == 0xDA or ln < 2:
+                    break  # SOS without SOF / malformed length
                 pos += 2 + ln
         elif (
             p[:4] == b"RIFF"
@@ -438,9 +450,10 @@ def content_decode(payload: bytes, kind: str) -> dict:
       normalized) and ``clip_frac`` (fraction of samples at the rail,
       |s| >= 32767).
 
-    Formats needing an external codec (JPEG/MP3) fall through with
-    content stats None (header metadata only). Pass as
-    ``decoder=content_decode``."""
+    Formats still needing an external codec (progressive/arithmetic
+    JPEG, MP3, H.264) fall through with content stats None (header
+    metadata only) — baseline JPEG is decoded in-repo, see above.
+    Pass as ``decoder=content_decode``."""
     out = header_decode(payload, kind)
     out.update(
         {"lum_mean": None, "lum_std": None, "rms": None, "peak": None,

@@ -339,13 +339,17 @@ def semantic_dedup_text(
     are cosine-1.0 duplicates of it, dropped by construction.
     Token-LESS groups embed to the zero vector, which the norm guard
     passes through unpaired, so those members are all kept (identical
-    to the ungrouped behavior). The one visible difference: centroid
-    seeds are drawn from representatives only, so cell boundaries (and
-    therefore which CROSS-text near-dup pairs land in one cell) can
-    differ from an exact_group=False run — both are valid SemDeDup
-    drawings; set exact_group=False to reproduce the ungrouped draw.
-    The group/expand joins shuffle only (id, 16-byte md5) pairs —
-    texts never travel."""
+    to the ungrouped behavior). Two things DO shift relative to an
+    exact_group=False run — both are valid SemDeDup drawings, not
+    approximations: centroid seeds are drawn from representatives
+    only (different cell boundaries), and the internally-computed IDF
+    counts each distinct text once (dedup-before-stats — duplicated
+    boilerplate no longer inflates bucket document frequencies, which
+    moves weights and can flip near-tau cross-text pairs). To
+    reproduce the ungrouped weights exactly, pass
+    ``embed_kw={"idf": hashing_idf(df, ...)}`` computed over the full
+    frame. The group/expand joins shuffle only (id, 16-byte md5)
+    pairs — texts never travel."""
     from data_quality_checker_spark.operators.semdedup import (
         semantic_dedup,
     )
@@ -445,7 +449,8 @@ def ivf_index_from_text(
 
     kw = dict(embed_kw or {})
     idf_tab = None
-    if embedder == "hashing" and kw.get("use_idf", True):
+    uses_idf = embedder == "hashing" and kw.get("use_idf", True)
+    if uses_idf:
         idf_tab = hashing_idf(df, id_col, text_col, dim)
         kw["idf"] = idf_tab
     # persisted: build_ivf_index consumes the embed subtree twice
@@ -470,6 +475,13 @@ def ivf_index_from_text(
         index.assignments._cached_deps = (vecs,) + tuple(
             getattr(index.assignments, "_cached_deps", ())
         )
+    # how this index's vectors were produced — search_text refuses a
+    # query embedding that cannot live in the same space
+    index.embed_meta = {
+        "embedder": embedder,
+        "dim": dim,
+        "uses_idf": uses_idf,
+    }
     return index, idf_tab
 
 
@@ -488,7 +500,15 @@ def search_text(
     side with the SAME hashing parameters (and the corpus IDF table
     from :func:`ivf_index_from_text`), then cell-pruned cosine top-k
     (similarity.search_ivf). Returns its
-    (query_id, id, cosine, rank) shape."""
+    (query_id, id, cosine, rank) shape.
+
+    Indexes built by :func:`ivf_index_from_text` carry ``embed_meta``;
+    against it this function REFUSES mismatches that would otherwise
+    return confidently wrong neighbors: a non-hashing (word2vec)
+    index (query hashes would live in a different vector space), a
+    dim mismatch, and a missing corpus IDF when the index used one
+    (embedding queries against their OWN idf silently skews weights).
+    Raw build_ivf_index indexes carry no meta and are unguarded."""
     from data_quality_checker_spark.operators.similarity import (
         search_ivf,
     )
@@ -496,6 +516,26 @@ def search_text(
     kw = dict(embed_kw or {})
     if idf is not None:
         kw["idf"] = idf
+    meta = getattr(index, "embed_meta", None)
+    if meta is not None:
+        if meta["embedder"] != "hashing":
+            raise ValueError(
+                "search_text embeds queries with the hashing embedder, "
+                f"but this index was built with embedder="
+                f"{meta['embedder']!r} — the spaces are incompatible; "
+                "embed queries with the same model and use search_ivf"
+            )
+        if meta["dim"] != dim:
+            raise ValueError(
+                f"index was built at dim={meta['dim']}, queries at "
+                f"dim={dim}"
+            )
+        if meta["uses_idf"] and "idf" not in kw and kw.get("use_idf", True):
+            raise ValueError(
+                "index was built with a corpus IDF table; pass the idf "
+                "returned by ivf_index_from_text — embedding queries "
+                "against their own IDF silently skews ranking"
+            )
     qvecs = hashed_doc_vectors(
         queries_df, id_col, text_col, dim=dim, **kw
     )

@@ -601,7 +601,14 @@ class CharNgramLangID:
         )
 
     def _grams(self, text: str) -> list[str]:
-        norm = " " + _WS.sub(" ", text.lower()).strip() + " "
+        # .strip(" ") everywhere, never .strip(): Spark's trim removes
+        # ASCII space 0x20 only, while Python's bare strip is
+        # Unicode-aware — on NBSP/ideographic-space text (common in
+        # web pages, NOT folded by the ASCII _WS class) a bare strip
+        # would drop grams the Catalyst training path counted,
+        # breaking train/predict gram-bag parity (CLAUDE.md mirror
+        # rule: pin Java's ASCII semantics)
+        norm = " " + _WS.sub(" ", text.lower()).strip(" ") + " "
         out = []
         for n in range(1, self.order + 1):
             out.extend(
@@ -611,13 +618,13 @@ class CharNgramLangID:
         # whole-word features, mirroring _norm_expr's rule exactly
         out.extend(
             pw
-            for w in norm.strip().split(" ")
+            for w in norm.strip(" ").split(" ")
             if w and len(pw := f" {w} ") > self.order
         )
         # mirror of _norm_expr's pure-space filter: padding grams are
         # signal-free and would reward every real language over 'und'
         # on punctuation-only input
-        return [g for g in out if g.strip()]
+        return [g for g in out if g.strip(" ")]
 
     def _scores(self, grams: list[str]) -> dict[str, float]:
         out = {}

@@ -314,7 +314,28 @@ def with_semantic_dup_verdict(
 
     Same deterministic-representative rule as the lexical stage: the
     sketch input is deduped on url via min-md5(text), so batch and
-    streaming compositions can never diverge on layout."""
+    streaming compositions can never diverge on layout.
+
+    Two scale/correctness properties of the sketch set:
+
+    - only CURRENT survivors participate (``base_keep``, i.e.
+      keep_final when a lexical stage ran first — NOT raw keep): a
+      lexical near-dup loser allowed in could win the min-url
+      canonical draw for its component and drop the component's only
+      surviving copy with it, silently losing the whole cluster;
+    - exact-text groups collapse to their min-url representative
+      before the vector stages (the embed.semantic_dedup_text
+      exact_group discipline): m identical texts otherwise form an
+      m^2/2 cosine-1.0 clique inside one cell — measured 13% dup rows
+      producing 63% of all tau-pairs. The expanded verdict is
+      identical: non-representative members of token-BEARING groups
+      are cosine-1.0 duplicates of their representative by
+      construction (sem_dup_of = the component canonical), token-LESS
+      groups embed to the zero vector which never pairs, so every
+      member keeps. The IDF table is computed over representatives
+      (dedup-before-stats, deliberate: duplicated boilerplate no
+      longer inflates bucket document frequencies)."""
+    from data_quality_checker_spark.functions.text import tokens
     from data_quality_checker_spark.operators.dedup import (
         duplicate_clusters,
         release_cache,
@@ -331,17 +352,36 @@ def with_semantic_dup_verdict(
         else F.col("keep")
     )
     kept = (
-        scored.filter("keep")
+        scored.filter(base_keep)
         .select("url", "text")
         .groupBy("url")
         .agg(F.min_by("text", F.md5("text")).alias("text"))
+    )
+    # exact-text grouping: one row per distinct text enters the
+    # vector stages. _z marks token-less groups Catalyst-side (zero
+    # vector <=> no tokens for the hashing embedder: IDF smoothing
+    # keeps every weight >= 1, so any token makes the vector
+    # non-zero) — the expansion below then never has to re-read the
+    # embed subtree after its cache is released.
+    member = kept.select(
+        "url",
+        F.md5(F.coalesce("text", F.lit(""))).alias("_tk"),
+        (
+            F.size(tokens(F.coalesce(F.col("text"), F.lit("")))) == 0
+        ).alias("_z"),
+    )
+    rep_of = member.groupBy("_tk").agg(
+        F.min("url").alias("_rep"), F.min("_z").alias("_gz")
+    )
+    reps = kept.join(
+        rep_of.select(F.col("_rep").alias("url")), "url", "left_semi"
     )
     # impl='arrow': numpy dense assembly, bit-identical to the
     # oracle-pinned Catalyst form (test_embed parity) at ~5x the
     # assembly rate — the interpreted map-probe/fold assembly was the
     # measured hot spot of the text->dedup path
     vecs = hashed_doc_vectors(
-        kept,
+        reps,
         id_col="url",
         text_col="text",
         dim=cfg.semantic_dedup_dim,
@@ -362,9 +402,25 @@ def with_semantic_dup_verdict(
     clusters = duplicate_clusters(
         pairs.select("id_a", "id_b")
     )
-    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
-        F.col("id").alias("url"),
-        F.col("cluster_id").alias("sem_dup_of"),
+    # component canonical per group: the representative's cluster
+    # label when it paired, else the representative itself (its group
+    # is its own clique). Every group member except the canonical is
+    # a loser — unless the group is token-less (never pairs).
+    rep_label = rep_of.join(
+        clusters.select(
+            F.col("id").alias("_rep"), F.col("cluster_id").alias("_cl")
+        ),
+        "_rep",
+        "left",
+    ).select(
+        "_tk",
+        "_gz",
+        F.coalesce("_cl", "_rep").alias("_canon"),
+    )
+    losers = (
+        member.join(rep_label, "_tk")
+        .filter(~F.col("_gz") & (F.col("url") != F.col("_canon")))
+        .select("url", F.col("_canon").alias("sem_dup_of"))
     )
     out = scored.join(losers, "url", "left").withColumn(
         "keep_final", base_keep & F.col("sem_dup_of").isNull()
@@ -372,7 +428,8 @@ def with_semantic_dup_verdict(
     # clustering ran eagerly (convergence counts execute at call
     # time); the pair stage's arrow path holds no persisted frames of
     # its own, the final label cache is read lazily by `out`. The
-    # embed cache is fully consumed once the edge list materialized.
+    # embed cache is fully consumed once the edge list materialized
+    # (the loser expansion reads only text-derived flags, never vecs).
     release_cache(pairs)
     vecs.unpersist()
     out._cached_deps = getattr(clusters, "_cached_deps", ())
@@ -626,8 +683,15 @@ def run_pipeline(
     sd_handle = None
     if cfg.semantic_dedup:
         scored = sd_handle = with_semantic_dup_verdict(scored, cfg)
+    dc_handle = None
     if decontam_eval is not None:
-        scored = with_decontam_verdict(scored, decontam_eval, cfg)
+        # keep the handle: guarded_bad_set's persist rides the
+        # _cached_deps of THIS frame, and the quality-model transform
+        # below returns a new frame without the attribute — releasing
+        # only nd/sd would leak the bad-set cache for the session
+        scored = dc_handle = with_decontam_verdict(
+            scored, decontam_eval, cfg
+        )
     if quality_model_path is not None:
         # learned-classifier scoring (plans/quality_model.py): load
         # the shipped PipelineModel artifact and add quality_prob —
@@ -642,15 +706,15 @@ def run_pipeline(
             scored, PipelineModel.load(quality_model_path)
         )
     write_partitioned(scored, scored_path, "partition_id")
-    if nd_handle is not None or sd_handle is not None:
+    if any(h is not None for h in (nd_handle, sd_handle, dc_handle)):
         # scored is parquet-materialized now; free the clustering
-        # label caches (the caches the dedup verdict stages must keep
-        # alive until their result is consumed)
+        # label caches and the decontam bad-set persist (the caches
+        # the verdict stages must keep alive until consumption)
         from data_quality_checker_spark.operators.dedup import (
             release_cache,
         )
 
-        for h in (nd_handle, sd_handle):
+        for h in (nd_handle, sd_handle, dc_handle):
             if h is not None:
                 release_cache(h)
 

@@ -187,6 +187,35 @@ def test_ivf_text_search_finds_source_doc(spark, docs):
         assert top[src]["cosine"] > 1 - 1e-9
 
 
+def test_search_text_refuses_incompatible_index(spark, docs):
+    """search_text embeds queries with the hashing embedder — a
+    word2vec-built index, a dim mismatch, or a dropped corpus IDF
+    must raise instead of returning confidently wrong neighbors
+    (round-6 review finding)."""
+    small = docs.filter("doc_id < 40")
+    queries = small.filter("doc_id < 3").select(
+        (F.col("doc_id") + 500000).alias("query_id"), "text"
+    )
+    w2v_index, w2v_idf = E.ivf_index_from_text(
+        small, dim=8, num_centroids=2, seed=7, embedder="word2vec",
+        embed_kw={"num_partitions": 1},
+    )
+    assert w2v_idf is None
+    with pytest.raises(ValueError, match="word2vec"):
+        E.search_text(w2v_index, queries, dim=8, k=2)
+    index, idf = E.ivf_index_from_text(
+        small, dim=16, num_centroids=2, seed=7
+    )
+    with pytest.raises(ValueError, match="dim"):
+        E.search_text(index, queries, idf=idf, dim=32, k=2)
+    with pytest.raises(ValueError, match="IDF"):
+        E.search_text(index, queries, dim=16, k=2)  # idf omitted
+    # and the compatible call still works
+    assert (
+        E.search_text(index, queries, idf=idf, dim=16, k=2).count() > 0
+    )
+
+
 def test_word2vec_doc_vectors_deterministic(docs):
     small = docs.filter("doc_id < 40")
     a = {

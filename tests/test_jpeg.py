@@ -118,6 +118,17 @@ def test_header_decode_jpeg_dims():
         M.header_decode(J.encode_baseline_jpeg(img)[:6], "image")["width"]
         is None
     )
+    # T.81-legal fill bytes (0xFF padding) before markers: the walk
+    # must resync, not parse the next marker byte as a length
+    # (round-6 review: the old walk misread or skipped the SOF)
+    data = J.encode_baseline_jpeg(img)
+    stuffed = data[:2] + b"\xff\xff\xff" + data[2:]
+    hd2 = M.header_decode(stuffed, "image")
+    assert (hd2["width"], hd2["height"]) == (34, 21)
+    # standalone TEM marker (no length field) mid-stream
+    tem = data[:2] + b"\xff\x01" + data[2:]
+    hd3 = M.header_decode(tem, "image")
+    assert (hd3["width"], hd3["height"]) == (34, 21)
 
 
 def test_content_decode_jpeg_stats_and_spark_plumbing(spark):

@@ -140,6 +140,13 @@ def test_spark_python_gram_parity(spark, model):
         L.sentences("ar", 1, seed=5)[0],
         "x",
         "  ",
+        # non-ASCII whitespace: NBSP / ideographic space are NOT in
+        # the ASCII _WS class, so they survive normalization and form
+        # grams — the Python mirror must keep them exactly as the
+        # Catalyst form does (ASCII-space strip, never Unicode strip)
+        "caf\xe9\xa0au\xa0lait",
+        "\xa0",
+        "　日本語　",
     ]
     df = spark.createDataFrame([(t,) for t in texts], "text string")
     got = [

@@ -410,6 +410,45 @@ def test_guards(spark, idx, tmp_path):
         MI.filter_batch_against_index(
             new, path, include_within_batch=True
         )
+    # batch ids are ASCII [A-Za-z0-9._-] — Unicode alphanumerics
+    # (str.isalnum-true) must be refused before they reach object keys
+    for bad in ("снимок-1", "crawl①", "a b", ""):
+        with pytest.raises(ValueError, match="batch_id"):
+            MI.append_minhash_index(new, path, batch_id=bad)
+
+
+def test_rollback_never_touches_prefix_extending_batch(
+    spark, idx, tmp_path
+):
+    """Repairing torn batch "2024" must not delete committed files of
+    batch "2024-06", whose id extends the torn id — the '~' publish
+    delimiter sits outside the batch-id alphabet, so one batch's
+    prefix glob can never swallow another's files (round-6 review:
+    the old '-' delimiter made repair delete committed data)."""
+    path0, _, new, _ = idx
+    path = str(tmp_path / "idx_prefix")
+    shutil.copytree(path0, path)
+    info = MI.append_minhash_index(new, path, batch_id="2024-06")
+    assert info["n_appended"] > 0
+    committed = MI.verify_minhash_index(spark, path)
+    meta = MI.read_minhash_index_meta(spark, path)
+
+    # tear batch "2024": stage + publish ONE table, begin marker only
+    from data_quality_checker_spark.operators.dedup import (
+        _minhash_shingle_plan,
+    )
+
+    torn = new.select((F.col("doc_id") + 90_000).alias("doc_id"), "text")
+    _minhash_shingle_plan(
+        torn, "doc_id", "text", meta["k_shingle"], meta["shingle_mode"]
+    ).write.mode("overwrite").parquet(f"{path}/_staging/2024/shingles")
+    MI._touch(spark, f"{path}/_appends/2024.begin")
+    assert MI._publish_staged_table(spark, path, "2024", "shingles") > 0
+
+    repaired = MI.repair_minhash_index(spark, path)
+    assert set(repaired) == {"2024"}
+    # the committed 2024-06 batch survived the prefix rollback intact
+    assert MI.verify_minhash_index(spark, path) == committed
 
 
 def test_property_cross_parity_random_corpora(spark, tmp_path_factory):

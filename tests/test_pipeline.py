@@ -397,6 +397,59 @@ def test_semantic_dup_pipeline_stage(spark):
     assert loser.filter(F.col("keep_final")).count() == 0
 
 
+def test_semantic_stage_sketches_only_current_survivors(spark):
+    """A doc already dropped upstream (keep_final=False, keep=True)
+    must not enter the semantic sketch set: as the min url of its
+    component it would win the canonical draw and drop the
+    component's only surviving copy with it — silent data loss
+    (round-6 review finding)."""
+    from data_quality_checker_spark.plans import synth
+    from data_quality_checker_spark.plans.pipeline import (
+        PipelineConfig,
+        score_pages,
+        with_semantic_dup_verdict,
+    )
+
+    cfg = PipelineConfig(semantic_dedup=True, semantic_dedup_tau=0.999)
+    base = synth.pages_df(spark, 60, seed=5)
+    src = (
+        score_pages(base, cfg)
+        .filter("keep and text is not null")
+        .orderBy("url")
+        .first()
+    )
+    # remove the source so exactly two urls carry this text: the
+    # pre-dropped min-url copy and the one genuine survivor
+    dropped_url = "https://aaa.example.com/x"
+    survivor_url = "https://zzz.example.com/x"
+    pages = base.filter(F.col("url") != src["url"]).unionByName(
+        spark.createDataFrame(
+            [
+                (dropped_url, src["warc_ts"], src["html"], src["text"],
+                 src["lang"]),
+                (survivor_url, src["warc_ts"], src["html"], src["text"],
+                 src["lang"]),
+            ],
+            base.schema,
+        )
+    )
+    scored = score_pages(pages, cfg).withColumn(
+        "keep_final", F.col("keep") & (F.col("url") != dropped_url)
+    )
+    out = with_semantic_dup_verdict(scored, cfg)
+    z = out.filter(F.col("url") == survivor_url).first()
+    assert z["sem_dup_of"] is None and z["keep_final"] is True, z
+    a = out.filter(F.col("url") == dropped_url).first()
+    assert a["keep_final"] is False
+    # the text still has exactly one surviving copy in the corpus
+    assert (
+        out.filter(
+            (F.col("text") == src["text"]) & F.col("keep_final")
+        ).count()
+        == 1
+    )
+
+
 def test_near_dup_resume_and_corpus_wide_replay(spark, pages, tmp_path_factory):
     """Kill between scoring legs with near_dedup on, resume, then run
     the documented corpus-wide near-dedup replay over the read-back
