@@ -1,30 +1,37 @@
-"""Zero-dependency baseline JPEG (ITU T.81) codec — numpy + stdlib
+"""Zero-dependency Huffman JPEG (ITU T.81) codec — numpy + stdlib
 only. Closes the multimodal brief's biggest remaining format gap:
 real crawl media is overwhelmingly JPEG, and this sandbox has no PIL.
 
-DECODER (:func:`decode_baseline_jpeg`) is the production direction:
-a general baseline-sequential (SOF0) decoder — stream-defined DQT /
-DHT tables (canonical Huffman from BITS/HUFFVAL, exactly as files
-carry them), any component sampling factors (4:4:4 / 4:2:0 / 4:2:2),
-restart markers (DRI/RSTn), byte unstuffing, vectorized dequant +
-IDCT over all blocks per component at once (the DCT-II basis matrix
-form: block = C.T @ coef @ C), nearest-neighbor chroma upsample, JFIF
-YCbCr -> RGB. Returns uint8 (h, w) grayscale or (h, w, 3) RGB, or
-None for anything non-baseline (progressive SOF2, arithmetic coding,
-12-bit) or malformed — the caller treats None as "content unknown",
+DECODER (:func:`decode_jpeg`) is the production direction: a general
+Huffman decoder covering BOTH sequential (SOF0/1) and progressive
+(SOF2) streams — stream-defined DQT / DHT tables (canonical Huffman
+from BITS/HUFFVAL, exactly as files carry them), any component
+sampling factors (4:4:4 / 4:2:0 / 4:2:2), restart markers (DRI/RSTn),
+byte unstuffing, vectorized dequant + IDCT over all blocks per
+component at once (the DCT-II basis matrix form: block = C.T @ coef
+@ C), nearest-neighbor chroma upsample, JFIF YCbCr -> RGB.
+Progressive scans (T.81 G.2) accumulate coefficients across scans:
+DC first/refine (interleaved or single-component), AC spectral
+selection and AC successive-approximation refinement with EOB runs
+and buffered correction bits. Returns uint8 (h, w) grayscale or
+(h, w, 3) RGB, or None for arithmetic/lossless/hierarchical/12-bit
+or malformed input — the caller treats None as "content unknown",
 the same degrade-don't-crash contract as the PNG/BMP paths.
 
-ENCODER (:func:`encode_baseline_jpeg`) exists to TEST the decoder in
-a PIL-less sandbox: spec-compliant baseline streams with fixed-length
-canonical Huffman tables (every table is emitted in DHT, so the
-decoder exercises the same table-building path a camera JPEG would;
-code lengths are chosen so the all-ones code stays unassigned, per
-T.81's padding rule), quality-1 quantization (near-lossless) and
-optional 2x2 chroma subsampling. Solid-color images round-trip
-EXACTLY (only the DC coefficient is nonzero, integer math throughout)
-— which is what lets the DuckDB analytic-oracle pattern pin the
-JPEG decode path end to end (q_multimodal_jpeg); textured images
-round-trip within a small IDCT-rounding tolerance, pinned in pytest.
+ENCODERS (:func:`encode_baseline_jpeg`, :func:`encode_progressive_
+jpeg`) exist to TEST the decoder in a PIL-less sandbox: spec-
+compliant streams with fixed-length canonical Huffman tables (every
+table is emitted in DHT, so the decoder exercises the same
+table-building path a camera JPEG would; code lengths are chosen so
+the all-ones code stays unassigned, per T.81's padding rule),
+flat-or-custom quantization tables and optional 2x2 chroma
+subsampling. Solid-color images round-trip EXACTLY (only the DC
+coefficient is nonzero, integer math throughout) — which is what
+lets the DuckDB analytic-oracle pattern pin the JPEG decode path end
+to end (q_multimodal_jpeg); textured images round-trip within a
+small IDCT-rounding tolerance, and the progressive scan script
+round-trips bit-identically to the baseline encoding of the same
+quantized coefficients — both pinned in pytest.
 
 Scale note: decoding runs per payload inside mapInPandas (Arrow
 batches), exactly like the PNG/BMP/WAV paths — no new Spark shape.
@@ -39,7 +46,12 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_baseline_jpeg", "decode_baseline_jpeg"]
+__all__ = [
+    "encode_baseline_jpeg",
+    "encode_progressive_jpeg",
+    "decode_jpeg",
+    "decode_baseline_jpeg",
+]
 
 # zigzag scan order: index = zigzag position, value = block position
 _ZIGZAG = np.array([
@@ -124,7 +136,7 @@ def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
 def encode_baseline_jpeg(
     pixels: np.ndarray,
     subsample: bool = False,
-    quant: int = 1,
+    quant: int | np.ndarray = 1,
     restart_interval: int = 0,
 ) -> bytes:
     """Spec-compliant baseline JPEG of a uint8 (h, w) grayscale or
@@ -159,12 +171,17 @@ def encode_baseline_jpeg(
         ph = -p.shape[0] % 8
         pw = -p.shape[1] % 8
         padded.append(np.pad(p, ((0, ph), (0, pw)), mode="edge"))
-    qtab = np.full(64, int(quant), dtype=np.int32)
+    # quant: scalar (flat table) or a 64-entry NATURAL-order table —
+    # the non-flat form exists to pin the decoder's zigzag-domain
+    # dequantization (flat tables cannot tell the orders apart)
+    qtab = (
+        np.asarray(quant, dtype=np.int32).reshape(64)
+        if np.ndim(quant)
+        else np.full(64, int(quant), dtype=np.int32)
+    )
     coefs = [
-        np.round(
-            _fwd_blocks(p - 128.0)
-        ).astype(np.int64)  # flat quant table: divide AFTER rounding
-        // int(quant)
+        np.round(_fwd_blocks(p - 128.0)).astype(np.int64)
+        // qtab.reshape(8, 8)  # divide AFTER rounding
         for p in padded
     ]
 
@@ -326,6 +343,259 @@ def encode_baseline_jpeg(
     return bytes(out)
 
 
+def encode_progressive_jpeg(
+    pixels: np.ndarray,
+    quant: int | np.ndarray = 1,
+    restart_interval: int = 0,
+) -> bytes:
+    """Progressive (SOF2) fixture encoder — exists to TEST the
+    progressive decode path the way encode_baseline_jpeg tests the
+    sequential one. 4:4:4 / grayscale only. Scan script exercises all
+    FOUR progressive scan kinds (T.81 G.2):
+
+      1. DC first, interleaved, Al=1 (with DRI/RSTn when
+         ``restart_interval`` is set; a DRI 0 then disables restarts
+         for the later scans)
+      2. per component: AC first, Ss=1..Se=63, Al=1
+      3. per component: AC refine, Ah=1 -> Al=0 (newly-significant
+         run/1 symbols + buffered correction bits + EOB runs — the
+         hardest decode path)
+      4. DC refine, Ah=1 -> Al=0 (raw bits, no Huffman)
+
+    The refine-scan emission follows the T.81 G.1.2.3 buffering rule:
+    a ZRL is emitted at the first nonzero (of ANY kind) after >15
+    zeroes, flushing the correction bits buffered behind it, so the
+    decoder's interleaved walk consumes every bit in position order."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        planes = [px.astype(np.float64)]
+    else:
+        ycc = _rgb_to_ycbcr(px)
+        planes = [np.round(ycc[:, :, i]) for i in range(3)]
+    padded = [
+        np.pad(
+            p, ((0, -p.shape[0] % 8), (0, -p.shape[1] % 8)), mode="edge"
+        )
+        for p in planes
+    ]
+    qtab = (
+        np.asarray(quant, dtype=np.int32).reshape(64)
+        if np.ndim(quant)
+        else np.full(64, int(quant), dtype=np.int32)
+    )
+    zzs = []
+    for p in padded:
+        c = np.round(_fwd_blocks(p - 128.0)).astype(
+            np.int64
+        ) // qtab.reshape(8, 8)
+        zzs.append(c.reshape(c.shape[0], c.shape[1], 64)[:, :, _ZIGZAG])
+    ncomp = len(zzs)
+    nby, nbx = zzs[0].shape[:2]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def emit_scan(out, ops, syms, tcls, sos_comps, ss, se, ah, al):
+        if syms is not None:
+            tab, dht = _fixed_table(syms or [0])
+            out += seg(0xFFC4, bytes([(tcls << 4) | 0]) + dht)
+        else:
+            tab = None
+        sos = bytes([len(sos_comps)])
+        for cid in sos_comps:
+            sos += bytes([cid, 0x00])  # Td=0 / Ta=0
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xFFDA, sos)
+        bw = _BitWriter()
+        rst = 0
+        for op in ops:
+            if op[0] == "s":
+                code, ln = tab[op[1]]
+                bw.write(code, ln)
+            elif op[0] == "b":
+                bw.write(op[1], op[2])
+            else:  # RST
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+        bw.flush()
+        out += bw.out
+
+    # scan 1: DC first, interleaved, al=1
+    dc_ops, dc_syms = [], []
+    prev = [0] * ncomp
+    mcu = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                dc_ops.append(("r",))
+                prev = [0] * ncomp
+            for ci in range(ncomp):
+                v = int(zzs[ci][by, bx, 0]) >> 1
+                diff = v - prev[ci]
+                prev[ci] = v
+                cat = _size_cat(diff)
+                dc_syms.append(cat)
+                dc_ops.append(("s", cat))
+                if cat:
+                    bits = diff if diff > 0 else diff + (1 << cat) - 1
+                    dc_ops.append(("b", bits, cat))
+            mcu += 1
+
+    def ac_first_ops(zz3, al):
+        ops, syms = [], []
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                syms.append(nb << 4)
+                ops.append(("s", nb << 4))
+                if nb:
+                    ops.append(("b", eobrun - (1 << nb), nb))
+                eobrun = 0
+
+        for by in range(nby):
+            for bx in range(nbx):
+                band = [int(v) for v in zz3[by, bx, 1:64]]
+                tv = [abs(v) >> al for v in band]
+                last = -1
+                for i, t in enumerate(tv):
+                    if t:
+                        last = i
+                if last < 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                r = 0
+                for i in range(last + 1):
+                    t = tv[i]
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        syms.append(0xF0)
+                        ops.append(("s", 0xF0))
+                        r -= 16
+                    cat = t.bit_length()
+                    sval = -t if band[i] < 0 else t
+                    syms.append((r << 4) | cat)
+                    ops.append(("s", (r << 4) | cat))
+                    bits = sval if sval > 0 else sval + (1 << cat) - 1
+                    ops.append(("b", bits, cat))
+                    r = 0
+                if last < 62:  # zeros left in the band -> EOB
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        return ops, syms
+
+    def ac_refine_ops(zz3, al):
+        ops, syms = [], []
+        eobrun = 0
+        be: list[int] = []
+
+        def flush_eob():
+            nonlocal eobrun, be
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                syms.append(nb << 4)
+                ops.append(("s", nb << 4))
+                if nb:
+                    ops.append(("b", eobrun - (1 << nb), nb))
+                for b in be:
+                    ops.append(("b", b, 1))
+                eobrun = 0
+                be = []
+
+        for by in range(nby):
+            for bx in range(nbx):
+                band = [int(v) for v in zz3[by, bx, 1:64]]
+                tv = [abs(v) >> al for v in band]
+                eob_idx = -1
+                for i, t in enumerate(tv):
+                    if t == 1:
+                        eob_idx = i
+                r = 0
+                br_bits: list[int] = []
+                for i, t in enumerate(tv):
+                    if t == 0:
+                        r += 1
+                        continue
+                    # ZRLs are emitted at the first nonzero of ANY
+                    # kind past >15 zeroes (not foldable into EOB) —
+                    # this keeps each buffered-bit batch within one
+                    # <=15-zero span, which is what lets the decoder's
+                    # interleaved walk consume bits in order
+                    while r > 15 and i <= eob_idx:
+                        flush_eob()
+                        syms.append(0xF0)
+                        ops.append(("s", 0xF0))
+                        r -= 16
+                        for b in br_bits:
+                            ops.append(("b", b, 1))
+                        br_bits = []
+                    if t > 1:  # already significant: correction bit
+                        br_bits.append(t & 1)
+                        continue
+                    # newly significant
+                    flush_eob()
+                    syms.append((r << 4) | 1)
+                    ops.append(("s", (r << 4) | 1))
+                    ops.append(("b", 0 if band[i] < 0 else 1, 1))
+                    for b in br_bits:
+                        ops.append(("b", b, 1))
+                    br_bits = []
+                    r = 0
+                if r > 0 or br_bits:
+                    eobrun += 1
+                    be.extend(br_bits)
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        return ops, syms
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz_q = np.empty(64, dtype=np.uint8)
+    zz_q[:] = qtab[_ZIGZAG]
+    out += seg(0xFFDB, b"\x00" + zz_q.tobytes())
+    if not gray:
+        out += seg(0xFFDB, b"\x01" + zz_q.tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xFFC2, sof)  # SOF2 progressive
+    all_ids = [ci + 1 for ci in range(ncomp)]
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    emit_scan(out, dc_ops, dc_syms, 0, all_ids, 0, 0, 0, 1)
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", 0))  # disable for AC
+    for ci in range(ncomp):
+        ops, syms = ac_first_ops(zzs[ci], 1)
+        emit_scan(out, ops, syms, 1, [ci + 1], 1, 63, 0, 1)
+    for ci in range(ncomp):
+        ops, syms = ac_refine_ops(zzs[ci], 0)
+        emit_scan(out, ops, syms, 1, [ci + 1], 1, 63, 1, 0)
+    # DC refine: raw bits, no Huffman table
+    dcr_ops = [
+        ("b", int(zzs[ci][by, bx, 0]) & 1, 1)
+        for by in range(nby)
+        for bx in range(nbx)
+        for ci in range(ncomp)
+    ]
+    emit_scan(out, dcr_ops, None, 0, all_ids, 0, 0, 1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _BitReader:
     def __init__(self, data: bytes) -> None:
         self.data = data
@@ -402,14 +672,20 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
-def decode_baseline_jpeg(data: bytes) -> np.ndarray | None:
-    """Decode a baseline-sequential JPEG. Returns uint8 (h, w) for
-    1-component streams, (h, w, 3) RGB for 3-component YCbCr, or None
-    for non-baseline/malformed input (never raises on bad bytes)."""
+def decode_jpeg(data: bytes) -> np.ndarray | None:
+    """Decode a baseline-sequential (SOF0/1) or progressive (SOF2)
+    Huffman JPEG. Returns uint8 (h, w) for 1-component streams,
+    (h, w, 3) RGB for 3-component YCbCr, or None for
+    arithmetic/lossless/12-bit/malformed input (never raises on bad
+    bytes)."""
     try:
         return _decode(data)
     except Exception:  # malformed stream -> content unknown
         return None
+
+
+# historical name, kept for callers that predate progressive support
+decode_baseline_jpeg = decode_jpeg
 
 
 def _decode(data: bytes) -> np.ndarray | None:
@@ -419,13 +695,27 @@ def _decode(data: bytes) -> np.ndarray | None:
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict] = {}
     sof = None
+    progressive = False
+    grids = None  # progressive: coefficient state across scans
     restart = 0
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             return None
         marker = data[pos + 1]
+        if marker == 0xFF:  # T.81 fill byte: resync
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI
-            return None  # no SOS seen
+            if progressive and grids is not None and sof is not None:
+                h, w, comps = sof
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                return _reconstruct(
+                    grids, comps, qtabs, h, w, hmax, vmax
+                )
+            return None  # sequential stream ended without a scan
+        if pos + 4 > len(data):
+            return None
         ln = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
         body = data[pos + 4 : pos + 2 + ln]
         pos += 2 + ln
@@ -440,9 +730,14 @@ def _decode(data: bytes) -> np.ndarray | None:
                     if prec
                     else np.frombuffer(raw, dtype=np.uint8)
                 ).astype(np.int32)
-                tab = np.empty(64, dtype=np.int32)
-                tab[_ZIGZAG] = q  # de-zigzag
-                qtabs[tid] = tab
+                # KEPT in zigzag order: the coefficient grids store
+                # zigzag-ordered values, and dequantization multiplies
+                # BEFORE the de-zigzag scatter — a natural-order table
+                # here pairs quants with the wrong coefficients for
+                # every non-flat table (all real camera JPEGs; flat
+                # quant=1 fixtures masked it, pinned by the non-flat
+                # round-trip test)
+                qtabs[tid] = q
                 b = b[1 + n :]
         elif marker == 0xC4:  # DHT
             b = body
@@ -454,30 +749,60 @@ def _decode(data: bytes) -> np.ndarray | None:
                 b = b[17 + n :]
         elif marker == 0xDD:  # DRI
             restart = struct.unpack(">H", body[:2])[0]
-        elif marker in (0xC0, 0xC1):  # SOF0/1 (baseline + ext. seq.)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2 (+ progressive)
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 return None
+            progressive = marker == 0xC2
             comps = []
             for i in range(ncomp):
                 cid, s, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, s >> 4, s & 0xF, tq))
             sof = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive / arithmetic / hierarchical
+            return None  # lossless / arithmetic / hierarchical
         elif marker == 0xDA:  # SOS
             if sof is None:
                 return None
             h, w, comps = sof
             ns = body[0]
-            sel = {}
+            if not progressive:
+                sel = {}
+                for i in range(ns):
+                    cs, t = body[1 + 2 * i : 3 + 2 * i]
+                    sel[cs] = (t >> 4, t & 0xF)
+                return _scan(
+                    data, pos, h, w, comps, sel, qtabs, htabs, restart
+                )
+            # progressive: accumulate coefficients across scans
+            cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+            scan = []
             for i in range(ns):
                 cs, t = body[1 + 2 * i : 3 + 2 * i]
-                sel[cs] = (t >> 4, t & 0xF)
-            return _scan(
-                data, pos, h, w, comps, sel, qtabs, htabs, restart
+                ci = cid_to_ci.get(cs)
+                if ci is None:
+                    return None
+                scan.append((ci, t >> 4, t & 0xF))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            if grids is None:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+                mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+                grids = [
+                    np.zeros(
+                        (mcus_y * sv, mcus_x * sh, 64), dtype=np.int32
+                    )
+                    for cid, sh, sv, tq in comps
+                ]
+            pos = _scan_progressive(
+                data, pos, h, w, comps, scan,
+                ss, se, ahal >> 4, ahal & 0xF,
+                htabs, restart, grids,
             )
+            if pos is None:
+                return None
     return None
 
 
@@ -545,7 +870,230 @@ def _scan(data, pos, h, w, comps, sel, qtabs, htabs, restart):
                             k += 1
                         grids[ci][my * sv + by, mx * sh + bx] = zz
             mcu += 1
-    # dequant + de-zigzag + IDCT, vectorized per component
+    return _reconstruct(grids, comps, qtabs, h, w, hmax, vmax)
+
+
+def _ac_first(br, act, coef, ss, se, al, state):
+    """AC spectral-selection first scan for one block (T.81 G.2.2):
+    place new coefficients at magnitude scale 2^al; EOB runs cover
+    whole all-zero (at this scale) blocks. Returns False on error."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return True
+    k = ss
+    while k <= se:
+        s = _huff_decode(br, act)
+        if s is None:
+            return False
+        r, cat = s >> 4, s & 0xF
+        if cat == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            eobrun = 1 << r
+            if r:
+                extra = br.receive(r)
+                if extra is None:
+                    return False
+                eobrun += extra
+            state["eobrun"] = eobrun - 1  # current block consumed
+            return True
+        k += r
+        if k > se:
+            return False
+        bits = br.receive(cat)
+        if bits is None:
+            return False
+        coef[k] = _extend(bits, cat) << al
+        k += 1
+    return True
+
+
+def _ac_refine(br, act, coef, ss, se, al, state):
+    """AC successive-approximation refinement for one block (T.81
+    G.2.3 / libjpeg decode_mcu_AC_refine): one correction bit per
+    already-nonzero coefficient in the band, newly significant
+    coefficients arrive as run/1 symbols with a sign bit, EOB runs
+    still carry the correction bits of the blocks they cover."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            s = _huff_decode(br, act)
+            if s is None:
+                return False
+            r, cat = s >> 4, s & 0xF
+            val = 0
+            if cat == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        extra = br.receive(r)
+                        if extra is None:
+                            return False
+                        eobrun += extra
+                    state["eobrun"] = eobrun
+                    break
+                # r == 15 (ZRL): skip 16 zero-history coefficients
+            elif cat == 1:
+                b = br.read_bit()
+                if b is None:
+                    return False
+                val = p1 if b else m1
+            else:
+                return False  # refinement admits only cat 0 / 1
+            # advance over r zero-history positions, emitting a
+            # correction bit at every nonzero-history one passed
+            while k <= se:
+                c = int(coef[k])
+                if c != 0:
+                    b = br.read_bit()
+                    if b is None:
+                        return False
+                    if b and (c & p1) == 0:
+                        coef[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        if val:
+                            coef[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if state["eobrun"] > 0:
+        # tail of an EOB run: correction bits only
+        while k <= se:
+            c = int(coef[k])
+            if c != 0:
+                b = br.read_bit()
+                if b is None:
+                    return False
+                if b and (c & p1) == 0:
+                    coef[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        state["eobrun"] -= 1
+    return True
+
+
+def _scan_progressive(
+    data, pos, h, w, comps, scan, ss, se, ah, al, htabs, restart, grids
+):
+    """One progressive scan: updates the zigzag coefficient grids in
+    place; returns the position of the next marker after the scan's
+    entropy data, or None on a malformed stream. ``scan`` is
+    [(component_index, dc_table, ac_table), ...] in scan-header
+    order. The four scan kinds (T.81 G.2): DC first (ss=0, ah=0,
+    possibly interleaved), DC refine (ss=0, ah>0: one raw bit/block),
+    AC first and AC refine (ss>0, always a single component, EOB-run
+    structured)."""
+    br = _BitReader(data)
+    br.pos = pos
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    state = {"eobrun": 0}
+    prev = [0] * len(comps)
+
+    def _resync() -> bool:
+        br.align()
+        p = br.pos
+        while p + 1 < len(data) and not (
+            data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7
+        ):
+            p += 1
+        if p + 1 >= len(data):
+            return False
+        br.pos = p + 2
+        for i in range(len(prev)):
+            prev[i] = 0
+        state["eobrun"] = 0
+        return True
+
+    def _comp_blocks(ci):
+        cid, sh, sv, tq = comps[ci]
+        cw = (w * sh + hmax - 1) // hmax  # component sample dims
+        ch = (h * sv + vmax - 1) // vmax
+        return (ch + 7) // 8, (cw + 7) // 8
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            return None
+        interleaved = len(scan) > 1
+        if interleaved:
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            units = [(my, mx) for my in range(mcus_y)
+                     for mx in range(mcus_x)]
+        else:
+            rows, cols = _comp_blocks(scan[0][0])
+            units = [(by, bx) for by in range(rows) for bx in range(cols)]
+        for ui, (uy, ux) in enumerate(units):
+            if restart and ui and ui % restart == 0:
+                if not _resync():
+                    return None
+            for ci, dc_t, _ac_t in scan:
+                cid, sh, sv, tq = comps[ci]
+                if interleaved:
+                    blocks = [
+                        (uy * sv + by, ux * sh + bx)
+                        for by in range(sv)
+                        for bx in range(sh)
+                    ]
+                else:
+                    blocks = [(uy, ux)]
+                for by, bx in blocks:
+                    coef = grids[ci][by, bx]
+                    if ah == 0:
+                        s = _huff_decode(br, htabs[(0, dc_t)])
+                        if s is None:
+                            return None
+                        if s:
+                            bits = br.receive(s)
+                            if bits is None:
+                                return None
+                            prev[ci] += _extend(bits, s)
+                        coef[0] = prev[ci] << al
+                    else:  # DC refine: one raw bit
+                        b = br.read_bit()
+                        if b is None:
+                            return None
+                        if b:
+                            coef[0] = int(coef[0]) | (1 << al)
+    else:  # AC scan: exactly one component
+        if len(scan) != 1 or se < ss or se > 63:
+            return None
+        ci, _dc_t, ac_t = scan[0]
+        act = htabs.get((1, ac_t))
+        if act is None:
+            return None
+        rows, cols = _comp_blocks(ci)
+        fn = _ac_first if ah == 0 else _ac_refine
+        unit = 0
+        for by in range(rows):
+            for bx in range(cols):
+                if restart and unit and unit % restart == 0:
+                    if not _resync():
+                        return None
+                if not fn(
+                    br, act, grids[ci][by, bx], ss, se, al, state
+                ):
+                    return None
+                unit += 1
+    # advance to the next marker (skip stuffed FF00 and RSTn)
+    p = br.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return None
+
+
+def _reconstruct(grids, comps, qtabs, h, w, hmax, vmax):
+    """Dequant (in the zigzag domain — the tables are stored as the
+    stream carries them) + de-zigzag + IDCT, vectorized per component;
+    chroma upsample; YCbCr -> RGB for 3-component images."""
     planes = []
     for ci, (cid, sh, sv, tq) in enumerate(comps):
         q = qtabs.get(tq)

@@ -5,10 +5,11 @@ layer is tiered behind `decoder=` hooks: ``header_decode`` (real
 PNG/BMP/GIF/JPEG/WAV header metadata), ``content_decode`` (REAL
 pixel / sample statistics for the formats parseable with the stdlib +
 numpy alone — uncompressed 24-bit BMP, 8-bit non-interlaced PNG via
-stdlib ``zlib`` inflate + full filter-0..4 unfiltering, baseline JPEG
-via the in-repo T.81 decoder (operators/jpeg.py), and 16-bit PCM
-WAV), and a deterministic fake; formats needing an external codec
-(MP3/H.264, progressive JPEG) still raise via ``_real_decode``.
+stdlib ``zlib`` inflate + full filter-0..4 unfiltering, baseline AND
+progressive Huffman JPEG via the in-repo T.81 codec
+(operators/jpeg.py), and 16-bit PCM WAV), and a deterministic fake;
+formats needing an external codec (MP3/H.264, arithmetic-coded JPEG)
+still raise via ``_real_decode``.
 
 Design for 100 TB: binary payloads ride in their own column so column
 pruning keeps them out of every non-media plan (same discipline as the
@@ -196,22 +197,28 @@ def synth_png(media_id: int) -> bytes:
 
 
 def synth_jpeg_gray(media_id: int) -> bytes:
-    """Deterministic VALID baseline JPEG (operators/jpeg.py encoder):
-    solid grayscale value ``v = (37*id + 11) % 256`` at the same
-    width/height formula as the other image synths. Solid-color
-    streams decode EXACTLY (DC-only blocks, integer math end to end),
-    so the DuckDB oracle recomputes the content stats in closed form —
-    the JPEG Huffman/dequant/IDCT path is value-pinned without the
-    oracle ever seeing a byte."""
+    """Deterministic VALID JPEG (operators/jpeg.py encoders): solid
+    grayscale value ``v = (37*id + 11) % 256`` at the same
+    width/height formula as the other image synths — BASELINE for
+    even ids, PROGRESSIVE (SOF2, the four-scan-kind script) for odd
+    ids, so the oracle pins BOTH entropy layouts. Solid-color streams
+    decode EXACTLY either way (DC-only blocks, integer math end to
+    end), so the DuckDB oracle recomputes the content stats in closed
+    form — the JPEG Huffman/dequant/IDCT path is value-pinned without
+    the oracle ever seeing a byte."""
     from data_quality_checker_spark.operators.jpeg import (
         encode_baseline_jpeg,
+        encode_progressive_jpeg,
     )
 
     mid = int(media_id)
     w = 4 + mid % 5
     h = 3 + mid % 4
     v = (37 * mid + 11) % 256
-    return encode_baseline_jpeg(np.full((h, w), v, dtype=np.uint8))
+    img = np.full((h, w), v, dtype=np.uint8)
+    if mid % 2:
+        return encode_progressive_jpeg(img)
+    return encode_baseline_jpeg(img)
 
 
 def synth_wav(media_id: int) -> bytes:
@@ -444,16 +451,17 @@ def content_decode(payload: bytes, kind: str) -> dict:
       grayscale luminance IS the gray sample. Palette / 16-bit /
       interlaced PNGs fall through to header metadata with stats None;
     - baseline JPEG (grayscale or YCbCr, any sampling factors) -> the
-      same luminance stats via operators/jpeg.decode_baseline_jpeg;
-      progressive/arithmetic streams fall through with stats None;
+      same luminance stats via operators/jpeg.decode_jpeg — baseline
+      AND progressive Huffman; arithmetic-coded streams fall through
+      with stats None;
     - 16-bit PCM mono/stereo WAV -> ``rms`` / ``peak`` (full-scale
       normalized) and ``clip_frac`` (fraction of samples at the rail,
       |s| >= 32767).
 
-    Formats still needing an external codec (progressive/arithmetic
-    JPEG, MP3, H.264) fall through with content stats None (header
-    metadata only) — baseline JPEG is decoded in-repo, see above.
-    Pass as ``decoder=content_decode``."""
+    Formats still needing an external codec (arithmetic-coded JPEG,
+    MP3, H.264) fall through with content stats None (header metadata
+    only) — baseline and progressive Huffman JPEG are decoded
+    in-repo, see above. Pass as ``decoder=content_decode``."""
     out = header_decode(payload, kind)
     out.update(
         {"lum_mean": None, "lum_std": None, "rms": None, "peak": None,
@@ -489,12 +497,12 @@ def content_decode(payload: bytes, kind: str) -> dict:
                 out["clip_frac"] = float(
                     ((ch == 0) | (ch == 255)).mean()
                 )
-        elif p[:2] == b"\xff\xd8":  # baseline JPEG (operators/jpeg.py)
+        elif p[:2] == b"\xff\xd8":  # Huffman JPEG (operators/jpeg.py)
             from data_quality_checker_spark.operators.jpeg import (
-                decode_baseline_jpeg,
+                decode_jpeg,
             )
 
-            px = decode_baseline_jpeg(p)
+            px = decode_jpeg(p)
             if px is not None:
                 a = px.astype(np.float64)
                 if px.ndim == 3:  # RGB
@@ -562,12 +570,13 @@ def content_decode(payload: bytes, kind: str) -> dict:
 
 def _real_decode(payload: bytes, kind: str) -> dict:  # pragma: no cover
     raise NotImplementedError(
-        "MP3/H.264 (and progressive JPEG) decoding needs "
+        "MP3/H.264 (and arithmetic-coded JPEG) decoding needs "
         "PIL/torchaudio/ffmpeg — not present in this environment; "
         "header_decode covers PNG/BMP/GIF/JPEG/WAV metadata, "
-        "content_decode covers BMP + 8-bit PNG + baseline JPEG pixel "
-        "and WAV PCM statistics (stdlib + numpy only), _fake_decode "
-        "gives deterministic stand-ins"
+        "content_decode covers BMP + 8-bit PNG + baseline AND "
+        "progressive Huffman JPEG pixel and WAV PCM statistics "
+        "(stdlib + numpy only), _fake_decode gives deterministic "
+        "stand-ins"
     )
 
 

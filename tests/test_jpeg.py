@@ -1,13 +1,18 @@
-"""Zero-dep baseline JPEG codec (operators/jpeg.py): solid-color
+"""Zero-dep Huffman JPEG codec (operators/jpeg.py): solid-color
 streams round-trip EXACTLY (DC-only blocks — the property the
 multimodal_jpeg analytic oracle leans on); solid RGB matches an
 independent numpy twin of the JFIF YCbCr round-trip at 4:4:4 AND
 4:2:0 (subsampled constant chroma stays constant); textured images
 round-trip within IDCT rounding tolerance at quant=1; non-8-multiple
-dims crop correctly; malformed/truncated/progressive streams return
-None, never raise; header_decode walks JPEG markers for dims; the
-full path runs through extract_media_features' mapInPandas plumbing.
-Decoder generality beyond the fixture encoder: tables arrive via DHT
+dims crop correctly; malformed/truncated streams return None, never
+raise; header_decode walks JPEG markers for dims; the full path runs
+through extract_media_features' mapInPandas plumbing. PROGRESSIVE
+(SOF2) streams decode bit-identically to the baseline encoding of
+the same quantized coefficients through all four scan kinds (DC
+first/refine, AC first/refine with EOB runs), with and without
+restart markers; non-flat quantization tables pin the zigzag-domain
+dequantization against an exact reference reconstruction. Decoder
+generality beyond the fixture encoders: tables arrive via DHT
 (stream-defined, not Annex K), sampling factors are read from SOF."""
 
 from __future__ import annotations
@@ -79,12 +84,17 @@ def test_malformed_and_unsupported_return_none():
     assert J.decode_baseline_jpeg(b"\xff\xd8garbage") is None
     good = J.encode_baseline_jpeg(np.full((8, 8), 9, np.uint8))
     assert J.decode_baseline_jpeg(good[:40]) is None
-    # flip SOF0 -> SOF2 (progressive): unsupported, None not a crash
+    # flip SOF0 -> SOF2: a FULL-BAND scan is illegal in progressive
+    # (a DC scan must have Se=0), so this still fails closed
     prog = bytearray(good)
     i = prog.find(b"\xff\xc0")
     assert i > 0
     prog[i + 1] = 0xC2
     assert J.decode_baseline_jpeg(bytes(prog)) is None
+    # lossless SOF3 stays unsupported
+    lossless = bytearray(good)
+    lossless[i + 1] = 0xC3
+    assert J.decode_baseline_jpeg(bytes(lossless)) is None
     # corrupt a byte mid-entropy-stream: decode NEVER raises — it
     # either fails closed (None) or yields a best-effort frame
     corrupt = bytearray(good)
@@ -107,6 +117,91 @@ def test_restart_markers_decode_identically():
             assert b"\xff\xdd" in data  # DRI segment present
             back = J.decode_baseline_jpeg(data)
             assert back is not None and (back == base).all(), (shape, ri)
+
+
+def test_progressive_matches_baseline_exactly():
+    """The progressive scan script (DC first Al=1 -> per-comp AC first
+    -> per-comp AC refine Ah=1->Al=0 -> DC refine) carries the SAME
+    quantized coefficients as the baseline encoding, so the decoded
+    frames must be bit-identical — any drift in the four progressive
+    scan decoders (EOB-run accounting, correction-bit ordering, ZRL
+    spans, point transforms) breaks the equality."""
+    rng = np.random.RandomState(11)
+    for shape in [(16, 16), (24, 40), (21, 34), (32, 24, 3), (19, 23, 3)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        base = J.decode_jpeg(J.encode_baseline_jpeg(img))
+        prog = J.decode_jpeg(J.encode_progressive_jpeg(img))
+        assert prog is not None and base is not None, shape
+        assert prog.shape == base.shape == img.shape
+        assert (prog == base).all(), shape
+    # solid color: exact end to end (the oracle's contract)
+    solid = np.full((24, 24, 3), 77, np.uint8)
+    assert (J.decode_jpeg(J.encode_progressive_jpeg(solid)) == solid).all()
+    solid_g = np.full((16, 8), 201, np.uint8)
+    assert (
+        J.decode_jpeg(J.encode_progressive_jpeg(solid_g)) == solid_g
+    ).all()
+
+
+def test_progressive_restart_markers():
+    """DRI/RSTn inside a progressive DC scan (predictor reset +
+    byte-aligned resync), then DRI 0 disabling restarts for the AC
+    scans — decode must equal the restart-free stream."""
+    rng = np.random.RandomState(13)
+    for shape in [(40, 56), (32, 24, 3)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        base = J.decode_jpeg(J.encode_baseline_jpeg(img))
+        for ri in (1, 3):
+            data = J.encode_progressive_jpeg(img, restart_interval=ri)
+            assert b"\xff\xdd" in data
+            back = J.decode_jpeg(data)
+            assert back is not None and (back == base).all(), (shape, ri)
+
+
+def test_nonflat_quant_dequantizes_in_zigzag_order():
+    """A non-flat quantization table pins the dequant domain: the
+    stream carries tables in ZIGZAG order and the coefficient grids
+    are zigzag-ordered, so dequantization must multiply BEFORE the
+    de-zigzag scatter. The old natural-order remap paired quants with
+    the wrong coefficients for every non-flat table (all real camera
+    JPEGs) — flat fixtures couldn't see it. The expected frame is an
+    exact independent reconstruction from the encoder's own quantized
+    coefficients."""
+    rng = np.random.RandomState(17)
+    q = ((np.arange(64) % 13) + 1).astype(np.int32)  # natural order
+    img = rng.randint(0, 256, (16, 24)).astype(np.uint8)
+    dec = J.decode_jpeg(J.encode_baseline_jpeg(img, quant=q))
+    assert dec is not None
+    # independent reference: quantize exactly as the encoder does,
+    # dequantize in natural order, IDCT with the same basis
+    plane = img.astype(np.float64) - 128.0
+    coefs = np.round(
+        np.einsum(
+            "ij,abjk,lk->abil",
+            J._C,
+            plane.reshape(2, 8, 3, 8).transpose(0, 2, 1, 3),
+            J._C,
+        )
+    ).astype(np.int64) // q.reshape(8, 8)
+    deq = (coefs * q.reshape(8, 8)).astype(np.float64)
+    spat = np.einsum("ji,abjk,kl->abil", J._C, deq, J._C) + 128.0
+    want = np.clip(
+        np.round(spat.transpose(0, 2, 1, 3).reshape(16, 24)), 0, 255
+    ).astype(np.uint8)
+    assert (dec == want).all()
+    # the progressive path shares the dequant: same equality there
+    decp = J.decode_jpeg(J.encode_progressive_jpeg(img, quant=q))
+    assert decp is not None and (decp == want).all()
+
+
+def test_content_decode_progressive_payload():
+    """content_decode reaches the progressive path: a solid-gray
+    progressive stream yields exact luminance stats (same closed form
+    as the baseline fixture)."""
+    img = np.full((12, 20), 93, np.uint8)
+    out = M.content_decode(J.encode_progressive_jpeg(img), "image")
+    assert (out["width"], out["height"]) == (20, 12)
+    assert out["lum_mean"] == 93.0 and out["lum_std"] == 0.0
 
 
 def test_header_decode_jpeg_dims():
