@@ -292,11 +292,13 @@ def _fake_decode(payload: bytes, kind: str) -> dict:
 
 def header_decode(payload: bytes, kind: str) -> dict:
     """REAL, dependency-free metadata decode for the container formats
-    whose headers are trivially parseable — PNG, BMP, GIF (width/
-    height) and canonical RIFF/WAVE (duration from byte rate + data
-    size). Full pixel/sample decode still needs PIL/ffmpeg (the
-    NotImplementedError hook below); unknown formats yield Nones
-    rather than fake values. Pass as ``decoder=header_decode``."""
+    whose headers are trivially parseable — PNG, BMP, GIF, JPEG
+    (width/height), canonical RIFF/WAVE (duration from byte rate +
+    data size), and MP3 (CBR duration from the first MPEG-1 Layer III
+    frame header, ID3v2-aware). Full sample decode for MP3/H.264
+    still needs ffmpeg (the NotImplementedError hook below); unknown
+    formats yield Nones rather than fake values. Pass as
+    ``decoder=header_decode``."""
     p = payload or b""
     out: dict = {"width": None, "height": None, "duration_ms": None}
     try:
@@ -354,6 +356,37 @@ def header_decode(payload: bytes, kind: str) -> dict:
             data_size = int.from_bytes(p[40:44], "little")
             if byte_rate:
                 out["duration_ms"] = int(data_size * 1000 / byte_rate)
+        elif p[:3] == b"ID3" or (
+            len(p) >= 2 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0
+        ):
+            # MP3: CBR duration estimate from the first MPEG-1 Layer
+            # III frame header (audio_bytes * 8 / bitrate) — the
+            # standard metadata read; VBR without a Xing header will
+            # be off, full sample decode stays a _real_decode hook.
+            # No clash with JPEG: its FFD8 fails the 0xE0 sync mask.
+            pos = 0
+            if p[:3] == b"ID3" and len(p) >= 10:
+                size = 0
+                for b in p[6:10]:  # syncsafe 28-bit tag size
+                    size = (size << 7) | (b & 0x7F)
+                pos = 10 + size
+            if (
+                pos + 4 <= len(p)
+                and p[pos] == 0xFF
+                and (p[pos + 1] & 0xE0) == 0xE0
+            ):
+                version = (p[pos + 1] >> 3) & 0x3
+                layer = (p[pos + 1] >> 1) & 0x3
+                bidx = (p[pos + 2] >> 4) & 0xF
+                sidx = (p[pos + 2] >> 2) & 0x3
+                if version == 3 and layer == 1 and 0 < bidx < 15 and sidx < 3:
+                    kbps = (
+                        0, 32, 40, 48, 56, 64, 80, 96, 112,
+                        128, 160, 192, 224, 256, 320,
+                    )[bidx]
+                    out["duration_ms"] = int(
+                        (len(p) - pos) * 8 / kbps
+                    )  # bytes*8 / (kbps*1000) * 1000 ms
     except Exception:  # malformed header -> metadata unknown, not a crash
         pass
     return out
