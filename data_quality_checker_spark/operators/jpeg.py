@@ -133,21 +133,29 @@ def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
     return np.stack([y, cb, cr], axis=-1)
 
 
-def encode_baseline_jpeg(
-    pixels: np.ndarray,
-    subsample: bool = False,
-    quant: int | np.ndarray = 1,
-    restart_interval: int = 0,
-) -> bytes:
-    """Spec-compliant baseline JPEG of a uint8 (h, w) grayscale or
-    (h, w, 3) RGB array. ``quant=1`` (flat all-ones tables) is
-    near-lossless: solid-color inputs round-trip EXACTLY (DC-only
-    blocks, integer math), textured inputs within IDCT rounding.
-    ``subsample`` emits 4:2:0 chroma (dims must be multiples of 16).
-    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs
-    (byte-aligned, DC predictors reset) — the resync machinery real
-    camera JPEGs use, so the decoder's RST path is testable here."""
-    px = np.asarray(pixels, dtype=np.uint8)
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def _qtab_of(quant: int | np.ndarray) -> np.ndarray:
+    """quant: scalar (flat table) or a 64-entry NATURAL-order table —
+    the non-flat form exists to pin the decoder's zigzag-domain
+    dequantization (flat tables cannot tell the orders apart)."""
+    return (
+        np.asarray(quant, dtype=np.int32).reshape(64)
+        if np.ndim(quant)
+        else np.full(64, int(quant), dtype=np.int32)
+    )
+
+
+def _prep_components(
+    px: np.ndarray, subsample: bool, qtab: np.ndarray
+) -> tuple[list[tuple[int, int]], list[np.ndarray]]:
+    """Pixels -> (samp, per-component MCU-padded NATURAL-order
+    quantized coefficient grids (nby, nbx, 8, 8) int64) — the shared
+    front half of both fixture encoders, so the progressive scan
+    script provably carries the SAME coefficients as the baseline
+    stream."""
     gray = px.ndim == 2
     h, w = px.shape[:2]
     if gray:
@@ -171,19 +179,51 @@ def encode_baseline_jpeg(
         ph = -p.shape[0] % 8
         pw = -p.shape[1] % 8
         padded.append(np.pad(p, ((0, ph), (0, pw)), mode="edge"))
-    # quant: scalar (flat table) or a 64-entry NATURAL-order table —
-    # the non-flat form exists to pin the decoder's zigzag-domain
-    # dequantization (flat tables cannot tell the orders apart)
-    qtab = (
-        np.asarray(quant, dtype=np.int32).reshape(64)
-        if np.ndim(quant)
-        else np.full(64, int(quant), dtype=np.int32)
-    )
     coefs = [
         np.round(_fwd_blocks(p - 128.0)).astype(np.int64)
         // qtab.reshape(8, 8)  # divide AFTER rounding
         for p in padded
     ]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    # pad component BLOCK grids up to the MCU grid
+    grids = []
+    for ci, c in enumerate(coefs):
+        need_y = mcus_y * samp[ci][1]
+        need_x = mcus_x * samp[ci][0]
+        g = np.zeros((need_y, need_x, 8, 8), dtype=np.int64)
+        g[: c.shape[0], : c.shape[1]] = c
+        # replicate edge blocks into the padding (keeps DC prediction
+        # smooth; any valid data is fine spec-wise)
+        for yy in range(c.shape[0], need_y):
+            g[yy] = g[c.shape[0] - 1]
+        for xx in range(c.shape[1], need_x):
+            g[:, xx] = g[:, c.shape[1] - 1]
+        grids.append(g)
+    return samp, grids
+
+
+def encode_baseline_jpeg(
+    pixels: np.ndarray,
+    subsample: bool = False,
+    quant: int | np.ndarray = 1,
+    restart_interval: int = 0,
+) -> bytes:
+    """Spec-compliant baseline JPEG of a uint8 (h, w) grayscale or
+    (h, w, 3) RGB array. ``quant=1`` (flat all-ones tables) is
+    near-lossless: solid-color inputs round-trip EXACTLY (DC-only
+    blocks, integer math), textured inputs within IDCT rounding.
+    ``subsample`` emits 4:2:0 chroma (dims must be multiples of 16).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs
+    (byte-aligned, DC predictors reset) — the resync machinery real
+    camera JPEGs use, so the decoder's RST path is testable here."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    qtab = _qtab_of(quant)
+    samp, grids = _prep_components(px, subsample, qtab)
 
     # entropy-code per MCU; collect symbols first to build the tables
     def _block_symbols(zz, dc_prev):
@@ -213,20 +253,6 @@ def encode_baseline_jpeg(
     vmax = max(s[1] for s in samp)
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-    # pad component planes' BLOCK grids up to the MCU grid
-    grids = []
-    for ci, c in enumerate(coefs):
-        need_y = mcus_y * samp[ci][1]
-        need_x = mcus_x * samp[ci][0]
-        g = np.zeros((need_y, need_x, 8, 8), dtype=np.int64)
-        g[: c.shape[0], : c.shape[1]] = c
-        # replicate edge blocks into the padding (keeps DC prediction
-        # smooth; any valid data is fine spec-wise)
-        for yy in range(c.shape[0], need_y):
-            g[yy] = g[c.shape[0] - 1]
-        for xx in range(c.shape[1], need_x):
-            g[:, xx] = g[:, c.shape[1] - 1]
-        grids.append(g)
 
     # first pass: symbol inventory per table class. MCU interleave
     # order, with DC predictors reset at restart boundaries.
@@ -308,36 +334,33 @@ def encode_baseline_jpeg(
             bw.write(code, ln)
     bw.flush()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
-
     out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(
+    out += _seg(
         0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     )
     zz_q = np.empty(64, dtype=np.uint8)
     zz_q[:] = qtab[_ZIGZAG]
-    out += seg(0xFFDB, b"\x00" + zz_q.tobytes())  # DQT id 0
+    out += _seg(0xFFDB, b"\x00" + zz_q.tobytes())  # DQT id 0
     if not gray:
-        out += seg(0xFFDB, b"\x01" + zz_q.tobytes())  # DQT id 1
+        out += _seg(0xFFDB, b"\x01" + zz_q.tobytes())  # DQT id 1
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
         sof += bytes(
             [ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0 if ci == 0 else 1]
         )
-    out += seg(0xFFC0, sof)  # SOF0 baseline
+    out += _seg(0xFFC0, sof)  # SOF0 baseline
     for t in range(ncls):
-        out += seg(0xFFC4, bytes([0x00 | t]) + dc_dht[t])
-        out += seg(0xFFC4, bytes([0x10 | t]) + ac_dht[t])
+        out += _seg(0xFFC4, bytes([0x00 | t]) + dc_dht[t])
+        out += _seg(0xFFC4, bytes([0x10 | t]) + ac_dht[t])
     if restart_interval:
-        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         t = 0 if ci == 0 else 1
         sos += bytes([ci + 1, (t << 4) | t])
     sos += b"\x00\x3f\x00"
-    out += seg(0xFFDA, sos)
+    out += _seg(0xFFDA, sos)
     out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -347,11 +370,17 @@ def encode_progressive_jpeg(
     pixels: np.ndarray,
     quant: int | np.ndarray = 1,
     restart_interval: int = 0,
+    subsample: bool = False,
 ) -> bytes:
     """Progressive (SOF2) fixture encoder — exists to TEST the
     progressive decode path the way encode_baseline_jpeg tests the
-    sequential one. 4:4:4 / grayscale only. Scan script exercises all
-    FOUR progressive scan kinds (T.81 G.2):
+    sequential one; both share :func:`_prep_components`, so the
+    progressive scan script provably carries the SAME quantized
+    coefficients as the baseline stream. ``subsample`` emits 4:2:0
+    chroma (dims must be 16-multiples) — covering the decoder's
+    interleaved sv/sh>1 DC blocks and the non-interleaved component-
+    grid geometry. Scan script exercises all FOUR progressive scan
+    kinds (T.81 G.2):
 
       1. DC first, interleaved, Al=1 (with DRI/RSTn when
          ``restart_interval`` is set; a DRI 0 then disables restarts
@@ -362,6 +391,10 @@ def encode_progressive_jpeg(
          hardest decode path)
       4. DC refine, Ah=1 -> Al=0 (raw bits, no Huffman)
 
+    AC scans cover the component's OWN block grid (T.81 non-
+    interleaved geometry), not the MCU-padded grid — padding blocks
+    carry DC only, and they land outside the reconstruct crop.
+
     The refine-scan emission follows the T.81 G.1.2.3 buffering rule:
     a ZRL is emitted at the first nonzero (of ANY kind) after >15
     zeroes, flushing the correction bits buffered behind it, so the
@@ -369,45 +402,38 @@ def encode_progressive_jpeg(
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     h, w = px.shape[:2]
-    if gray:
-        planes = [px.astype(np.float64)]
-    else:
-        ycc = _rgb_to_ycbcr(px)
-        planes = [np.round(ycc[:, :, i]) for i in range(3)]
-    padded = [
-        np.pad(
-            p, ((0, -p.shape[0] % 8), (0, -p.shape[1] % 8)), mode="edge"
-        )
-        for p in planes
+    qtab = _qtab_of(quant)
+    samp, grids = _prep_components(px, subsample, qtab)
+    zzs = [
+        g.reshape(g.shape[0], g.shape[1], 64)[:, :, _ZIGZAG]
+        for g in grids
     ]
-    qtab = (
-        np.asarray(quant, dtype=np.int32).reshape(64)
-        if np.ndim(quant)
-        else np.full(64, int(quant), dtype=np.int32)
-    )
-    zzs = []
-    for p in padded:
-        c = np.round(_fwd_blocks(p - 128.0)).astype(
-            np.int64
-        ) // qtab.reshape(8, 8)
-        zzs.append(c.reshape(c.shape[0], c.shape[1], 64)[:, :, _ZIGZAG])
     ncomp = len(zzs)
-    nby, nbx = zzs[0].shape[:2]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_y = zzs[0].shape[0] // samp[0][1]
+    mcus_x = zzs[0].shape[1] // samp[0][0]
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
+    def comp_blocks(ci):
+        """The component's REAL block grid (the decoder's
+        non-interleaved scan geometry)."""
+        sh_, sv_ = samp[ci]
+        return (
+            ((h * sv_ + vmax - 1) // vmax + 7) // 8,
+            ((w * sh_ + hmax - 1) // hmax + 7) // 8,
+        )
 
     def emit_scan(out, ops, syms, tcls, sos_comps, ss, se, ah, al):
         if syms is not None:
             tab, dht = _fixed_table(syms or [0])
-            out += seg(0xFFC4, bytes([(tcls << 4) | 0]) + dht)
+            out += _seg(0xFFC4, bytes([(tcls << 4) | 0]) + dht)
         else:
             tab = None
         sos = bytes([len(sos_comps)])
         for cid in sos_comps:
             sos += bytes([cid, 0x00])  # Td=0 / Ta=0
         sos += bytes([ss, se, (ah << 4) | al])
-        out += seg(0xFFDA, sos)
+        out += _seg(0xFFDA, sos)
         bw = _BitWriter()
         rst = 0
         for op in ops:
@@ -423,28 +449,41 @@ def encode_progressive_jpeg(
         bw.flush()
         out += bw.out
 
-    # scan 1: DC first, interleaved, al=1
+    # scan 1: DC first, interleaved over MCUs (incl. padding blocks
+    # for sv/sh > 1 components), al=1
     dc_ops, dc_syms = [], []
     prev = [0] * ncomp
     mcu = 0
-    for by in range(nby):
-        for bx in range(nbx):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 dc_ops.append(("r",))
                 prev = [0] * ncomp
             for ci in range(ncomp):
-                v = int(zzs[ci][by, bx, 0]) >> 1
-                diff = v - prev[ci]
-                prev[ci] = v
-                cat = _size_cat(diff)
-                dc_syms.append(cat)
-                dc_ops.append(("s", cat))
-                if cat:
-                    bits = diff if diff > 0 else diff + (1 << cat) - 1
-                    dc_ops.append(("b", bits, cat))
+                sh_, sv_ = samp[ci]
+                for by in range(sv_):
+                    for bx in range(sh_):
+                        v = (
+                            int(
+                                zzs[ci][my * sv_ + by, mx * sh_ + bx, 0]
+                            )
+                            >> 1
+                        )
+                        diff = v - prev[ci]
+                        prev[ci] = v
+                        cat = _size_cat(diff)
+                        dc_syms.append(cat)
+                        dc_ops.append(("s", cat))
+                        if cat:
+                            bits = (
+                                diff
+                                if diff > 0
+                                else diff + (1 << cat) - 1
+                            )
+                            dc_ops.append(("b", bits, cat))
             mcu += 1
 
-    def ac_first_ops(zz3, al):
+    def ac_first_ops(zz3, nby, nbx, al):
         ops, syms = [], []
         eobrun = 0
 
@@ -496,7 +535,7 @@ def encode_progressive_jpeg(
         flush_eob()
         return ops, syms
 
-    def ac_refine_ops(zz3, al):
+    def ac_refine_ops(zz3, nby, nbx, al):
         ops, syms = [], []
         eobrun = 0
         be: list[int] = []
@@ -562,34 +601,45 @@ def encode_progressive_jpeg(
         return ops, syms
 
     out = bytearray(b"\xff\xd8")
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     zz_q = np.empty(64, dtype=np.uint8)
     zz_q[:] = qtab[_ZIGZAG]
-    out += seg(0xFFDB, b"\x00" + zz_q.tobytes())
+    out += _seg(0xFFDB, b"\x00" + zz_q.tobytes())
     if not gray:
-        out += seg(0xFFDB, b"\x01" + zz_q.tobytes())
+        out += _seg(0xFFDB, b"\x01" + zz_q.tobytes())
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
-    out += seg(0xFFC2, sof)  # SOF2 progressive
+        sof += bytes(
+            [
+                ci + 1,
+                (samp[ci][0] << 4) | samp[ci][1],
+                0 if ci == 0 else 1,
+            ]
+        )
+    out += _seg(0xFFC2, sof)  # SOF2 progressive
     all_ids = [ci + 1 for ci in range(ncomp)]
     if restart_interval:
-        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     emit_scan(out, dc_ops, dc_syms, 0, all_ids, 0, 0, 0, 1)
     if restart_interval:
-        out += seg(0xFFDD, struct.pack(">H", 0))  # disable for AC
+        out += _seg(0xFFDD, struct.pack(">H", 0))  # disable for AC
     for ci in range(ncomp):
-        ops, syms = ac_first_ops(zzs[ci], 1)
+        rows, cols = comp_blocks(ci)
+        ops, syms = ac_first_ops(zzs[ci], rows, cols, 1)
         emit_scan(out, ops, syms, 1, [ci + 1], 1, 63, 0, 1)
     for ci in range(ncomp):
-        ops, syms = ac_refine_ops(zzs[ci], 0)
+        rows, cols = comp_blocks(ci)
+        ops, syms = ac_refine_ops(zzs[ci], rows, cols, 0)
         emit_scan(out, ops, syms, 1, [ci + 1], 1, 63, 1, 0)
-    # DC refine: raw bits, no Huffman table
+    # DC refine: raw bits, no Huffman table; MCU order incl. padding
     dcr_ops = [
-        ("b", int(zzs[ci][by, bx, 0]) & 1, 1)
-        for by in range(nby)
-        for bx in range(nbx)
+        ("b", int(zzs[ci][my * samp[ci][1] + by,
+                          mx * samp[ci][0] + bx, 0]) & 1, 1)
+        for my in range(mcus_y)
+        for mx in range(mcus_x)
         for ci in range(ncomp)
+        for by in range(samp[ci][1])
+        for bx in range(samp[ci][0])
     ]
     emit_scan(out, dcr_ops, None, 0, all_ids, 0, 0, 1, 0)
     out += b"\xff\xd9"
@@ -665,6 +715,22 @@ def _huff_decode(br: _BitReader, table) -> int | None:
         if s is not None:
             return s
     return None
+
+
+def _skip_past_rst(br: "_BitReader", data: bytes) -> bool:
+    """Byte-align and advance past the next RSTn marker; False when
+    the stream ends without one (malformed). Shared by the sequential
+    and progressive scan loops so the resync logic cannot drift."""
+    br.align()
+    p = br.pos
+    while p + 1 < len(data) and not (
+        data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7
+    ):
+        p += 1
+    if p + 1 >= len(data):
+        return False
+    br.pos = p + 2
+    return True
 
 
 def _extend(v: int, cat: int) -> int:
@@ -823,13 +889,8 @@ def _scan(data, pos, h, w, comps, sel, qtabs, htabs, restart):
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart and mcu and mcu % restart == 0:
-                br.align()  # skip RSTn marker
-                p = br.pos
-                while p + 1 < len(data) and not (
-                    data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7
-                ):
-                    p += 1
-                br.pos = p + 2
+                if not _skip_past_rst(br, data):
+                    return None
                 prev = [0] * len(comps)
             for ci, (cid, sh, sv, tq) in enumerate(comps):
                 dc_t, ac_t = sel[cid]
@@ -995,15 +1056,8 @@ def _scan_progressive(
     prev = [0] * len(comps)
 
     def _resync() -> bool:
-        br.align()
-        p = br.pos
-        while p + 1 < len(data) and not (
-            data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7
-        ):
-            p += 1
-        if p + 1 >= len(data):
+        if not _skip_past_rst(br, data):
             return False
-        br.pos = p + 2
         for i in range(len(prev)):
             prev[i] = 0
         state["eobrun"] = 0

@@ -364,6 +364,11 @@ def header_decode(payload: bytes, kind: str) -> dict:
             # standard metadata read; VBR without a Xing header will
             # be off, full sample decode stays a _real_decode hook.
             # No clash with JPEG: its FFD8 fails the 0xE0 sync mask.
+            # The 4-byte sync alone is a weak signature, so the frame
+            # must CHECK OUT: the payload holds the whole first frame
+            # (length from bitrate/samplerate/padding) and either
+            # ends exactly on a frame boundary or shows the next
+            # frame's sync there — random bytes don't get a duration.
             pos = 0
             if p[:3] == b"ID3" and len(p) >= 10:
                 size = 0
@@ -379,14 +384,27 @@ def header_decode(payload: bytes, kind: str) -> dict:
                 layer = (p[pos + 1] >> 1) & 0x3
                 bidx = (p[pos + 2] >> 4) & 0xF
                 sidx = (p[pos + 2] >> 2) & 0x3
+                pad = (p[pos + 2] >> 1) & 0x1
                 if version == 3 and layer == 1 and 0 < bidx < 15 and sidx < 3:
                     kbps = (
                         0, 32, 40, 48, 56, 64, 80, 96, 112,
                         128, 160, 192, 224, 256, 320,
                     )[bidx]
-                    out["duration_ms"] = int(
-                        (len(p) - pos) * 8 / kbps
-                    )  # bytes*8 / (kbps*1000) * 1000 ms
+                    sr = (44100, 48000, 32000)[sidx]
+                    flen = 144 * kbps * 1000 // sr + pad
+                    end = pos + flen
+                    ok = end <= len(p) and (
+                        end == len(p)
+                        or (
+                            end + 1 < len(p)
+                            and p[end] == 0xFF
+                            and (p[end + 1] & 0xE0) == 0xE0
+                        )
+                    )
+                    if ok:
+                        out["duration_ms"] = int(
+                            (len(p) - pos) * 8 / kbps
+                        )  # bytes*8 / (kbps*1000) * 1000 ms
     except Exception:  # malformed header -> metadata unknown, not a crash
         pass
     return out

@@ -457,10 +457,14 @@ def _make_png(w: int, h: int) -> bytes:
 def test_header_decode_real_formats(spark):
     """header_decode parses REAL container headers (valid BMP/WAV/PNG
     bytes generated here) through the same mapInPandas plumbing."""
-    # 128 kbps MPEG-1 Layer III: header FF FB 90 00, one padded-out
-    # frame body; 4000 bytes at 128 kbps = 250 ms. The second variant
-    # hides the sync behind a 100-byte ID3v2 tag (syncsafe size).
-    mp3_frame = b"\xff\xfb\x90\x00" + b"\x00" * 3996
+    # 128 kbps / 44.1 kHz MPEG-1 Layer III: frame length
+    # 144*128000//44100 = 417 bytes; ten frames = 4170 bytes ->
+    # 4170*8/128 = 260 ms. The second variant hides the sync behind a
+    # 100-byte ID3v2 tag (syncsafe size). The sniff validates the
+    # WHOLE first frame + the next frame boundary, so a bare sync
+    # followed by garbage must stay None (weak-signature guard).
+    mp3_frame = b"\xff\xfb\x90\x00" + b"\x00" * 413
+    mp3 = mp3_frame * 10
     id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 100]) + b"\x00" * 100
     rows = [
         (0, "image", _make_bmp(17, 9)),
@@ -470,9 +474,10 @@ def test_header_decode_real_formats(spark):
             + (5).to_bytes(2, "little") + b"\x00" * 8),
         (4, "image", b"not a real format"),
         (5, "image", None),
-        (6, "audio", mp3_frame),
-        (7, "audio", id3 + mp3_frame),
+        (6, "audio", mp3),
+        (7, "audio", id3 + mp3),
         (8, "audio", b"\xff\xfb" + b"\x00"),  # truncated: None, no crash
+        (9, "audio", b"\xff\xfb\x92\x17" + b"garbage" * 40),  # fake sync
     ]
     df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
     got = {
@@ -486,11 +491,13 @@ def test_header_decode_real_formats(spark):
     assert got[2]["duration_ms"] == 2500
     assert (got[3]["width"], got[3]["height"]) == (7, 5)
     assert got[4]["width"] is None and got[5]["width"] is None
-    # MP3 CBR estimate: 4000 bytes at 128 kbps = 250 ms, with and
-    # without a leading syncsafe ID3v2 tag; truncated sync -> None
-    assert got[6]["duration_ms"] == 250
-    assert got[7]["duration_ms"] == 250
+    # MP3 CBR estimate: 4170 bytes at 128 kbps = 260 ms, with and
+    # without a leading syncsafe ID3v2 tag; a truncated sync and a
+    # sync-prefixed garbage blob both stay None
+    assert got[6]["duration_ms"] == 260
+    assert got[7]["duration_ms"] == 260
     assert got[8]["duration_ms"] is None
+    assert got[9]["duration_ms"] is None
     # stdlib can fully validate the PNG we generated
     import zlib as _z
 

@@ -143,6 +143,29 @@ def test_progressive_matches_baseline_exactly():
     ).all()
 
 
+def test_progressive_420_subsampled_matches_baseline():
+    """4:2:0 progressive: the decoder's interleaved sv/sh>1 DC block
+    expansion and the non-interleaved component-grid geometry
+    (_comp_blocks ceil math) — real crawl JPEGs are predominantly
+    progressive 4:2:0, so these paths need their own fixture, with
+    and without restarts."""
+    rng = np.random.RandomState(19)
+    img = rng.randint(0, 256, (32, 48, 3)).astype(np.uint8)
+    base = J.decode_jpeg(J.encode_baseline_jpeg(img, subsample=True))
+    prog = J.decode_jpeg(J.encode_progressive_jpeg(img, subsample=True))
+    assert prog is not None and (prog == base).all()
+    pr = J.decode_jpeg(
+        J.encode_progressive_jpeg(img, subsample=True, restart_interval=2)
+    )
+    assert pr is not None and (pr == base).all()
+    # solid 4:2:0: exact end to end (constant chroma survives the
+    # subsample mean)
+    solid = np.full((16, 32, 3), 133, np.uint8)
+    want = J.decode_jpeg(J.encode_baseline_jpeg(solid, subsample=True))
+    got = J.decode_jpeg(J.encode_progressive_jpeg(solid, subsample=True))
+    assert (got == want).all() and (got == got[0, 0]).all()
+
+
 def test_progressive_restart_markers():
     """DRI/RSTn inside a progressive DC scan (predictor reset +
     byte-aligned resync), then DRI 0 disabling restarts for the AC
