@@ -7,7 +7,7 @@ style in miniature: a multinomial Naive Bayes over character trigrams
 (fastText's own langid baseline is char-ngram features + a linear
 layer; with a softmax over bag-of-ngram log-counts the NB form is the
 closed-form cousin), fit on a deterministic synthetic multilingual
-corpus built from committed common-word pools for 26 languages.
+corpus built from committed common-word pools for 51 languages.
 
  - TRAINING is a distributed aggregation (explode char n-grams ->
    groupBy (lang, gram) counts) — one shuffle, map-side combined, the
@@ -379,6 +379,114 @@ LANGID_WORDS: dict[str, tuple[str, ...]] = {
         "kim", "harada", "görə", "niyə", "hələ", "indi", "vaxt",
         "arasında", "üstündə", "bəzi", "çox", "iki", "dünya",
         "kimi", "həmin", "hansı", "olar", "edir",
+    ),
+    "is": (
+        "og", "að", "er", "það", "ekki", "við", "hann", "hún",
+        "þetta", "sem", "fyrir", "með", "var", "eru", "hafa",
+        "vera", "ég", "þú", "þeir", "hér", "þar", "núna", "dagur",
+        "tími", "ár", "heimur", "góður", "nýr", "mikið", "bara",
+        "líka", "eftir", "undir", "yfir", "milli", "okkar",
+        "hvað", "hvernig", "aldrei", "alltaf",
+    ),
+    "eu": (
+        "eta", "da", "ez", "bai", "hau", "hori", "bat", "bi",
+        "egun", "urte", "denbora", "mundua", "etxea", "herria",
+        "baina", "ere", "oso", "ongi", "gero", "orain", "hemen",
+        "han", "nola", "zer", "nor", "guztiak", "berria",
+        "handia", "txikia", "egin", "izan", "dago", "dira",
+        "zen", "dute", "dugu", "nahi", "behar", "gizona", "ura",
+    ),
+    "et": (
+        "ja", "on", "ei", "see", "ta", "me", "te", "nad", "oli",
+        "olen", "oleme", "aga", "ka", "väga", "hästi", "nüüd",
+        "siin", "seal", "kuidas", "mis", "kes", "kõik", "uus",
+        "suur", "väike", "teha", "olla", "aeg", "päev", "aasta",
+        "maailm", "ilma", "võib", "veel", "kus", "pärast",
+        "sama", "vahel", "palju", "mitte",
+    ),
+    "ml": (
+        "ആണ്", "അല്ല", "ഒരു", "ഞാൻ", "നീ", "അവൻ", "അവൾ", "നമ്മൾ",
+        "അവർ", "ഇത്", "അത്", "എന്ത്", "എങ്ങനെ", "എവിടെ",
+        "എപ്പോൾ", "നല്ല", "വലിയ", "ചെറിയ", "പുതിയ", "സമയം",
+        "ദിവസം", "വർഷം", "ലോകം", "വീട്", "വെള്ളം", "പക്ഷേ",
+        "വളരെ", "ഇപ്പോൾ", "പിന്നെ", "മുമ്പ്", "ഇവിടെ", "അവിടെ",
+        "എല്ലാം", "കൂടെ", "വേണം", "ഉണ്ട്", "ഇല്ല", "ചെയ്യുക",
+        "പറഞ്ഞു", "കാണുക",
+    ),
+    "kn": (
+        "ಮತ್ತು", "ಒಂದು", "ನಾನು", "ನೀನು", "ಅವನು", "ಅವಳು", "ನಾವು",
+        "ಅವರು", "ಇದು", "ಅದು", "ಏನು", "ಹೇಗೆ", "ಎಲ್ಲಿ", "ಯಾವಾಗ",
+        "ಒಳ್ಳೆಯ", "ದೊಡ್ಡ", "ಚಿಕ್ಕ", "ಹೊಸ", "ಸಮಯ", "ದಿನ", "ವರ್ಷ",
+        "ಜಗತ್ತು", "ಮನೆ", "ನೀರು", "ಆದರೆ", "ತುಂಬಾ", "ಈಗ", "ನಂತರ",
+        "ಮೊದಲು", "ಇಲ್ಲಿ", "ಅಲ್ಲಿ", "ಎಲ್ಲಾ", "ಜೊತೆ", "ಬೇಕು",
+        "ಇದೆ", "ಇಲ್ಲ", "ಮಾಡು", "ಹೇಳಿದರು", "ನೋಡು", "ಬರು",
+    ),
+    "gu": (
+        "અને", "એક", "હું", "તું", "તે", "અમે", "તેઓ", "આ", "શું",
+        "કેવી", "ક્યાં", "ક્યારે", "સારું", "મોટું", "નાનું",
+        "નવું", "સમય", "દિવસ", "વર્ષ", "દુનિયા", "ઘર", "પાણી",
+        "પણ", "ખૂબ", "હવે", "પછી", "પહેલા", "અહીં", "ત્યાં",
+        "બધા", "સાથે", "જોઈએ", "છે", "નથી", "કરવું", "કહ્યું",
+        "જોવું", "આવવું", "જવું", "હતું",
+    ),
+    "pa": (
+        "ਅਤੇ", "ਇੱਕ", "ਮੈਂ", "ਤੂੰ", "ਉਹ", "ਅਸੀਂ", "ਇਹ", "ਕੀ",
+        "ਕਿਵੇਂ", "ਕਿੱਥੇ", "ਕਦੋਂ", "ਚੰਗਾ", "ਵੱਡਾ", "ਛੋਟਾ",
+        "ਨਵਾਂ", "ਸਮਾਂ", "ਦਿਨ", "ਸਾਲ", "ਦੁਨੀਆ", "ਘਰ", "ਪਾਣੀ",
+        "ਪਰ", "ਬਹੁਤ", "ਹੁਣ", "ਬਾਅਦ", "ਪਹਿਲਾਂ", "ਇੱਥੇ", "ਉੱਥੇ",
+        "ਸਾਰੇ", "ਨਾਲ", "ਚਾਹੀਦਾ", "ਹੈ", "ਨਹੀਂ", "ਕਰਨਾ", "ਕਿਹਾ",
+        "ਵੇਖਣਾ", "ਆਉਣਾ", "ਜਾਣਾ", "ਸੀ", "ਹਨ",
+    ),
+    "si": (
+        "සහ", "එක", "මම", "ඔබ", "ඔහු", "ඇය", "අපි", "ඔවුන්",
+        "මේ", "ඒ", "මොකද", "කොහොමද", "කොහෙද", "කවදාද", "හොඳ",
+        "ලොකු", "පොඩි", "අලුත්", "කාලය", "දවස", "අවුරුද්ද",
+        "ලෝකය", "ගෙදර", "වතුර", "නමුත්", "ගොඩක්", "දැන්",
+        "පස්සේ", "කලින්", "මෙතන", "එතන", "ඔක්කොම", "එක්ක",
+        "ඕනේ", "තියෙනවා", "නැහැ", "කරනවා", "කිව්වා", "බලනවා",
+        "එනවා",
+    ),
+    "my": (
+        "နှင့်", "တစ်", "ငါ", "သင်", "သူ", "ကျွန်တော်", "ဒီ",
+        "ဟို", "ဘာ", "ဘယ်လို", "ဘယ်မှာ", "ဘယ်တော့", "ကောင်း",
+        "ကြီး", "သေး", "အသစ်", "အချိန်", "နေ့", "နှစ်", "ကမ္ဘာ",
+        "အိမ်", "ရေ", "ဒါပေမယ့်", "အရမ်း", "အခု", "နောက်",
+        "အရင်", "ဒီမှာ", "ဟိုမှာ", "အားလုံး", "အတူ", "လို",
+        "ရှိ", "မရှိ", "လုပ်", "ပြော", "ကြည့်", "လာ", "သွား",
+        "ဖြစ်",
+    ),
+    "km": (
+        "និង", "មួយ", "ខ្ញុំ", "អ្នក", "គាត់", "យើង", "ពួកគេ",
+        "នេះ", "នោះ", "អ្វី", "យ៉ាងម៉េច", "ឯណា", "ពេលណា", "ល្អ",
+        "ធំ", "តូច", "ថ្មី", "ពេលវេលា", "ថ្ងៃ", "ឆ្នាំ",
+        "ពិភពលោក", "ផ្ទះ", "ទឹក", "ប៉ុន្តែ", "ណាស់", "ឥឡូវ",
+        "ក្រោយ", "មុន", "ទីនេះ", "ទីនោះ", "ទាំងអស់", "ជាមួយ",
+        "ត្រូវការ", "មាន", "គ្មាន", "ធ្វើ", "និយាយ", "មើល",
+        "មក", "ទៅ",
+    ),
+    "am": (
+        "እና", "አንድ", "እኔ", "አንተ", "እሱ", "እሷ", "እኛ", "እነሱ",
+        "ይህ", "ያ", "ምን", "እንዴት", "የት", "መቼ", "ጥሩ", "ትልቅ",
+        "ትንሽ", "አዲስ", "ጊዜ", "ቀን", "ዓመት", "ዓለም", "ቤት", "ውሃ",
+        "ግን", "በጣም", "አሁን", "በኋላ", "በፊት", "እዚህ", "እዚያ",
+        "ሁሉም", "ጋር", "ያስፈልጋል", "አለ", "የለም", "መስራት", "ማየት",
+        "መምጣት", "መሄድ",
+    ),
+    "hy": (
+        "և", "մեկ", "ես", "դու", "նա", "մենք", "նրանք", "սա",
+        "դա", "ինչ", "ինչպես", "որտեղ", "երբ", "լավ", "մեծ",
+        "փոքր", "նոր", "ժամանակ", "օր", "տարի", "աշխարհ", "տուն",
+        "ջուր", "բայց", "շատ", "հիմա", "հետո", "առաջ", "այստեղ",
+        "այնտեղ", "բոլորը", "հետ", "պետք", "կա", "չկա", "անել",
+        "ասաց", "տեսնել", "գալ", "գնալ",
+    ),
+    "mn": (
+        "ба", "нэг", "би", "чи", "тэр", "бид", "тэд", "энэ",
+        "юу", "яаж", "хаана", "хэзээ", "сайн", "том", "жижиг",
+        "шинэ", "цаг", "өдөр", "жил", "дэлхий", "гэр", "ус",
+        "гэхдээ", "маш", "одоо", "дараа", "өмнө", "энд", "тэнд",
+        "бүгд", "хамт", "хэрэгтэй", "байна", "байхгүй", "хийх",
+        "гэсэн", "харах", "ирэх", "явах", "байсан",
     ),
 }
 
