@@ -254,20 +254,24 @@ def _rollback_batch(spark: SparkSession, path: str, batch_id: str) -> int:
     and begin marker; returns files removed. Matches on the
     ``batch-<id>~`` prefix — '~' is outside the batch-id alphabet, so
     the glob for one id can never swallow another id that extends it
-    (the "2024" vs "2024-06" prefix trap). A second, legacy glob
+    (the "2024" vs "2024-06" prefix trap). A second, legacy pattern
     covers ``batch-<id>-part-`` files published by pre-'~' builds;
-    its id must be followed by the literal Spark part-file prefix, so
-    it only collides for ids that themselves end in "-part"."""
+    since every '~'-scheme filename contains a '~' and no legacy name
+    does, legacy matches whose tail carries a '~' are SKIPPED — a
+    committed batch id like "<torn>-part-1" can therefore never be
+    swallowed by its prefix either."""
     jvm = spark.sparkContext._jvm
     removed = 0
     for table in _TABLES:
         fs, _ = _hadoop_fs(spark, f"{path}/{table}")
-        for pat in (
-            f"{path}/{table}/batch-{batch_id}~*",
-            f"{path}/{table}/batch-{batch_id}-part-*",
+        for pat, legacy in (
+            (f"{path}/{table}/batch-{batch_id}~*", False),
+            (f"{path}/{table}/batch-{batch_id}-part-*", True),
         ):
             glob = jvm.org.apache.hadoop.fs.Path(pat)
             for st in fs.globStatus(glob) or []:
+                if legacy and "~" in st.getPath().getName():
+                    continue  # a '~'-scheme file of ANOTHER batch
                 fs.delete(st.getPath(), False)
                 removed += 1
     _delete(spark, f"{path}/_staging/{batch_id}")

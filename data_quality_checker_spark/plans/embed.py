@@ -52,8 +52,10 @@ __all__ = [
     "hashed_doc_vectors",
     "word2vec_doc_vectors",
     "doc_vectors",
+    "exact_text_groups",
     "semantic_dedup_text",
     "ivf_index_from_text",
+    "load_text_index",
     "search_text",
 ]
 
@@ -306,6 +308,32 @@ def doc_vectors(
     )
 
 
+def exact_text_groups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    flags: dict | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(member, rep_of): the exact-text duplicate collapse shared by
+    :func:`semantic_dedup_text` and the pipeline's semantic stage —
+    ``member`` = (_mid, _tk[, *flags]) with _tk = md5 of the
+    (NULL-folded) text, ``rep_of`` = (_tk, _rid[, *<flag>g]) with
+    _rid = the group's min id and each flag min-aggregated (flags are
+    constant within a group — same text — so min is just transport).
+    Only (id, 16-byte md5, flag) tuples shuffle; texts never travel."""
+    flags = flags or {}
+    member = df.select(
+        F.col(id_col).alias("_mid"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_tk"),
+        *[v.alias(k) for k, v in flags.items()],
+    )
+    rep_of = member.groupBy("_tk").agg(
+        F.min("_mid").alias("_rid"),
+        *[F.min(k).alias(f"{k}g") for k in flags],
+    )
+    return member, rep_of
+
+
 def semantic_dedup_text(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -355,11 +383,7 @@ def semantic_dedup_text(
     )
 
     if exact_group:
-        member = df.select(
-            F.col(id_col).alias("_mid"),
-            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_tk"),
-        )
-        rep_of = member.groupBy("_tk").agg(F.min("_mid").alias("_rid"))
+        member, rep_of = exact_text_groups(df, id_col, text_col)
         base = df.join(
             rep_of.select(F.col("_rid").alias(id_col)), id_col,
             "left_semi",
@@ -482,6 +506,46 @@ def ivf_index_from_text(
         "dim": dim,
         "uses_idf": uses_idf,
     }
+    if storage_path is not None:
+        # persist the meta (and the corpus IDF table) next to the
+        # cell layout: the build-once/search-many workflow reopens
+        # the index in a LATER session, exactly where the caller has
+        # lost track of the build parameters — without this the
+        # guards above silently vanish on reload (load_text_index
+        # restores them)
+        spark = df.sparkSession
+        spark.createDataFrame(
+            [(embedder, dim, uses_idf)],
+            "embedder string, dim int, uses_idf boolean",
+        ).write.mode("overwrite").parquet(f"{storage_path}/embed_meta")
+        if idf_tab is not None:
+            idf_tab.write.mode("overwrite").parquet(
+                f"{storage_path}/idf"
+            )
+    return index, idf_tab
+
+
+def load_text_index(spark, storage_path: str):
+    """Reopen a text-built IVF index written by
+    :func:`ivf_index_from_text` with ``storage_path``: restores the
+    cell-partitioned layout (similarity.load_ivf_index), the
+    ``embed_meta`` guard block, and the corpus IDF table. Returns
+    ``(index, idf_table)`` — the same pair the builder returned, so
+    :func:`search_text` keeps its mismatch guards across sessions."""
+    from data_quality_checker_spark.operators.similarity import (
+        load_ivf_index,
+    )
+
+    index = load_ivf_index(spark, storage_path)
+    row = spark.read.parquet(f"{storage_path}/embed_meta").collect()[0]
+    index.embed_meta = {
+        "embedder": row["embedder"],
+        "dim": int(row["dim"]),
+        "uses_idf": bool(row["uses_idf"]),
+    }
+    idf_tab = None
+    if index.embed_meta["uses_idf"]:
+        idf_tab = spark.read.parquet(f"{storage_path}/idf")
     return index, idf_tab
 
 
@@ -530,11 +594,27 @@ def search_text(
                 f"index was built at dim={meta['dim']}, queries at "
                 f"dim={dim}"
             )
-        if meta["uses_idf"] and "idf" not in kw and kw.get("use_idf", True):
+        # the query weighting must match the corpus BOTH ways: an
+        # IDF-weighted query against a raw-TF index is as silently
+        # skewed as the reverse
+        kw.setdefault("use_idf", meta["uses_idf"])
+        if bool(kw["use_idf"]) != bool(meta["uses_idf"]):
             raise ValueError(
-                "index was built with a corpus IDF table; pass the idf "
-                "returned by ivf_index_from_text — embedding queries "
-                "against their own IDF silently skews ranking"
+                f"query use_idf={kw['use_idf']} conflicts with the "
+                f"index build (uses_idf={meta['uses_idf']})"
+            )
+        if meta["uses_idf"]:
+            if "idf" not in kw:
+                raise ValueError(
+                    "index was built with a corpus IDF table; pass the "
+                    "idf returned by ivf_index_from_text / "
+                    "load_text_index — embedding queries against their "
+                    "own IDF silently skews ranking"
+                )
+        elif kw.get("idf") is not None:
+            raise ValueError(
+                "index was built WITHOUT IDF weighting — drop the idf "
+                "argument"
             )
     qvecs = hashed_doc_vectors(
         queries_df, id_col, text_col, dim=dim, **kw

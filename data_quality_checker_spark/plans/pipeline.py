@@ -343,7 +343,10 @@ def with_semantic_dup_verdict(
     from data_quality_checker_spark.operators.semdedup import (
         semantic_dedup_pairs,
     )
-    from data_quality_checker_spark.plans.embed import hashed_doc_vectors
+    from data_quality_checker_spark.plans.embed import (
+        exact_text_groups,
+        hashed_doc_vectors,
+    )
 
     cfg = cfg or PipelineConfig()
     base_keep = (
@@ -351,30 +354,41 @@ def with_semantic_dup_verdict(
         if "keep_final" in scored.columns
         else F.col("keep")
     )
+    # persisted: the survivor sketch set feeds the grouping, the
+    # representative semi-join, and (through them) the embed — texts
+    # materialize once instead of re-running the regex-heavy scoring
+    # DAG per consumer (the repo's persist-when-fanout rule)
     kept = (
         scored.filter(base_keep)
         .select("url", "text")
         .groupBy("url")
         .agg(F.min_by("text", F.md5("text")).alias("text"))
-    )
-    # exact-text grouping: one row per distinct text enters the
+    ).persist()
+    # exact-text grouping (embed.exact_text_groups — the shared
+    # collapse discipline): one row per distinct text enters the
     # vector stages. _z marks token-less groups Catalyst-side (zero
     # vector <=> no tokens for the hashing embedder: IDF smoothing
     # keeps every weight >= 1, so any token makes the vector
     # non-zero) — the expansion below then never has to re-read the
-    # embed subtree after its cache is released.
-    member = kept.select(
+    # embed subtree after its cache is released. member is tiny
+    # (url + 16-byte md5 + bool) and feeds both the rep derivation
+    # and the loser expansion — persisted too.
+    member, rep_of = exact_text_groups(
+        kept,
         "url",
-        F.md5(F.coalesce("text", F.lit(""))).alias("_tk"),
-        (
-            F.size(tokens(F.coalesce(F.col("text"), F.lit("")))) == 0
-        ).alias("_z"),
+        "text",
+        flags={
+            "_z": F.size(
+                tokens(F.coalesce(F.col("text"), F.lit("")))
+            )
+            == 0
+        },
     )
-    rep_of = member.groupBy("_tk").agg(
-        F.min("url").alias("_rep"), F.min("_z").alias("_gz")
-    )
+    # rep_of's plan embeds member's, so the cache covers both (Spark's
+    # cache manager matches plan fragments)
+    member = member.persist()
     reps = kept.join(
-        rep_of.select(F.col("_rep").alias("url")), "url", "left_semi"
+        rep_of.select(F.col("_rid").alias("url")), "url", "left_semi"
     )
     # impl='arrow': numpy dense assembly, bit-identical to the
     # oracle-pinned Catalyst form (test_embed parity) at ~5x the
@@ -408,19 +422,22 @@ def with_semantic_dup_verdict(
     # a loser — unless the group is token-less (never pairs).
     rep_label = rep_of.join(
         clusters.select(
-            F.col("id").alias("_rep"), F.col("cluster_id").alias("_cl")
+            F.col("id").alias("_rid"), F.col("cluster_id").alias("_cl")
         ),
-        "_rep",
+        "_rid",
         "left",
     ).select(
         "_tk",
-        "_gz",
-        F.coalesce("_cl", "_rep").alias("_canon"),
+        "_zg",
+        F.coalesce("_cl", "_rid").alias("_canon"),
     )
     losers = (
         member.join(rep_label, "_tk")
-        .filter(~F.col("_gz") & (F.col("url") != F.col("_canon")))
-        .select("url", F.col("_canon").alias("sem_dup_of"))
+        .filter(~F.col("_zg") & (F.col("_mid") != F.col("_canon")))
+        .select(
+            F.col("_mid").alias("url"),
+            F.col("_canon").alias("sem_dup_of"),
+        )
     )
     out = scored.join(losers, "url", "left").withColumn(
         "keep_final", base_keep & F.col("sem_dup_of").isNull()
@@ -428,11 +445,14 @@ def with_semantic_dup_verdict(
     # clustering ran eagerly (convergence counts execute at call
     # time); the pair stage's arrow path holds no persisted frames of
     # its own, the final label cache is read lazily by `out`. The
-    # embed cache is fully consumed once the edge list materialized
-    # (the loser expansion reads only text-derived flags, never vecs).
+    # embed cache is fully consumed once the edge list materialized;
+    # kept/member still feed the loser expansion `out` reads lazily,
+    # so their caches ride _cached_deps to the caller.
     release_cache(pairs)
     vecs.unpersist()
-    out._cached_deps = getattr(clusters, "_cached_deps", ())
+    out._cached_deps = (kept, member) + tuple(
+        getattr(clusters, "_cached_deps", ())
+    )
     return out
 
 

@@ -216,6 +216,52 @@ def test_search_text_refuses_incompatible_index(spark, docs):
     )
 
 
+def test_text_index_guards_survive_reload(spark, docs, tmp_path):
+    """A storage_path text index reopened in a 'later session' via
+    load_text_index keeps the embed_meta guards and the corpus IDF
+    table — the build-once/search-many workflow is exactly where the
+    caller has lost track of build parameters (round-6 review)."""
+    small = docs.filter("doc_id < 60")
+    path = str(tmp_path / "tix")
+    index, idf = E.ivf_index_from_text(
+        small, dim=16, num_centroids=2, seed=7, storage_path=path
+    )
+    re_idx, re_idf = E.load_text_index(spark, path)
+    assert re_idx.embed_meta == index.embed_meta
+    assert re_idf is not None
+    queries = small.filter("doc_id in (3, 7)").select(
+        (F.col("doc_id") + 500000).alias("query_id"), "text"
+    )
+    hits = E.search_text(
+        re_idx, queries, idf=re_idf, dim=16, k=2, nprobe=2
+    ).filter("rank = 1")
+    assert {r["query_id"] - 500000 for r in hits.collect()} == {
+        r["id"] for r in hits.collect()
+    }
+    with pytest.raises(ValueError, match="dim"):
+        E.search_text(re_idx, queries, idf=re_idf, dim=32, k=2)
+    with pytest.raises(ValueError, match="IDF"):
+        E.search_text(re_idx, queries, dim=16, k=2)
+    # raw-TF index: the query side inherits use_idf=False through the
+    # reloaded meta; an extraneous idf or an explicit use_idf=True
+    # (IDF-weighted queries vs raw corpus) is refused BOTH ways
+    path2 = str(tmp_path / "tix2")
+    raw_idx, raw_idf = E.ivf_index_from_text(
+        small, dim=16, num_centroids=2, seed=7, storage_path=path2,
+        embed_kw={"use_idf": False},
+    )
+    assert raw_idf is None
+    r2, ri2 = E.load_text_index(spark, path2)
+    assert ri2 is None and r2.embed_meta["uses_idf"] is False
+    assert E.search_text(r2, queries, dim=16, k=2).count() > 0
+    with pytest.raises(ValueError, match="WITHOUT IDF"):
+        E.search_text(r2, queries, idf=idf, dim=16, k=2)
+    with pytest.raises(ValueError, match="conflicts"):
+        E.search_text(
+            r2, queries, dim=16, k=2, embed_kw={"use_idf": True}
+        )
+
+
 def test_word2vec_doc_vectors_deterministic(docs):
     small = docs.filter("doc_id < 40")
     a = {

@@ -450,6 +450,31 @@ def test_rollback_never_touches_prefix_extending_batch(
     # the committed 2024-06 batch survived the prefix rollback intact
     assert MI.verify_minhash_index(spark, path) == committed
 
+    # the LEGACY glob (batch-<id>-part-*) must not swallow a
+    # committed '~'-scheme batch whose id extends the torn id with
+    # "-part-" — every '~'-scheme filename carries a '~', which the
+    # legacy match skips. Fresh tree: the torn id must not already
+    # hold a commit marker.
+    path2 = str(tmp_path / "idx_prefix2")
+    shutil.copytree(path0, path2)
+    info2 = MI.append_minhash_index(
+        new, path2, batch_id="2024-06-part-1"
+    )
+    assert info2["n_appended"] > 0
+    committed2 = MI.verify_minhash_index(spark, path2)
+    _minhash_shingle_plan(
+        torn, "doc_id", "text", meta["k_shingle"], meta["shingle_mode"]
+    ).write.mode("overwrite").parquet(
+        f"{path2}/_staging/2024-06/shingles"
+    )
+    MI._touch(spark, f"{path2}/_appends/2024-06.begin")
+    assert (
+        MI._publish_staged_table(spark, path2, "2024-06", "shingles") > 0
+    )
+    repaired2 = MI.repair_minhash_index(spark, path2)
+    assert set(repaired2) == {"2024-06"}
+    assert MI.verify_minhash_index(spark, path2) == committed2
+
 
 def test_property_cross_parity_random_corpora(spark, tmp_path_factory):
     """Hypothesis-randomized corpora (repetitive word soup so near-dup

@@ -8,13 +8,19 @@ hashed TF-IDF vectors are identical, cosine exactly 1.0).
 Measures, per stage:
  - embed wall (tokenize -> md5 buckets -> TF-IDF -> dense assembly ->
    L2 norm; two narrow shuffles) and vectors/s;
- - end-to-end semantic_dedup_text wall and docs/s;
- - planted recall: fraction of the clone urls dropped (each clone
-   pairs with its source at cosine 1.0 >= tau, loses the min-url tie;
-   clones are drawn from TOKEN-BEARING docs only — a token-less text
-   embeds to the zero vector, which SemDeDup's norm guard passes
-   through unpaired by design, so planting those would mis-score the
-   operator. Expect exactly 1.0.);
+ - end-to-end semantic_dedup_text wall and docs/s on the DEFAULT
+   path (exact_group=True — the production timing; note the planted
+   exact clones are collapsed by the text grouping there, BEFORE any
+   vector work);
+ - a second e2e leg with exact_group=False whose planted recall
+   exercises the VECTOR path: each clone must be dropped by the tau
+   pairing itself (identical vector -> same argmax cell -> cosine
+   1.0 >= tau -> loses the min-url tie), so a broken assignment or
+   pair stage reads as recall < 1 here — the grouped leg could never
+   show it. Clones are drawn from TOKEN-BEARING docs only (a
+   token-less text embeds to the zero vector, which the norm guard
+   passes through unpaired by design). Expect exactly 1.0 on BOTH
+   legs;
  - kept count (<= n_docs: the synthetic corpus carries its own
    template-level near-dups, which the run collapses too).
 
@@ -86,7 +92,15 @@ def main() -> None:
     n_vec = vecs.select("doc_id", F.element_at("embedding", 1)).count()
     embed_wall = time.time() - t0
 
-    # stage 2: end to end
+    def _release(df):
+        for dep in getattr(df, "_cached_deps", ()):
+            try:
+                dep.unpersist()
+            except Exception:
+                pass
+
+    # stage 2: end to end, DEFAULT path (production timing; clones
+    # are collapsed by the exact-text grouping before vector work)
     t0 = time.time()
     kept = E.semantic_dedup_text(
         docs, dim=dim, k=k, tau=0.999, keep="min_id", impl="arrow"
@@ -96,11 +110,21 @@ def main() -> None:
     clones_kept = kept.filter(
         F.col("doc_id").endswith("#clone")
     ).count()
-    for dep in getattr(kept, "_cached_deps", ()):
-        try:
-            dep.unpersist()
-        except Exception:
-            pass
+    _release(kept)
+
+    # stage 3: vector-path recall — exact_group=False, so every clone
+    # must be dropped by the tau pairing itself
+    t0 = time.time()
+    kept_u = E.semantic_dedup_text(
+        docs, dim=dim, k=k, tau=0.999, keep="min_id", impl="arrow",
+        exact_group=False,
+    )
+    n_kept_u = kept_u.count()
+    e2e_u_wall = time.time() - t0
+    clones_kept_u = kept_u.filter(
+        F.col("doc_id").endswith("#clone")
+    ).count()
+    _release(kept_u)
     print(
         json.dumps(
             {
@@ -114,8 +138,10 @@ def main() -> None:
                 "e2e_docs_per_s": int(n_total / e2e_wall),
                 "n_kept": n_kept,
                 "clones_kept": clones_kept,
-                "planted_recall": round(
-                    1.0 - clones_kept / n_clones, 4
+                "e2e_ungrouped_wall_s": round(e2e_u_wall, 2),
+                "n_kept_ungrouped": n_kept_u,
+                "vector_path_recall": round(
+                    1.0 - clones_kept_u / n_clones, 4
                 ),
             }
         )
