@@ -4739,13 +4739,17 @@ def q_doc_embed_hashing(spark, sf):
 
     docs = _t(spark, sf, "documents").filter("doc_id < 300")
     vecs = E.hashed_doc_vectors(docs, dim=64)
-    return (
+    out = (
         vecs.select(
             "doc_id", F.posexplode("embedding").alias("bucket", "w")
         )
         .filter(F.col("w") != 0.0)
         .select("doc_id", "bucket", _r6(F.col("w")).alias("weight"))
     )
+    # select() strips the release handle (the embedder's internal TF
+    # cache, round-7); re-attach for the harness
+    out._cached_deps = getattr(vecs, "_cached_deps", ())
+    return out
 
 
 SQL_DOC_EMBED_HASHING = f"""

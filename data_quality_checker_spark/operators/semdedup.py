@@ -97,7 +97,10 @@ _SCORE_DOUBLES = 8_000_000
 
 
 def _assign_cells_arrow(
-    base: DataFrame, centroids: DataFrame, id_type: str
+    base: DataFrame,
+    centroids: DataFrame,
+    id_type: str,
+    with_vec: bool = False,
 ) -> DataFrame:
     """Arrow/numpy assignment: BLAS matmuls per batch against the
     collected k x dim centroid matrix (driver-bounded by k, the same
@@ -116,7 +119,15 @@ def _assign_cells_arrow(
     cell_id, the same tie-break as single-matmul argmax). The k x dim
     centroid matrix itself stays whole (k=10^5 x 64d = 51 MB — fine);
     the relational 'sql' path is O(k) expression terms PER ROW and is
-    the wrong tool past k~10^3 (documented crossover in BENCH.md)."""
+    the wrong tool past k~10^3 (documented crossover in BENCH.md).
+
+    ``with_vec`` additionally emits each surviving row's L2-NORMALIZED
+    vector (``vn``) — free here (the batch already holds Vn for the
+    scoring matmul) and it lets the downstream cell stages consume the
+    assignment directly instead of joining the vectors table back on
+    id (round-7: one whole shuffle join removed from the pair/keep
+    paths; cosines are bit-identical because the pair stage previously
+    recomputed the very same V/||V|| normalization)."""
     rows = centroids.select("cell_id", "centroid").collect()
     cells = np.asarray([r["cell_id"] for r in rows], dtype=np.int64)
     C = np.asarray([r["centroid"] for r in rows], dtype=np.float64)
@@ -126,6 +137,8 @@ def _assign_cells_arrow(
     good = cn > 0
     cells, Cn = cells[good], C[good] / cn[good, None]
     schema = f"id {id_type}, cell_id int, cos_centroid double"
+    if with_vec:
+        schema += ", vn array<double>"
     # bind the budget DRIVER-side into the closure: workers re-import
     # this module, so a bare global read inside gen would see the
     # unpatched default and silently skip chunking under test
@@ -155,15 +168,48 @@ def _assign_cells_arrow(
                 upd = m > best  # strict: first block hit wins ties
                 best[upd] = m[upd]
                 bestj[upd] = j[upd] + s
-            yield pd.DataFrame(
-                {
-                    "id": pdf["id"].values[ok],
-                    "cell_id": cells[bestj].astype("int32"),
-                    "cos_centroid": best,
-                }
-            )
+            out = {
+                "id": pdf["id"].values[ok],
+                "cell_id": cells[bestj].astype("int32"),
+                "cos_centroid": best,
+            }
+            if with_vec:
+                out["vn"] = list(Vn)
+            yield pd.DataFrame(out)
 
     return base.mapInPandas(gen, schema)
+
+
+def _cell_edges(Vn: np.ndarray, tau: float, block: int):
+    """(ea, eb, cos) index triples of the >= tau upper-triangle pairs
+    of the cell's normalized vector matrix, computed in row blocks
+    (block x cell_size doubles bounds peak memory — a 100k-member
+    cell peaks ~800 MB per block, which the cell_sizes() audit exists
+    to catch earlier)."""
+    n = len(Vn)
+    a_out, b_out, c_out = [], [], []
+    for s in range(0, n, block):
+        S = Vn[s : s + block] @ Vn.T
+        rows_idx = np.arange(s, s + S.shape[0])
+        upper = np.arange(n)[None, :] > rows_idx[:, None]
+        ra, cb = np.nonzero((S >= tau) & upper)
+        a_out.append(rows_idx[ra])
+        b_out.append(cb)
+        c_out.append(S[ra, cb])
+    if a_out:
+        return (
+            np.concatenate(a_out),
+            np.concatenate(b_out),
+            np.concatenate(c_out),
+        )
+    z = np.array([], dtype=np.int64)
+    return z, z, np.array([], dtype=np.float64)
+
+
+def _cell_matrix(pdf: pd.DataFrame) -> np.ndarray:
+    return np.asarray(
+        [np.asarray(x, dtype=np.float64) for x in pdf["vn"]]
+    )
 
 
 def _cell_pairs_arrow(
@@ -172,11 +218,13 @@ def _cell_pairs_arrow(
     id_type: str,
     block: int = 1024,
 ) -> DataFrame:
-    """Arrow/numpy within-cell pairs: applyInPandas per cell computes
-    the pairwise cosine matrix in row blocks (block x cell_size
-    doubles bounds peak memory — a 100k-member cell peaks ~800 MB per
-    block, which the cell_sizes() audit exists to catch earlier).
-    ids are sorted so the upper triangle gives id_a < id_b."""
+    """Arrow/numpy within-cell pairs over the with_vec assignment
+    frame (id, cell_id, vn): applyInPandas per cell computes the
+    pairwise cosine matrix in row blocks. ids are sorted so the upper
+    triangle gives id_a < id_b. Vectors arrive ALREADY normalized
+    from _assign_cells_arrow (the exact V/||V|| this stage used to
+    recompute after a join back to the vectors table — same bits,
+    one fewer shuffle join)."""
     schema = (
         f"id_a {id_type}, id_b {id_type}, cell_id int, cosine double"
     )
@@ -184,38 +232,97 @@ def _cell_pairs_arrow(
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id")
         ids = pdf["id"].values
-        V = np.asarray(
-            [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
-        )
-        vn = np.linalg.norm(V, axis=1)
-        ok = vn > 0
-        ids, Vn = ids[ok], V[ok] / vn[ok, None]
-        n = len(ids)
+        Vn = _cell_matrix(pdf)
         cell = int(pdf["cell_id"].iloc[0])
-        a_out, b_out, c_out = [], [], []
-        for s in range(0, n, block):
-            S = Vn[s : s + block] @ Vn.T
-            rows_idx = np.arange(s, s + S.shape[0])
-            upper = np.arange(n)[None, :] > rows_idx[:, None]
-            ra, cb = np.nonzero((S >= tau) & upper)
-            a_out.append(ids[rows_idx[ra]])
-            b_out.append(ids[cb])
-            c_out.append(S[ra, cb])
-        if a_out:
-            a = np.concatenate(a_out)
-            b = np.concatenate(b_out)
-            c = np.concatenate(c_out)
-        else:
-            a, b = ids[:0], ids[:0]
-            c = np.array([], dtype=np.float64)
+        ea, eb, cos = _cell_edges(Vn, tau, block)
         return pd.DataFrame(
             {
-                "id_a": a,
-                "id_b": b,
-                "cell_id": np.full(len(a), cell, dtype=np.int32),
-                "cosine": c,
+                "id_a": ids[ea],
+                "id_b": ids[eb],
+                "cell_id": np.full(len(ea), cell, dtype=np.int32),
+                "cosine": cos,
             }
         )
+
+    return keyed.groupBy("cell_id").applyInPandas(fn, schema)
+
+
+def _min_label_components(n: int, ea: np.ndarray, eb: np.ndarray):
+    """Min-label propagation with pointer jumping over edge index
+    arrays — the numpy twin of dedup.duplicate_clusters' distributed
+    loop, run per cell (pairs are strictly within-cell, so components
+    can never span cells; computing them inside the cell task removes
+    the driver-sequenced propagation rounds entirely). Labels are row
+    INDICES; rows are sorted by id by the caller, so the min index of
+    a component is its min id."""
+    lab = np.arange(n, dtype=np.int64)
+    if not len(ea):
+        return lab
+    src = np.concatenate([ea, eb])
+    dst = np.concatenate([eb, ea])
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, src, lab[dst])
+        new = np.minimum(new, new[new])  # pointer jumping
+        if np.array_equal(new, lab):
+            return lab
+        lab = new
+
+
+def _cell_components_arrow(
+    keyed: DataFrame,
+    tau: float,
+    id_type: str,
+    block: int = 1024,
+    mode: str = "components",
+    keep: str = "low",
+) -> DataFrame:
+    """Fused within-cell pair generation + connected components (+
+    keep rule) in ONE applyInPandas stage over the with_vec
+    assignment frame (id, cell_id, cos_centroid, vn).
+
+    ``mode='components'`` emits (id, cluster_id = min id of the
+    component) for every row that appears in at least one >= tau pair
+    — exactly duplicate_clusters(pairs) rows. ``mode='losers'`` emits
+    the ids semantic_dedup would drop: every component member except
+    the keeper (keep='low': lowest (cos_centroid, id); keep='min_id':
+    the min id = the component label itself). Identical semantics to
+    the pairs -> duplicate_clusters -> members/keepers/losers chain,
+    with zero iterative driver rounds, zero persisted frames and zero
+    extra shuffles (round-7; see OPTIMIZATION_r07.md)."""
+    if mode == "components":
+        schema = f"id {id_type}, cluster_id {id_type}"
+    else:
+        schema = f"id {id_type}"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].values
+        Vn = _cell_matrix(pdf)
+        ea, eb, _ = _cell_edges(Vn, tau, block)
+        lab = _min_label_components(len(ids), ea, eb)
+        mem = np.unique(np.concatenate([ea, eb]))
+        if mode == "components":
+            return pd.DataFrame(
+                {"id": ids[mem], "cluster_id": ids[lab[mem]]}
+            )
+        if keep == "min_id":
+            losers = mem[lab[mem] != mem]
+            return pd.DataFrame({"id": ids[losers]})
+        dfm = pd.DataFrame(
+            {
+                "root": lab[mem],
+                "cos": pdf["cos_centroid"].values[mem],
+                "id": ids[mem],
+            }
+        )
+        # stable sort by (root, cos, id): the first row per root is
+        # the keeper — the same (cos_centroid, id) struct-min the
+        # relational path takes with F.min_by
+        dfm = dfm.sort_values(
+            ["root", "cos", "id"], kind="mergesort"
+        )
+        return pd.DataFrame({"id": dfm[dfm.duplicated("root")]["id"]})
 
     return keyed.groupBy("cell_id").applyInPandas(fn, schema)
 
@@ -422,12 +529,12 @@ def _cell_pairs(
     restricted to same-cell members — the SemDeDup bound. Each row's
     norm is computed ONCE in the keyed projection, so per-pair work
     inside the cell self-join is one dot fold + a divide (a naive
-    cosine per pair costs three folds)."""
+    cosine per pair costs three folds). The arrow branch consumes the
+    with_vec assignment frame directly (``vecs`` unused — the
+    normalized vectors ride the assignment, no join back)."""
     if impl == "arrow":
         return _cell_pairs_arrow(
-            assign.join(vecs, "id").select("id", "cell_id", "v"),
-            tau,
-            id_type,
+            assign.select("id", "cell_id", "vn"), tau, id_type
         )
     keyed = (
         assign.join(vecs, "id")
@@ -481,16 +588,31 @@ def semantic_dedup_pairs(
         raise ValueError("need 0 < tau <= 1")
     if impl not in _IMPLS:
         raise ValueError(f"impl must be one of {_IMPLS}, got {impl!r}")
+    if impl == "arrow" and dim is None:
+        raise ValueError("impl='arrow' requires dim")
     cents = _resolve_centroids(df, id_col, vec_col, k, lloyd_iters, dim)
-    assign = assign_cells(df, cents, id_col, vec_col, dim, impl)
-    if impl == "sql":
-        # persisted: the sql pair stage's a/b self-join would
-        # otherwise run the O(n*k) assignment subtree twice (Spark
-        # does not share common subplans). The arrow pair stage
-        # consumes assign exactly ONCE (groupBy + applyInPandas), so
-        # persisting there is pure overhead. Travels on _cached_deps
-        # for release_cache.
-        assign = assign.persist()
+    if impl == "arrow":
+        # with_vec assignment: normalized vectors ride the mapInPandas
+        # output, the pair stage consumes it ONCE — no persist, no
+        # join back to the vectors table (round-7: one shuffle join
+        # and one cache materialization removed)
+        assign = _assign_cells_arrow(
+            _clean(df, id_col, vec_col, dim),
+            cents,
+            _id_type(df, id_col),
+            with_vec=True,
+        )
+        out = _cell_pairs_arrow(
+            assign.select("id", "cell_id", "vn"),
+            tau,
+            _id_type(df, id_col),
+        )
+        out._cached_deps = ()
+        return out
+    # persisted: the sql pair stage's a/b self-join would otherwise
+    # run the O(n*k) assignment subtree twice (Spark does not share
+    # common subplans). Travels on _cached_deps for release_cache.
+    assign = assign_cells(df, cents, id_col, vec_col, dim, impl).persist()
     out = _cell_pairs(
         assign,
         _clean(df, id_col, vec_col, dim),
@@ -498,7 +620,7 @@ def semantic_dedup_pairs(
         impl,
         _id_type(df, id_col),
     )
-    out._cached_deps = (assign,) if impl == "sql" else ()
+    out._cached_deps = (assign,)
     return out
 
 
@@ -529,7 +651,38 @@ def semantic_dedup(
         raise ValueError(f"keep must be 'low' or 'min_id', got {keep!r}")
     if impl not in _IMPLS:
         raise ValueError(f"impl must be one of {_IMPLS}, got {impl!r}")
+    if impl == "arrow" and dim is None:
+        raise ValueError("impl='arrow' requires dim")
     cents = _resolve_centroids(df, id_col, vec_col, k, lloyd_iters, dim)
+    if impl == "arrow":
+        # FUSED scale path (round-7): pairs are strictly within-cell
+        # (assignment is argmax — one cell per id), so the connected
+        # components and the keep rule both live inside the cell task.
+        # One mapInPandas (assignment, normalized vectors riding
+        # along) -> one applyInPandas (pairs + components + keeper
+        # per component, emitting loser ids only) -> one anti-join.
+        # Replaces: assignment persist + vectors join + pair stage +
+        # the iterative duplicate_clusters driver loop (localCheckpoint
+        # + convergence count per round) + members/keepers/losers
+        # joins. Identical keep set: same cosines (bit-identical
+        # normalization), same components (min-label propagation twin),
+        # same (cos_centroid, id) struct-min keeper.
+        assign_v = _assign_cells_arrow(
+            _clean(df, id_col, vec_col, dim),
+            cents,
+            _id_type(df, id_col),
+            with_vec=True,
+        )
+        losers = _cell_components_arrow(
+            assign_v,
+            tau,
+            _id_type(df, id_col),
+            mode="losers",
+            keep=keep,
+        ).withColumnRenamed("id", id_col)
+        out = df.join(losers, id_col, "left_anti")
+        out._cached_deps = ()
+        return out
     # persisted: the assignment subtree is consumed FOUR times here —
     # the pair stage's a/b self-join, the members join, and (through
     # members) the keepers aggregate; without the persist each

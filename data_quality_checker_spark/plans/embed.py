@@ -180,7 +180,19 @@ def hashed_doc_vectors(
     'arrow': identical tokenize/TF/IDF stages, numpy scatter +
     sequential-order normalize for the dense assembly — bit-identical
     output (pinned by test), ~5x the assembly rate; the scale path
-    semantic_dedup_text forwards to."""
+    semantic_dedup_text forwards to.
+
+    When the IDF table is computed internally (``use_idf`` and no
+    ``idf`` passed), the TF aggregate is persisted and BOTH IDF inputs
+    are derived from it — its rows are exactly the distinct
+    (id, bucket) presence pairs hashing_idf built from a second full
+    tokenize pass, and the doc count is a distinct-id count over the
+    same cache. One corpus tokenize pass instead of three (round-7;
+    values identical: same integer counts feed the same smoothing
+    formula). The cache rides the returned frame's ``_cached_deps`` —
+    call dedup.release_cache (or unpersist the dep) once consumed;
+    composing wrappers (semantic_dedup_text, the pipeline semantic
+    stage) already do."""
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
     if impl not in ("sql", "arrow"):
@@ -190,10 +202,41 @@ def hashed_doc_vectors(
         .groupBy("id", "bucket")
         .agg(F.count("*").cast("double").alias("w"))
     )
+    cached: tuple = ()
     if use_idf:
-        idf_tab = idf if idf is not None else hashing_idf(
-            df, id_col, text_col, dim
-        )
+        if idf is not None:
+            idf_tab = idf
+        else:
+            # one tokenize pass: TF rows ARE the distinct (id, bucket)
+            # pairs, so document frequency and the doc count both come
+            # from the cached aggregate instead of re-tokenizing. The
+            # doc count rides as a 1-row cross join rather than a
+            # driver .count() round-trip — the whole embed stays one
+            # lazy DAG ((n+1) as a double is exact for any count below
+            # 2^53, so the smoothing math is bit-identical to the
+            # scalar form the oracle pins).
+            tf = tf.persist()
+            cached = (tf,)
+            n_row = (
+                tf.select("id")
+                .distinct()
+                .agg(F.count("*").alias("_n"))
+            )
+            idf_tab = (
+                tf.groupBy("bucket")
+                .agg(F.count("*").alias("_dfb"))
+                .crossJoin(F.broadcast(n_row))
+                .select(
+                    "bucket",
+                    (
+                        F.log(
+                            (F.col("_n") + F.lit(1)).cast("double")
+                            / (F.col("_dfb") + F.lit(1.0))
+                        )
+                        + F.lit(1.0)
+                    ).alias("idf"),
+                )
+            )
         # <= dim rows: always broadcastable
         tf = tf.join(F.broadcast(idf_tab), "bucket", "left").select(
             "id",
@@ -237,7 +280,7 @@ def hashed_doc_vectors(
                 .alias("v"),
             )
     zero = F.array_repeat(F.lit(0.0), dim)
-    return (
+    out = (
         df.select(F.col(id_col).alias("id"))
         .join(vecs, "id", "left")
         .select(
@@ -245,6 +288,8 @@ def hashed_doc_vectors(
             F.coalesce(F.col("v"), zero).alias(vec_col),
         )
     )
+    out._cached_deps = cached
+    return out
 
 
 def word2vec_doc_vectors(
@@ -441,9 +486,14 @@ def semantic_dedup_text(
     # zero representatives twice without a distinct
     out = df.join(keep_ids, id_col, "left_semi")
     # projections drop the attribute — re-attach so the caller's
-    # dedup.release_cache(out) frees the embed persist + assignment
-    # persist + clustering checkpoint (the _cached_deps contract)
-    out._cached_deps = (vecs,) + tuple(getattr(kept, "_cached_deps", ()))
+    # dedup.release_cache(out) frees the embed persist (+ its internal
+    # TF cache) and any dedup-side caches (the _cached_deps contract;
+    # the fused arrow path holds none of its own)
+    out._cached_deps = (
+        (vecs,)
+        + tuple(getattr(vecs, "_cached_deps", ()))
+        + tuple(getattr(kept, "_cached_deps", ()))
+    )
     return out
 
 

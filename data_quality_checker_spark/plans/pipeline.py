@@ -449,6 +449,7 @@ def with_semantic_dup_verdict(
     # kept/member still feed the loser expansion `out` reads lazily,
     # so their caches ride _cached_deps to the caller.
     release_cache(pairs)
+    release_cache(vecs)  # the embed persist + its internal TF cache
     vecs.unpersist()
     out._cached_deps = (kept, member) + tuple(
         getattr(clusters, "_cached_deps", ())
