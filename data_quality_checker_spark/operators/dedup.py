@@ -422,12 +422,19 @@ def near_duplicates_minhash(
     # _minhash_signature_plan / _minhash_band_key_array — shared with
     # the incremental index (operators/minhash_index.py) so batch and
     # index sketches can never drift
+    from data_quality_checker_spark.tuning import adaptive_coalesce
+
     shingled = _minhash_shingle_plan(
         df, id_col, text_col, k_shingle, shingle_mode
     )
     base = materialize(shingled, "shingles")
-    sig_plan = _minhash_signature_plan(
-        base, num_hashes, shingle_mode, one_permutation
+    # reduce-side width derived from the corpus size (tuning module):
+    # identity at cluster scale, collapses tiny reduce stages locally
+    sig_plan = adaptive_coalesce(
+        _minhash_signature_plan(
+            base, num_hashes, shingle_mode, one_permutation
+        ),
+        df,
     )
     # tiny (num_hashes longs per doc); joined twice
     sig = materialize(sig_plan, "signatures")
@@ -437,14 +444,15 @@ def near_duplicates_minhash(
             _minhash_band_key_array(num_bands, rows_per_band)
         ).alias("bk"),
     )
-    cands = (
+    cands = adaptive_coalesce(
         exploded.alias("a")
         .join(exploded.alias("b"), "bk")
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
         )
-        .distinct()
+        .distinct(),
+        df,
     )
     if prefilter_margin is not None and threshold - prefilter_margin > 0:
         est_bar = threshold - prefilter_margin
@@ -497,19 +505,27 @@ def simhash64_agg(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
     )
     hashed = tok.select("id", F.xxhash64("t").alias("h"))
+    # sum the raw bit (0/1) plus one shared token count instead of a
+    # (2*bit - 1) per-row rescale in every one of the 64 aggregates:
+    # bit vote positive <=> ones*2 > n, the identical boolean
+    # (ones - (n - ones) > 0). Round-7: the per-row arithmetic was
+    # ~20% of the aggregate stage (0.83 s -> 0.68 s on the sf0.1
+    # sketch), and the shuffle row shrinks by nothing (65 vs 64
+    # longs) — same map-side combine shape.
     votes = hashed.groupBy("id").agg(
         *[
-            F.sum(
-                (F.getbit(F.col("h"), F.lit(i)) * 2 - 1).cast("long")
-            ).alias(f"b{i}")
+            F.sum(F.getbit(F.col("h"), F.lit(i)).cast("long")).alias(
+                f"b{i}"
+            )
             for i in range(64)
-        ]
+        ],
+        F.count(F.lit(1)).alias("_n"),
     )
     pow2 = [1 << i for i in range(63)] + [-(1 << 63)]
     packed = None
     for i in range(64):
         term = F.when(
-            F.col(f"b{i}") > 0, F.lit(pow2[i]).cast("long")
+            F.col(f"b{i}") * 2 > F.col("_n"), F.lit(pow2[i]).cast("long")
         ).otherwise(F.lit(0).cast("long"))
         packed = term if packed is None else packed + term
     return votes.select("id", packed.alias("sh"))
@@ -536,7 +552,12 @@ def near_duplicates_simhash(
     :func:`release_cache` on the result once consumed; pass
     ``persist=False`` for bounded one-shot gates (the oracle-entry
     convention, matching near_duplicates_minhash's storage contract)."""
-    base = simhash64_agg(df, id_col, text_col)
+    from data_quality_checker_spark.tuning import adaptive_coalesce
+
+    # reduce-side width derived from the corpus size (tuning module):
+    # identity at cluster scale, collapses the 256-task sketch/distinct
+    # stages to the core count on small inputs
+    base = adaptive_coalesce(simhash64_agg(df, id_col, text_col), df)
     cached: tuple[DataFrame, ...] = ()
     if persist:
         base = base.persist()
@@ -558,25 +579,28 @@ def near_duplicates_simhash(
             )
         ).alias("c"),
     ).select("id", "sh", "c.ci", "c.cv")
-    cands = (
+    # hamming computed AT the join and filtered BEFORE the distinct
+    # (round-7): a pair can collide in up to 4 chunks, and the
+    # pre-filter means the distinct exchange carries only matching
+    # pairs (3 narrow columns) instead of every candidate with both
+    # 8-byte sketches. distinct-of-filtered == filter-of-distinct for
+    # a deterministic function of the pair, so the output is
+    # unchanged.
+    out = (
         chunks.alias("a")
         .join(chunks.alias("b"), ["ci", "cv"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
+            F.bit_count(
+                F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+            ).alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    out = cands.select(
-        "id_a",
-        "id_b",
-        F.bit_count(
-            F.col("sh_a").bitwiseXOR(F.col("sh_b"))
-        ).alias("hamming"),
-    ).filter(F.col("hamming") <= max_hamming)
+    out = adaptive_coalesce(out, df)
     out._cached_deps = cached  # for release_cache()
     return out
 
@@ -731,12 +755,17 @@ def duplicate_clusters(
     changed count hits zero; if a component still hasn't converged
     the labels would be WRONG, so non-convergence raises rather than
     silently returning split clusters."""
+    from data_quality_checker_spark.tuning import adaptive_coalesce
+
     e = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
-    edges = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist()
+    edges = adaptive_coalesce(
+        e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct(),
+        pairs,
+    ).persist()
     # persisted: every propagation hop joins edges again; without the
     # persist each iteration re-executes the ENTIRE upstream pairs DAG
     # (the MinHash candidate+verify pipeline when called from
@@ -755,8 +784,9 @@ def duplicate_clusters(
         return df._jdf.queryExecution().analyzed().rdd().id()
 
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
+        adaptive_coalesce(
+            edges.select(F.col("src").alias("id")).distinct(), pairs
+        )
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
@@ -776,6 +806,11 @@ def duplicate_clusters(
             F.least(
                 F.col("label"), F.coalesce("_nl", F.col("label"))
             ).alias("label"),
+            # the ROUND-START label: the convergence check must
+            # compare against this, not the hopped value — a round
+            # whose hop changed labels has not converged even if the
+            # compression step agrees with the hop
+            F.col("label").alias("_prev"),
         ).persist()
         # persisted: the pointer-jumping compression below self-joins
         # `hopped`, so without this each round executes the edges-join
@@ -786,7 +821,13 @@ def duplicate_clusters(
         # component and only ever decreases toward its min; each
         # compression halves the remaining chain depth (O(log
         # diameter) rounds total instead of O(diameter)).
-        new_labels = (
+        # The PREVIOUS label rides along as _prev so the convergence
+        # check below is a narrow scan of the fresh checkpoint instead
+        # of a join back to the superseded one (round-7: one shuffle
+        # join fewer per round), and the checkpointed frame is
+        # coalesced to the adaptive width (round jobs ran one task per
+        # session shuffle partition before).
+        new_labels = adaptive_coalesce(
             hopped.alias("x")
             .join(
                 hopped.select(
@@ -801,22 +842,20 @@ def duplicate_clusters(
                 F.least(
                     F.col("label"), F.coalesce("_ll", F.col("label"))
                 ).alias("label"),
-            )
-            .localCheckpoint()
-        )
+                "_prev",
+            ),
+            pairs,
+        ).localCheckpoint()
         hopped.unpersist()
-        changed = (
-            new_labels.withColumnRenamed("label", "_new")
-            .join(labels, "id")
-            .filter(F.col("_new") != F.col("label"))
-            .count()
-        )
+        changed = new_labels.filter(
+            F.col("label") != F.col("_prev")
+        ).count()
         # the eager checkpoint materialized new_labels and the changed
         # count was the last reader of the superseded round — free its
         # checkpoint storage now instead of leaking one per round
         _CheckpointHandle(sc, cur_ids).unpersist()
         cur_ids = {_ckpt_id(new_labels)}
-        labels = new_labels
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     # the final labels are checkpoint-materialized, so the edge cache

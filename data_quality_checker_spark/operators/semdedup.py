@@ -244,7 +244,21 @@ def _cell_pairs_arrow(
             }
         )
 
-    return keyed.groupBy("cell_id").applyInPandas(fn, schema)
+    return _cell_grouped(keyed).applyInPandas(fn, schema)
+
+
+def _cell_grouped(keyed: DataFrame):
+    """groupBy(cell_id) over a cell_id repartition whose width is
+    derived from the input size (tuning module): the explicit
+    repartition satisfies the groupBy's required distribution, so the
+    plan still has exactly ONE exchange, but its reduce side — and
+    therefore the number of Python-worker tasks the applyInPandas
+    stage launches — scales with the data instead of the session's
+    fixed shuffle-partition constant (identity at cluster scale)."""
+    from data_quality_checker_spark.tuning import scaled_partitions
+
+    n = scaled_partitions(keyed)
+    return keyed.repartition(n, "cell_id").groupBy("cell_id")
 
 
 def _min_label_components(n: int, ea: np.ndarray, eb: np.ndarray):
@@ -324,7 +338,7 @@ def _cell_components_arrow(
         )
         return pd.DataFrame({"id": dfm[dfm.duplicated("root")]["id"]})
 
-    return keyed.groupBy("cell_id").applyInPandas(fn, schema)
+    return _cell_grouped(keyed).applyInPandas(fn, schema)
 
 
 def _clean(

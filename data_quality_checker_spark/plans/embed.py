@@ -197,10 +197,16 @@ def hashed_doc_vectors(
         raise ValueError(f"dim must be >= 1, got {dim}")
     if impl not in ("sql", "arrow"):
         raise ValueError(f"impl must be 'sql' or 'arrow', got {impl!r}")
-    tf = (
+    from data_quality_checker_spark.tuning import adaptive_coalesce
+
+    # reduce widths derived from the corpus size (tuning module):
+    # identity at cluster scale, collapses the tiny TF/assembly reduce
+    # stages (and their Python-worker task counts) locally
+    tf = adaptive_coalesce(
         _token_buckets(df, id_col, text_col, dim)
         .groupBy("id", "bucket")
-        .agg(F.count("*").cast("double").alias("w"))
+        .agg(F.count("*").cast("double").alias("w")),
+        df,
     )
     cached: tuple = ()
     if use_idf:
@@ -243,8 +249,13 @@ def hashed_doc_vectors(
             "bucket",
             (F.col("w") * F.coalesce(F.col("idf"), F.lit(1.0))).alias("w"),
         )
-    entries = tf.groupBy("id").agg(
-        F.collect_list(F.struct(F.col("bucket"), F.col("w"))).alias("e")
+    entries = adaptive_coalesce(
+        tf.groupBy("id").agg(
+            F.collect_list(F.struct(F.col("bucket"), F.col("w"))).alias(
+                "e"
+            )
+        ),
+        df,
     )
     if impl == "arrow":
         # aligned (buckets, weights) arrays split from ONE
