@@ -211,13 +211,19 @@ def contamination_report(
             _ngram_key(F.col("_ng"), key_mode).alias("ng_key"),
         )
     )
-    counted = (
+    from data_quality_checker_spark.tuning import adaptive_coalesce
+
+    # reduce width derived from corpus size (tuning module): the
+    # one-row-per-doc aggregate needs nothing like a full-width
+    # reduce stage on small inputs; identity at scale
+    counted = adaptive_coalesce(
         exploded.join(F.broadcast(ev) if broadcast else ev, "ng_key", "left")
         .groupBy(id_col)
         .agg(
             F.max("_n_ngrams").alias("n_ngrams"),
             F.count("_hit").alias("hit_ngrams"),
-        )
+        ),
+        docs,
     )
     return counted.select(
         id_col,

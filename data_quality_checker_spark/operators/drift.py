@@ -49,7 +49,7 @@ def prefix_sums(
     df: DataFrame,
     order_col: str,
     sum_cols: list[str],
-    partitions: int = 32,
+    partitions: int | None = None,
     persist: bool = True,
 ) -> DataFrame:
     """Exact global running sums of ``sum_cols`` in ``order_col`` order,
@@ -77,6 +77,14 @@ def prefix_sums(
     ks_uniformity propagate the handle on their one-row outputs). Pass
     ``persist=False`` if the caller already checkpointed ``df``.
     """
+    if partitions is None:
+        # scale-adaptive bucket count (tuning module, round-7): the
+        # old constant 32 was tuned for local mode — on a cluster it
+        # would bottleneck the cumulative pass at 32 tasks, and the
+        # reverse constant would bury a small input in empty buckets
+        from data_quality_checker_spark.tuning import scaled_partitions
+
+        partitions = scaled_partitions(df)
     # deterministic bucket boundaries: Greenwald-Khanna is a
     # deterministic streaming algorithm, so both downstream jobs see
     # identical bucket ids for every row
@@ -164,19 +172,22 @@ def ks_two_sample(
     df: DataFrame,
     value_col: str,
     in_current: Column,
-    partitions: int = 32,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Two-sample KS drift test (stat_analyzer.py:48-52): baseline =
     rows where ``in_current`` is false, current = rows where true.
     Returns one row (d, n_baseline, n_current, p_value); D is the max
     absolute ECDF gap, exact (not binned)."""
-    g = (
+    from data_quality_checker_spark.tuning import adaptive_coalesce
+
+    g = adaptive_coalesce(
         df.filter(F.col(value_col).isNotNull())
         .groupBy(value_col)
         .agg(
             F.sum(F.when(in_current, 1).otherwise(0)).alias("_cur"),
             F.sum(F.when(in_current, 0).otherwise(1)).alias("_base"),
-        )
+        ),
+        df,
     ).persist()  # consumed 3x: quantile probe, bucketing, totals
     cum = prefix_sums(g, value_col, ["_cur", "_base"], partitions)
     totals = g.agg(
@@ -213,17 +224,20 @@ def ks_two_sample(
 
 
 def ks_uniformity(
-    df: DataFrame, value_col: str, partitions: int = 32
+    df: DataFrame, value_col: str, partitions: int | None = None
 ) -> DataFrame:
     """One-sample KS of a numeric column against the uniform
     distribution on [min, max] (stat_analyzer.py:255-299 numeric
     branch: min-max scale, kstest(..., 'uniform')). Returns one row
     (d, n, p_value). D accounts for both ECDF sides at each jump:
     max(ECDF_hi - F(v), F(v) - ECDF_lo)."""
-    g = (
+    from data_quality_checker_spark.tuning import adaptive_coalesce
+
+    g = adaptive_coalesce(
         df.filter(F.col(value_col).isNotNull())
         .groupBy(value_col)
-        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .agg(F.count(F.lit(1)).alias("_cnt")),
+        df,
     ).persist()  # consumed 3x: quantile probe, bucketing, totals
     cum = prefix_sums(g, value_col, ["_cnt"], partitions)
     totals = g.agg(

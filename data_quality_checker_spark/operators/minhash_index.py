@@ -687,11 +687,16 @@ def query_minhash_index(
     spark = new_df.sparkSession
     meta = read_minhash_index_meta(spark, path)
     _check_id_type(new_df, id_col, meta)
+    from data_quality_checker_spark.tuning import adaptive_coalesce
+
     base, _sig, bands = _sketch(
         new_df, id_col, text_col, meta["k_shingle"], meta["num_hashes"],
         meta["num_bands"], meta["shingle_mode"], meta["one_permutation"],
         meta["hash_family"],
     )
+    # reduce widths derived from the batch size (tuning module):
+    # identity at scale, core-count reduce stages for small batches
+    bands = adaptive_coalesce(bands, new_df)
     cached: list[DataFrame] = []
     if persist:
         base, bands = base.persist(), bands.persist()
@@ -703,7 +708,7 @@ def query_minhash_index(
     idx_bands = spark.read.parquet(f"{path}/bands")
     idx_sh = spark.read.parquet(f"{path}/shingles")
 
-    cand = (
+    cand = adaptive_coalesce(
         idx_bands.alias("i")
         .join(nb.alias("n"), "bk")
         .filter(F.col("i.id") != F.col("n.id"))
@@ -711,7 +716,8 @@ def query_minhash_index(
             F.col("i.id").alias("id_index"),
             F.col("n.id").alias("id_new"),
         )
-        .distinct()
+        .distinct(),
+        new_df,
     )
     cross = (
         cand.join(
@@ -733,7 +739,7 @@ def query_minhash_index(
     )
     out = cross
     if include_within_batch:
-        wcand = (
+        wcand = adaptive_coalesce(
             new_bands.alias("a")
             .join(new_bands.alias("b"), "bk")
             .filter(F.col("a.id") < F.col("b.id"))
@@ -741,7 +747,8 @@ def query_minhash_index(
                 F.col("a.id").alias("id_index"),
                 F.col("b.id").alias("id_new"),
             )
-            .distinct()
+            .distinct(),
+            new_df,
         )
         within = (
             wcand.join(

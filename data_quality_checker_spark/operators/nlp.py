@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_quality_checker_spark.tuning import adaptive_coalesce
 from data_quality_checker_spark.functions.text import (
     lines,
     tokens,
@@ -62,6 +63,9 @@ def top_ngrams(
         .select(F.explode(word_ngrams(F.col("_tk"), n)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n"))
+        # reduce width derived from input size (tuning module):
+        # identity at scale, core-count tasks locally
+        .transform(lambda d: adaptive_coalesce(d, df))
         .orderBy(F.desc("n"), "ngram")
         .limit(top_k)
     )
@@ -75,6 +79,7 @@ def word_frequencies(
         _tok(df, text_col)
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
+        .transform(lambda d: adaptive_coalesce(d, df))
         .orderBy(F.desc("n"), "token")
         .limit(top_k)
     )
@@ -89,6 +94,7 @@ def redundant_tokens(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
+        .transform(lambda d: adaptive_coalesce(d, df))
     )
 
 
@@ -122,6 +128,7 @@ def sentence_length_distribution(
         )
         .groupBy("sentence_words")
         .agg(F.count(F.lit(1)).alias("n"))
+        .transform(lambda d: adaptive_coalesce(d, df))
     )
 
 
@@ -194,9 +201,14 @@ def tfidf_top_terms(
     tok = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("term")
     )
-    tf = tok.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
-    docfreq = tok.distinct().groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
+    tf = adaptive_coalesce(
+        tok.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf")), df
+    )
+    docfreq = adaptive_coalesce(
+        tok.distinct().groupBy("term").agg(
+            F.count(F.lit(1)).alias("df")
+        ),
+        df,
     )
     scored = tf.join(docfreq, "term").select(
         "doc",
@@ -211,9 +223,15 @@ def tfidf_top_terms(
             )
         ).alias("tfidf"),
     )
+    from data_quality_checker_spark.tuning import scaled_partitions
+
     w = Window.partitionBy("doc").orderBy(F.desc("tfidf"), "term")
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= top_k
+    # the explicit doc-repartition satisfies the window's required
+    # distribution at the adaptive width — still exactly one exchange
+    return (
+        scored.repartition(scaled_partitions(df), "doc")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
     )
 
 

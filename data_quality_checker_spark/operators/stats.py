@@ -240,15 +240,22 @@ def psi(
     width = (hi - lo) / bins
 
     def bucketed(df: DataFrame) -> dict[int, int]:
+        from data_quality_checker_spark.tuning import adaptive_coalesce
+
         rows = (
-            df.select(
-                F.least(
-                    F.lit(bins - 1),
-                    F.floor((F.col(column) - F.lit(lo)) / F.lit(width)),
-                ).alias("b")
+            adaptive_coalesce(
+                df.select(
+                    F.least(
+                        F.lit(bins - 1),
+                        F.floor(
+                            (F.col(column) - F.lit(lo)) / F.lit(width)
+                        ),
+                    ).alias("b")
+                )
+                .groupBy("b")
+                .count(),
+                df,
             )
-            .groupBy("b")
-            .count()
             .collect()
         )
         return {r["b"]: r["count"] for r in rows}
