@@ -146,10 +146,18 @@ select
 
 
 def q_order_line_histogram(spark, sf):
+    from data_quality_checker_spark.tuning import adaptive_coalesce
+
     li = _t(spark, sf, "lineitem")
+    # per-order aggregate coalesced to the scale-derived width before
+    # the tiny histogram re-aggregation (round-7; identity at scale)
     return (
-        li.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_lines"))
+        adaptive_coalesce(
+            li.groupBy("l_orderkey").agg(
+                F.count(F.lit(1)).alias("n_lines")
+            ),
+            li,
+        )
         .groupBy("n_lines")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
@@ -665,7 +673,12 @@ from d where dv is not null
 
 
 def q_sessionization(spark, sf):
+    from data_quality_checker_spark.tuning import scaled_partitions
+
     ev = _t(spark, sf, "events")
+    # pre-partition by user_id at the scale-derived width: the window
+    # AND the following groupBy both reuse it (one exchange total)
+    ev = ev.repartition(scaled_partitions(ev), "user_id")
     w = Window.partitionBy("user_id").orderBy("ts")
     gapped = ev.withColumn(
         "new_session",
@@ -1131,10 +1144,13 @@ def q_langid_counts(spark, sf):
             (F.col(f"_s_{lang}") > 0) & (F.col(f"_s_{lang}") == best),
             F.lit(lang),
         ).otherwise(lang_expr)
-    return (
+    from data_quality_checker_spark.tuning import adaptive_coalesce
+
+    return adaptive_coalesce(
         scored.select(lang_expr.alias("lang_detected"))
         .groupBy("lang_detected")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).alias("n")),
+        docs,
     )
 
 
@@ -1939,9 +1955,14 @@ from t
 
 def q_tfidf_top1(spark, sf):
     docs = _t(spark, sf, "documents").filter("doc_id < 200")
-    return N.tfidf_top_terms(docs, top_k=1).select(
+    scored = N.tfidf_top_terms(docs, top_k=1)
+    out = scored.select(
         "doc", "term", _r6(F.col("tfidf")).alias("tfidf")
     )
+    # select() strips the release handle (the operator's TF cache,
+    # round-7); re-attach for the harness
+    out._cached_deps = getattr(scored, "_cached_deps", ())
+    return out
 
 
 SQL_TFIDF = f"""

@@ -201,14 +201,16 @@ def tfidf_top_terms(
     tok = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("term")
     )
+    # TF rows ARE the distinct (doc, term) pairs, so document
+    # frequency is an aggregate of the (persisted) TF table — the
+    # corpus is tokenized once, not twice, and the explode+distinct
+    # shuffle disappears (round-7; same trick as the embed IDF).
+    # The cache handle rides _cached_deps (release_cache contract).
     tf = adaptive_coalesce(
         tok.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf")), df
-    )
-    docfreq = adaptive_coalesce(
-        tok.distinct().groupBy("term").agg(
-            F.count(F.lit(1)).alias("df")
-        ),
-        df,
+    ).persist()
+    docfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
     )
     scored = tf.join(docfreq, "term").select(
         "doc",
@@ -228,11 +230,13 @@ def tfidf_top_terms(
     w = Window.partitionBy("doc").orderBy(F.desc("tfidf"), "term")
     # the explicit doc-repartition satisfies the window's required
     # distribution at the adaptive width — still exactly one exchange
-    return (
+    out = (
         scored.repartition(scaled_partitions(df), "doc")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
     )
+    out._cached_deps = (tf,)
+    return out
 
 
 def lda_topics(

@@ -59,11 +59,17 @@ def topk_bruteforce(
             cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
         )
     )
+    from data_quality_checker_spark.tuning import scaled_partitions
+
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("id")
     )
+    # pre-partition by query_id at the scale-derived width (tuning
+    # module): the rank window reuses the distribution — still one
+    # exchange, sized by the data instead of the session constant
     return (
         scored.filter(F.col("cosine").isNotNull())
+        .repartition(scaled_partitions(corpus), "query_id")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
@@ -121,11 +127,17 @@ def topk_lsh(
         .groupBy("query_id", "id")
         .agg(F.max("cosine").alias("cosine"))
     )
+    from data_quality_checker_spark.tuning import scaled_partitions
+
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("id")
     )
+    # pre-partition by query_id at the scale-derived width (tuning
+    # module): the rank window reuses the distribution — still one
+    # exchange, sized by the data instead of the session constant
     return (
         scored.filter(F.col("cosine").isNotNull())
+        .repartition(scaled_partitions(corpus), "query_id")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

@@ -91,7 +91,14 @@ def spelling_suggestions(
     ``operators.dedup.release_cache`` on the result when done (same
     contract as the MinHash operators).
     """
-    freqs = token_frequencies(df, text_col)
+    from data_quality_checker_spark.tuning import (
+        adaptive_coalesce,
+        scaled_partitions,
+    )
+
+    # reduce widths derived from the corpus size (tuning module):
+    # identity at scale, core-count reduce stages locally
+    freqs = adaptive_coalesce(token_frequencies(df, text_col), df)
     cached: tuple = ()
     if vocab is None:
         freqs = freqs.persist()
@@ -120,9 +127,12 @@ def spelling_suggestions(
         F.explode(_deletes(F.col("vword"), max_token_len)).alias("dk"),
     )
     cands = (
-        s_keys.join(v_keys, "dk")
-        .drop("dk")
-        .distinct()  # same pair can meet on several delete keys
+        adaptive_coalesce(
+            s_keys.join(v_keys, "dk")
+            .drop("dk")
+            .distinct(),  # same pair can meet on several delete keys
+            df,
+        )
         .withColumn("distance", F.levenshtein("token", "vword"))
         .filter(F.col("distance") <= 2)
     )
@@ -130,7 +140,8 @@ def spelling_suggestions(
         "distance", F.col("vfreq").desc(), F.col("vword")
     )
     out = (
-        cands.withColumn("_rn", F.row_number().over(w))
+        cands.repartition(scaled_partitions(df), "token")
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(
             "token",

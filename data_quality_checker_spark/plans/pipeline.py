@@ -155,6 +155,15 @@ def score_pages(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
                 F.col("warc_ts").desc(),
                 F.xxhash64("text", "lang"),
             )
+            # pre-partition by url at the scale-derived width: the
+            # window reuses the distribution (still ONE exchange), but
+            # its task count tracks the input size instead of the
+            # session constant (tuning module; identity at scale)
+            from data_quality_checker_spark.tuning import (
+                scaled_partitions,
+            )
+
+            out = out.repartition(scaled_partitions(out), "url")
         out = (
             out.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)

