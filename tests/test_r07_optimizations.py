@@ -1,0 +1,179 @@
+"""Round-7 optimization pins: every rewrite that changed an operator's
+internals keeps a value-equivalence test here, so a later regression
+in the optimized form is caught against the straightforward form it
+replaced."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_checker_spark.functions.wordlists import (
+    LANGS,
+    STOPWORDS,
+    TOXIC_WORDS,
+)
+from data_quality_checker_spark.plans.rules import (
+    lang_argmax_expr,
+    word_alt_pattern,
+)
+
+
+def _flat_pattern(words):
+    return (
+        r"(?:^|\s)(?:"
+        + "|".join(re.escape(w) for w in words)
+        + r")(?=\s|$)"
+    )
+
+
+TEXTS = [
+    "the quick brown fox and the lazy dog",
+    "el rapido zorro y el perro",
+    "a an and as at ta aan ands themm",
+    "der und die das nicht sie",
+    "  the   the\tthe\nthe  ",
+    "",
+    None,
+    "zai shang xia de le wo men hao",
+    "toxic_slur_a word toxic_slur_ab",
+    "une le la les et ou de dans",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+
+
+def test_trie_pattern_counts_match_flat_alternation(docs):
+    """The trie-structured word_alt_pattern must produce the same
+    match count as the flat alternation it replaced, on every wordlist
+    the engine ships (the lookahead makes every successful match span
+    a whole token, so order/greediness cannot change the count)."""
+    lists = [STOPWORDS[lang] for lang in LANGS] + [TOXIC_WORDS]
+    lower = F.lower("text")
+    exprs = []
+    for i, wl in enumerate(lists):
+        exprs.append(
+            F.sum(F.regexp_count(lower, F.lit(word_alt_pattern(wl)))).alias(
+                f"t{i}"
+            )
+        )
+        exprs.append(
+            F.sum(F.regexp_count(lower, F.lit(_flat_pattern(wl)))).alias(
+                f"f{i}"
+            )
+        )
+    row = docs.filter("text is not null").groupBy().agg(*exprs).collect()[0]
+    for i in range(len(lists)):
+        assert row[f"t{i}"] == row[f"f{i}"], i
+    assert row["t0"] > 0  # the fixture actually exercises matches
+
+
+def test_lang_argmax_matches_five_scan_form(docs):
+    """lang_argmax_expr (one union extraction + membership fold) must
+    label every row exactly like the five-regexp-scan argmax it
+    replaced."""
+    lower = F.lower("text")
+    scores = {
+        lang: F.regexp_count(
+            lower, F.lit(word_alt_pattern(STOPWORDS[lang]))
+        )
+        for lang in LANGS
+    }
+    best = F.greatest(*scores.values())
+    ref = F.lit("und")
+    for lang in reversed(LANGS):
+        ref = F.when(
+            (scores[lang] > 0) & (scores[lang] == best), F.lit(lang)
+        ).otherwise(ref)
+    rows = (
+        docs.filter("text is not null")
+        .select(
+            "doc_id",
+            lang_argmax_expr(lower).alias("opt"),
+            ref.alias("ref"),
+        )
+        .collect()
+    )
+    assert rows and all(r["opt"] == r["ref"] for r in rows)
+
+
+def test_scaled_partitions_bounds(spark):
+    """scaled_partitions stays within [defaultParallelism, session
+    shuffle partitions] and grows with the size estimate."""
+    from data_quality_checker_spark import tuning
+
+    df = spark.range(10)
+    floor = spark.sparkContext.defaultParallelism
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = tuning.scaled_partitions(df)
+    assert floor <= n <= max(cap, floor)
+    # a forced huge estimate must clamp at the session cap
+    big = tuning.scaled_partitions(df, target_bytes=1)
+    assert big <= max(cap, floor)
+    # adaptive_coalesce never changes results
+    out = tuning.adaptive_coalesce(
+        spark.range(100).groupBy((F.col("id") % 7).alias("k")).count()
+    )
+    assert out.count() == 7
+
+
+def test_simhash_vote_rule_unchanged(spark):
+    """The ones*2 > n vote reformulation must pack the same sketch as
+    the (2*bit-1) sum form on ties and non-ties."""
+    from data_quality_checker_spark.operators.dedup import simhash64_agg
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "alpha alpha"),  # even token count -> tied votes
+            (4, "single"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r["sh"] for r in simhash64_agg(df).collect()}
+    assert rows[1] == rows[2]
+    # reference: recompute votes in python with the old rule
+    import ctypes
+
+    def xxh(spark_df, tok):
+        return spark_df.sparkSession.range(1).select(
+            F.xxhash64(F.lit(tok))
+        ).collect()[0][0]
+
+    for doc, toks in [(3, ["alpha", "alpha"]), (4, ["single"])]:
+        hs = [xxh(df, t) for t in toks]
+        packed = 0
+        for i in range(64):
+            vote = sum(1 if (h >> i) & 1 else -1 for h in hs)
+            if vote > 0:
+                packed |= 1 << i
+        packed = ctypes.c_long(packed).value
+        assert rows[doc] == packed, doc
+
+
+def test_duplicate_clusters_prev_label_convergence(spark):
+    """The per-round _prev bookkeeping must not stop the propagation
+    early: a long chain (diameter >> rounds-to-converge-one-hop) still
+    collapses to one component."""
+    from data_quality_checker_spark.operators.dedup import (
+        duplicate_clusters,
+        release_cache,
+    )
+
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    out = duplicate_clusters(pairs)
+    rows = out.collect()
+    assert len(rows) == n + 1
+    assert {r["cluster_id"] for r in rows} == {0}
+    release_cache(out)
