@@ -198,8 +198,10 @@ def contamination_report(
         broadcast = ev.count() <= broadcast_max_keys
     ev = ev.withColumn("_hit", F.lit(1))
     ngs = _distinct_ngrams(text_col, n, lowercase)
+    from data_quality_checker_spark.tuning import parallel_input
+
     exploded = (
-        docs.filter(F.col(text_col).isNotNull())
+        parallel_input(docs.filter(F.col(text_col).isNotNull()))
         .select(
             F.col(id_col),
             F.size(ngs).cast("bigint").alias("_n_ngrams"),

@@ -154,9 +154,14 @@ def _minhash_shingle_plan(
             ),
         ).otherwise(F.array().cast(empty_t))
 
+    from data_quality_checker_spark.tuning import parallel_input
+
     sh_expr = bind_once(tokens(text_col), _ngrams_bound)
+    # scan-parallelism floor (tuning module): a single-row-group input
+    # would otherwise run the whole tokenize+shingle+hash map side in
+    # ONE task; identity when the input already has enough partitions
     return (
-        df.filter(F.col(text_col).isNotNull())
+        parallel_input(df.filter(F.col(text_col).isNotNull()))
         .select(F.col(id_col).alias("id"), sh_expr.alias("sh"))
         .filter(F.size("sh") > 0)
     )
@@ -501,7 +506,12 @@ def simhash64_agg(
     per doc."""
     from data_quality_checker_spark.functions.text import tokens
 
-    tok = df.filter(F.col(text_col).isNotNull()).select(
+    from data_quality_checker_spark.tuning import parallel_input
+
+    # scan-parallelism floor: see _minhash_shingle_plan note
+    tok = parallel_input(
+        df.filter(F.col(text_col).isNotNull())
+    ).select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
     )
     hashed = tok.select("id", F.xxhash64("t").alias("h"))

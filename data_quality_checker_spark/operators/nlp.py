@@ -43,9 +43,13 @@ __all__ = [
 
 
 def _tok(df: DataFrame, text_col: str) -> DataFrame:
-    return df.filter(F.col(text_col).isNotNull()).select(
-        F.explode(tokens(text_col)).alias("token")
-    )
+    from data_quality_checker_spark.tuning import parallel_input
+
+    # scan-parallelism floor (tuning module): tokenize+explode runs on
+    # every core even when the input is one parquet row group
+    return parallel_input(
+        df.filter(F.col(text_col).isNotNull())
+    ).select(F.explode(tokens(text_col)).alias("token"))
 
 
 def top_ngrams(
@@ -118,8 +122,10 @@ def sentence_length_distribution(
         F.split(F.col(text_col), r"[.!?]+"),
         lambda s: F.trim(s) != F.lit(""),
     )
+    from data_quality_checker_spark.tuning import parallel_input
+
     return (
-        df.filter(F.col(text_col).isNotNull())
+        parallel_input(df.filter(F.col(text_col).isNotNull()))
         .select(F.explode(sent).alias("s"))
         .select(
             F.size(
@@ -198,7 +204,9 @@ def tfidf_top_terms(
     n_docs = df.filter(F.col(text_col).isNotNull()).select(
         id_col
     ).distinct().count()
-    tok = df.filter(F.col(text_col).isNotNull()).select(
+    from data_quality_checker_spark.tuning import parallel_input
+
+    tok = parallel_input(df.filter(F.col(text_col).isNotNull())).select(
         F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("term")
     )
     # TF rows ARE the distinct (doc, term) pairs, so document
@@ -432,8 +440,10 @@ def rake_phrases(
         ),
         lambda p: p != F.lit(""),
     )
+    from data_quality_checker_spark.tuning import parallel_input
+
     return (
-        df.filter(F.col(text_col).isNotNull())
+        parallel_input(df.filter(F.col(text_col).isNotNull()))
         .select(F.explode(phrase).alias("phrase"))
     )
 

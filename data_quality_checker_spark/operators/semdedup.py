@@ -349,9 +349,17 @@ def _clean(
     With ``dim`` set, vectors of any OTHER width are excluded too —
     a mixed-width corpus has no meaningful cosine (zip_with would
     NULL-pad and poison the dot silently)."""
-    base = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).filter(F.col("v").isNotNull())
+    from data_quality_checker_spark.tuning import parallel_input
+
+    # scan-parallelism floor (tuning module): the dense mapInPandas
+    # stages above this would otherwise run as one Python task on a
+    # single-row-group vectors table; identity for already-parallel
+    # (cached / multi-split) inputs
+    base = parallel_input(
+        df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        ).filter(F.col("v").isNotNull())
+    )
     if dim:
         return base.filter(F.size("v") == dim)
     return base.filter(F.size("v") > 0)

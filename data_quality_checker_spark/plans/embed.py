@@ -81,8 +81,12 @@ def _bucket(tok, dim: int):
 def _token_buckets(
     df: DataFrame, id_col: str, text_col: str, dim: int
 ) -> DataFrame:
+    from data_quality_checker_spark.tuning import parallel_input
+
+    # scan-parallelism floor (tuning module): tokenize+hash runs on
+    # every core even when the input is one parquet row group
     return (
-        df.filter(F.col(text_col).isNotNull())
+        parallel_input(df.filter(F.col(text_col).isNotNull()))
         .select(
             F.col(id_col).alias("id"),
             F.explode(tokens(text_col)).alias("t"),

@@ -37,7 +37,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["plan_size_bytes", "scaled_partitions", "adaptive_coalesce"]
+__all__ = [
+    "plan_size_bytes",
+    "scaled_partitions",
+    "adaptive_coalesce",
+    "parallel_input",
+]
 
 # one reduce partition per this many estimated input bytes
 _TARGET_BYTES = 64 << 20
@@ -84,3 +89,31 @@ def adaptive_coalesce(
         source if source is not None else df, target_bytes
     )
     return df.coalesce(n)
+
+
+def parallel_input(df: DataFrame) -> DataFrame:
+    """Floor the SCAN-side parallelism of an operator input.
+
+    A small table written as one parquet file holds a single row
+    group, and Spark's split machinery cannot parallelize inside a row
+    group — so the whole map side of the operator (tokenize, hash,
+    regex, the partial aggregate) runs in ONE task no matter how many
+    cores the session has. The guide's remedy for unsplittable inputs
+    is an explicit repartition straight after the read; this applies
+    it ONLY when needed: if the input already has at least the
+    scale-derived partition count, it is returned untouched (the
+    production case — large scans have plenty of splits, cached
+    intermediates are already parallel), otherwise it is round-robin
+    repartitioned to that count. The repartition shuffle moves only
+    this small input once and unlocks every core for the expensive
+    map work above it (sort-before-repartition keeps the row-to-
+    partition assignment retry-deterministic; all consumers here are
+    row-order-independent aggregations/joins)."""
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive
+        return df
+    n = scaled_partitions(df)
+    if nparts >= min(n, df.sparkSession.sparkContext.defaultParallelism):
+        return df
+    return df.repartition(n)
