@@ -152,7 +152,11 @@ def simhash64(text: Column | str) -> Column:
     # two's-complement packing: sum of 2^i for positive-vote bits; bit 63
     # contributes -2^63 so the running sum never overflows a signed long.
     pow2 = [1 << i for i in range(63)] + [-(1 << 63)]
-    pow2_arr = F.array(*[F.lit(p).cast("long") for p in pow2])
+    from data_quality_checker_spark.functions.litfast import (
+        lit_long_array,
+    )
+
+    pow2_arr = lit_long_array(pow2)  # one parse, not 64 py4j lits
     packed = F.aggregate(
         F.zip_with(
             votes,

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from data_quality_checker_spark.functions.litfast import lit_str_array
 from data_quality_checker_spark.functions.wordlists import LANGS, STOPWORDS
 
 __all__ = [
@@ -108,7 +109,7 @@ def stopword_count(
 ) -> Column:
     """Number of tokens that are stopwords (counts duplicates, unlike
     array_intersect which would dedup — matches nlp_analyzer.py:927-929)."""
-    wl = F.array(*[F.lit(w) for w in (words or STOPWORDS["en"])])
+    wl = lit_str_array(words or STOPWORDS["en"])
     return F.size(F.filter(tokens(text), lambda t: F.array_contains(wl, t)))
 
 
@@ -190,7 +191,7 @@ def langid_scores(text: Column | str) -> dict[str, Column]:
     t = tokens(text)
     out: dict[str, Column] = {}
     for lang in LANGS:
-        wl = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        wl = lit_str_array(STOPWORDS[lang])
         out[lang] = F.size(F.filter(t, lambda tok: F.array_contains(wl, tok)))
     return out
 

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_quality_checker_spark.functions.hashing import jaccard, shingles
+from data_quality_checker_spark.functions.litfast import lit_double_array
 
 # NOTE: functions/hashing.py also exposes band_keys / minhash_signature
 # / simhash64 as small-scale pure-expression forms; this
@@ -691,7 +692,7 @@ def sign_lsh_key(
     )
     bits = []
     for p in planes:
-        plane = F.array(*[F.lit(float(v)) for v in p])
+        plane = lit_double_array(p)  # one parsed literal, not dim py4j calls
         dot = F.aggregate(
             F.zip_with(vec, plane, lambda x, y: x * y),
             F.lit(0.0),

@@ -224,10 +224,14 @@ def with_corrected_text(
         pairs = {r["token"]: r["suggestion"] for r in rows}
         if pairs:
             ks, vs = zip(*sorted(pairs.items()))
-            m = F.map_from_arrays(
-                F.array(*[F.lit(k) for k in ks]),
-                F.array(*[F.lit(v) for v in vs]),
+            # one parsed map literal, not 2 x entries py4j calls
+            # (10k entries would otherwise bill ~seconds of driver-
+            # side build time per invocation — functions/litfast)
+            from data_quality_checker_spark.functions.litfast import (
+                lit_str_map,
             )
+
+            m = lit_str_map(ks, vs)
             # try_element_at, not element_at: ANSI mode makes a missing
             # map key THROW, and almost every token is a missing key
             fixed = F.transform(

@@ -239,28 +239,30 @@ def psi(
         return 0.0
     width = (hi - lo) / bins
 
-    def bucketed(df: DataFrame) -> dict[int, int]:
-        from data_quality_checker_spark.tuning import adaptive_coalesce
+    from data_quality_checker_spark.tuning import adaptive_coalesce
 
-        rows = (
-            adaptive_coalesce(
-                df.select(
-                    F.least(
-                        F.lit(bins - 1),
-                        F.floor(
-                            (F.col(column) - F.lit(lo)) / F.lit(width)
-                        ),
-                    ).alias("b")
-                )
-                .groupBy("b")
-                .count(),
-                df,
-            )
-            .collect()
+    def _b(df: DataFrame, side: int) -> DataFrame:
+        return df.select(
+            F.lit(side).alias("side"),
+            F.least(
+                F.lit(bins - 1),
+                F.floor((F.col(column) - F.lit(lo)) / F.lit(width)),
+            ).alias("b"),
         )
-        return {r["b"]: r["count"] for r in rows}
 
-    cb, bb = bucketed(cur), bucketed(base)
+    # both sides bucket-counted in ONE job (side tag + single grouped
+    # aggregate) instead of two sequential collects — halves the
+    # driver round-trips of the tail (round-7); per-side counts are
+    # identical to the separate aggregations
+    rows = (
+        adaptive_coalesce(
+            _b(cur, 0).unionByName(_b(base, 1)).groupBy("side", "b").count(),
+            cur,
+        )
+        .collect()
+    )
+    cb = {r["b"]: r["count"] for r in rows if r["side"] == 0}
+    bb = {r["b"]: r["count"] for r in rows if r["side"] == 1}
     n_c, n_b = sum(cb.values()), sum(bb.values())
     val = 0.0
     for b in range(bins):

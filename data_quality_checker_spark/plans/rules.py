@@ -12,6 +12,7 @@ whole rule battery adds zero shuffles and zero Python.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -48,6 +49,7 @@ class RuleConfig:
     stopwords: tuple[str, ...] = QUALITY_STOPWORDS
 
 
+@lru_cache(maxsize=64)
 def word_alt_pattern(words: tuple[str, ...]) -> str:
     """Whitespace-bounded word-set regex whose match count over
     lowered text equals the token-membership count of the split-based
@@ -167,20 +169,36 @@ def _lang_union_extraction(lower_col: Column) -> Column:
     return F.regexp_extract_all(lower_col, F.lit(grouped), 1)
 
 
-def _lang_count_map() -> Column:
-    """Constant map: union token -> array<int> of per-language
-    membership (LANGS order). Foldable — Catalyst evaluates it once."""
+@lru_cache(maxsize=1)
+def _lang_count_map_sql() -> str:
+    """The constant membership map as ONE SQL ``map(...)`` literal
+    string. Building it from per-element ``F.lit`` Columns cost ~830
+    py4j round-trips PER QUERY CONSTRUCTION (measured: seconds of
+    driver-side build time billed to every small query that touches
+    the rule battery, round-7); one parsed expression string is
+    milliseconds and yields the identical foldable map."""
     union = tuple(sorted({w for lang in LANGS for w in STOPWORDS[lang]}))
     sets = [set(STOPWORDS[lang]) for lang in LANGS]
-    return F.map_from_arrays(
-        F.array(*[F.lit(w) for w in union]),
-        F.array(
-            *[
-                F.array(*[F.lit(1 if w in s else 0) for s in sets])
-                for w in union
-            ]
-        ),
-    )
+
+    def esc(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    parts: list[str] = []
+    for w in union:
+        parts.append(esc(w))
+        parts.append(
+            "array("
+            + ",".join("1" if w in s else "0" for s in sets)
+            + ")"
+        )
+    return "map(" + ",".join(parts) + ")"
+
+
+def _lang_count_map() -> Column:
+    """Constant map: union token -> array<int> of per-language
+    membership (LANGS order). Foldable — Catalyst evaluates it once.
+    Parsed from a cached SQL literal (see _lang_count_map_sql)."""
+    return F.expr(_lang_count_map_sql())
 
 
 def lang_argmax_expr(lower_col: Column) -> Column:
