@@ -201,9 +201,16 @@ def tfidf_top_terms(
     TfidfVectorizer path, nlp_analyzer.py:745-777): tf from
     explode+groupBy, df from distinct explode, idf = ln((N+1)/(df+1))+1
     (smoothed, sklearn-style). Returns (doc, term, tfidf, rank)."""
-    n_docs = df.filter(F.col(text_col).isNotNull()).select(
-        id_col
-    ).distinct().count()
+    # N as a broadcast scalar subquery instead of a driver .count():
+    # the corpus-size aggregate rides the SAME job as the scoring plan
+    # (one blocking driver round-trip fewer, round-7); the value and
+    # the resulting idf doubles are identical to the literal form
+    nd = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(id_col)
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("_n"))  # NULL id counts, as before
+    )
     from data_quality_checker_spark.tuning import parallel_input
 
     tok = parallel_input(df.filter(F.col(text_col).isNotNull())).select(
@@ -220,18 +227,23 @@ def tfidf_top_terms(
     docfreq = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     )
-    scored = tf.join(docfreq, "term").select(
-        "doc",
-        "term",
-        (
-            F.col("tf")
-            * (
-                F.log(
-                    (F.lit(float(n_docs + 1))) / (F.col("df") + 1)
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc",
+            "term",
+            (
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("_n") + 1).cast("double")
+                        / (F.col("df") + 1)
+                    )
+                    + 1
                 )
-                + 1
-            )
-        ).alias("tfidf"),
+            ).alias("tfidf"),
+        )
     )
     from data_quality_checker_spark.tuning import scaled_partitions
 

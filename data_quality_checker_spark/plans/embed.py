@@ -108,12 +108,28 @@ def hashing_idf(
     weights agree (search_text does this)."""
     tb = _token_buckets(df, id_col, text_col, dim)
     per_doc = tb.distinct()  # (id, bucket): presence, not counts
-    n_docs = per_doc.select("id").distinct().count()  # scalar, driver
-    return per_doc.groupBy("bucket").agg(
-        (
-            F.log((F.lit(float(n_docs + 1))) / (F.count("*") + F.lit(1.0)))
-            + F.lit(1.0)
-        ).alias("idf")
+    # doc count as a broadcast scalar subquery, not a blocking driver
+    # .count() round-trip (round-7; (n+1) cast double is exact below
+    # 2^53 so the smoothing math matches the scalar form; the presence
+    # subtree was scanned twice before — count + groupBy — and still
+    # is, now inside ONE job)
+    n_row = (
+        per_doc.select("id").distinct().agg(F.count("*").alias("_n"))
+    )
+    return (
+        per_doc.groupBy("bucket")
+        .agg(F.count("*").alias("_dfb"))
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.col("_n") + F.lit(1)).cast("double")
+                    / (F.col("_dfb") + F.lit(1.0))
+                )
+                + F.lit(1.0)
+            ).alias("idf"),
+        )
     )
 
 
