@@ -219,7 +219,14 @@ def score_pages(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
         )
 
         out = with_gopher_signals(out)
-    out = with_verdict(out, cfg.rules)
+    # self-contained keep unless the langid-UDF branch overrode the
+    # rule_lang column above (the bound form recomputes lang from
+    # cfg.rules and would ignore the override) — see with_verdict
+    out = with_verdict(
+        out,
+        cfg.rules,
+        self_contained_keep=(cfg.langid_impl != "udf"),
+    )
     # the opt-in webtext stages gate keep WITHOUT entering the frozen
     # fired_rules contract (RULE_NAMES ordering is pinned three ways)
     if cfg.c4_line_clean:

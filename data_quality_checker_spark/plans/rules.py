@@ -201,46 +201,90 @@ def _lang_count_map() -> Column:
     return F.expr(_lang_count_map_sql())
 
 
+@lru_cache(maxsize=8)
+def _wordset_fold_sql(
+    stopwords: tuple[str, ...], toxic: tuple[str, ...]
+) -> tuple[str, str]:
+    """(map_sql, grouped_extraction_pattern) over the union of the
+    five language lists PLUS the config's quality-stopword and
+    toxic-word lists; membership arrays are len(LANGS)+2 wide
+    ([..langs.., quality, toxic]). One extraction pass then folds
+    into all seven counts — used ONLY inside keep_fired_expr, where
+    the sharing is a HOF let-binding (safe under filter substitution,
+    unlike the projection-column sharing stat_exprs_counts documents
+    as reverted)."""
+    lists = [STOPWORDS[lang] for lang in LANGS] + [
+        tuple(stopwords),
+        tuple(toxic),
+    ]
+    union = tuple(sorted({w for ws in lists for w in ws}))
+    sets = [set(ws) for ws in lists]
+
+    def esc(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    parts: list[str] = []
+    for w in union:
+        parts.append(esc(w))
+        parts.append(
+            "array("
+            + ",".join("1" if w in s else "0" for s in sets)
+            + ")"
+        )
+    pat = word_alt_pattern(union)
+    head, tail = r"(?:^|\s)", r"(?=\s|$)"
+    grouped = head + "(" + pat[len(head) : -len(tail)] + ")" + tail
+    return "map(" + ",".join(parts) + ")", grouped
+
+
+def _lang_counts_expr(lower_col: Column) -> Column:
+    """array<int> of the five per-language stopword counts from ONE
+    union-vocabulary extraction: the extracted tokens (a few dozen per
+    document) fold through a constant membership map into the five
+    counts, which are bit-identical to five separate regexp_count
+    scans (pinned by parity against the scan form on the 800k bench
+    corpus and by the langid oracles). The extraction is BOUND
+    (functions/text.bind_once), so however often the surrounding
+    expression is inlined into a pushed-down filter, it evaluates
+    once per row."""
+    cmap = _lang_count_map()
+    zero = F.array_repeat(F.lit(0), len(LANGS))
+    return X.bind_once(
+        _lang_union_extraction(lower_col),
+        lambda arr: F.aggregate(
+            arr,
+            zero,
+            lambda acc, tk: F.zip_with(
+                acc,
+                F.element_at(cmap, tk),
+                lambda a, b: a + b,
+            ),
+        ),
+    )
+
+
+def _lang_argmax_from_counts(counts: Column) -> Column:
+    """Deterministic argmax (LANGS order tie-break, 'und' when every
+    count is zero) over a five-int counts array."""
+    sc = [counts[i] for i in range(len(LANGS))]
+    best = F.greatest(*sc)
+    e = F.lit("und")
+    for i in reversed(range(len(LANGS))):
+        e = F.when(
+            (sc[i] > 0) & (sc[i] == best), F.lit(LANGS[i])
+        ).otherwise(e)
+    return e
+
+
 def lang_argmax_expr(lower_col: Column) -> Column:
     """Language argmax over the five stopword counts, computed from a
     SINGLE union-vocabulary extraction instead of five separate
-    wordlist scans (round-7): the extracted tokens (a few dozen per
-    document) fold through a constant membership map into the five
-    counts, which are bit-identical to the five regexp_count scans
-    (pinned by parity against the scan form on the 800k bench corpus
-    and by the langid oracles). Measured 4.4 s -> 2.9 s for the
-    forced argmax filter over 800k docs; the whole battery drops
-    further because the extraction also amortizes across the keep
-    chain. The counts array is BOUND once (functions/text.bind_once),
-    so however often the surrounding expression is inlined into a
-    pushed-down filter, the extraction+fold evaluates once per row."""
-    cmap = _lang_count_map()
-    zero = F.array_repeat(F.lit(0), len(LANGS))
-
-    def _argmax(counts: Column) -> Column:
-        sc = [counts[i] for i in range(len(LANGS))]
-        best = F.greatest(*sc)
-        e = F.lit("und")
-        for i in reversed(range(len(LANGS))):
-            e = F.when(
-                (sc[i] > 0) & (sc[i] == best), F.lit(LANGS[i])
-            ).otherwise(e)
-        return e
-
+    wordlist scans (round-7): measured 4.4 s -> 2.9 s for the forced
+    argmax filter over 800k docs. See _lang_counts_expr /
+    _lang_argmax_from_counts (split so keep_fired_expr can reuse the
+    counts array as a struct field)."""
     return X.bind_once(
-        X.bind_once(
-            _lang_union_extraction(lower_col),
-            lambda arr: F.aggregate(
-                arr,
-                zero,
-                lambda acc, tk: F.zip_with(
-                    acc,
-                    F.element_at(cmap, tk),
-                    lambda a, b: a + b,
-                ),
-            ),
-        ),
-        _argmax,
+        _lang_counts_expr(lower_col), _lang_argmax_from_counts
     )
 
 
@@ -299,6 +343,144 @@ def rule_exprs_from_stats(
         "lang": t.isNotNull() & ~F.col("_lang").isin(*cfg.allowed_langs),
         "toxicity": t.isNotNull() & (F.col("_tox") > 0),
     }
+
+
+def keep_fired_expr(cfg: RuleConfig, text_col: str = "text") -> Column:
+    """'Any rule fired' as ONE self-contained boolean whose per-doc
+    stats are HOF let-bindings (functions/text.bind_once) — each stat
+    evaluates EXACTLY ONCE per row no matter how the optimizer inlines
+    the expression.
+
+    Why this exists (round-7): a ``filter(keep)``-only consumer (the
+    pipeline's bench/run shape) prunes fired_rules, CollapseProject
+    folds the stat/ratio/flag projections away, and PushDownPredicates
+    substitutes the whole battery into the Filter condition — and
+    FilterExec, unlike ProjectExec, performs NO common-subexpression
+    elimination, so every stat re-evaluates once per referencing flag
+    (_wc alone is referenced by five flags). Measured on the 800k-doc
+    bench corpus: 15 regexp passes per surviving row, 6.1 s for the
+    battery, vs 0.1 s for the same stats evaluated once each. The
+    bound form pays the whole battery for every doc that passes the
+    three cheap length gates (no per-flag short-circuit skip), which
+    the measurement above prices at well under the duplication it
+    removes.
+
+    VALUE-IDENTICAL to ``or(rule_exprs_from_stats(cfg))`` over
+    coalesced flags — same stats, same guards, same NULL semantics
+    (pinned by tests/test_r07_optimizations and the pipeline F1/golden
+    gates). Callers that OVERRIDE a flag column (the langid-UDF
+    pipeline branch) must NOT use this form — it recomputes the lang
+    rule from ``cfg``."""
+    t = F.col(text_col)
+    ln_t = F.length(t)
+    # cheap gates first — evaluation order matches _KEEP_EVAL_ORDER's
+    # prefix (empty, too_short, too_long); codegen's boolean OR
+    # short-circuits, so docs dropped here never run the battery
+    cheap = (
+        t.isNull()
+        | ~t.rlike(r"\S")
+        | (ln_t < cfg.min_chars)
+        | (ln_t > cfg.max_chars)
+    )
+
+    n_langs = len(LANGS)
+
+    def _flags_from(s: Column) -> Column:
+        wc = s["wc"]
+        mwl = F.when(wc > 0, s["nonws"].cast("double") / wc)
+        stopr = F.when(
+            wc > 0, s["wsc"][n_langs].cast("double") / wc
+        )
+        symr = F.when(ln_t > 0, s["symc"].cast("double") / ln_t)
+        rep = F.when(
+            wc > 0, F.lit(1.0) - s["udist"].cast("double") / wc
+        )
+        # the argmax reads indices 0..len(LANGS)-1 of the 7-wide array
+        lang = _lang_argmax_from_counts(s["wsc"])
+        fb = F.lit(False)
+        # remaining _KEEP_EVAL_ORDER: too_few/too_many words,
+        # mean_word_len, high_symbol, high_repetition, dup_lines,
+        # low_stopword, toxicity, lang
+        return (
+            F.coalesce((wc > 0) & (wc < cfg.min_words), fb)
+            | F.coalesce(wc > cfg.max_words, fb)
+            | F.coalesce(
+                (mwl < cfg.min_mean_word_len)
+                | (mwl > cfg.max_mean_word_len),
+                fb,
+            )
+            | F.coalesce(symr > cfg.max_symbol_ratio, fb)
+            | F.coalesce(rep > cfg.max_repetition, fb)
+            | F.coalesce(s["dlf"] > cfg.max_dup_line_fraction, fb)
+            | F.coalesce(stopr < cfg.min_stopword_ratio, fb)
+            | F.coalesce(s["wsc"][n_langs + 1] > 0, fb)
+            | F.coalesce(~lang.isin(*cfg.allowed_langs), fb)
+        )
+
+    map_sql, ext_pat = _wordset_fold_sql(cfg.stopwords, cfg.toxic_words)
+
+    def _expensive(lo: Column) -> Column:
+        cmap = F.expr(map_sql)
+        zero = F.array_repeat(F.lit(0), n_langs + 2)
+        # ONE extraction over the extended union (langs + quality +
+        # toxic) folds into all seven wordlist counts — replaces the
+        # separate quality-stopword and toxic-word scans (each count
+        # identical to its regexp_count twin: any match spans exactly
+        # a whole whitespace-bounded member token, see
+        # word_alt_pattern)
+        wsc = X.bind_once(
+            F.regexp_extract_all(lo, F.lit(ext_pat), 1),
+            lambda arr: F.aggregate(
+                arr,
+                zero,
+                lambda acc, tk: F.zip_with(
+                    acc,
+                    F.element_at(cmap, tk),
+                    lambda a, b: a + b,
+                ),
+            ),
+        )
+        def _stats(toks: Column) -> Column:
+            # wc / nonws / udist all derive from ONE bound token
+            # array instead of three separate regex passes:
+            # - count of \S+ runs == number of non-empty split
+            #   tokens (identical Java \s class on both sides, and
+            #   lowercasing never adds/removes whitespace);
+            # - non-ws chars of the lowered text == sum of lowered
+            #   token lengths (tokens partition the non-ws chars);
+            # - the distinct count used tokens already.
+            return F.struct(
+                F.size(toks).alias("wc"),
+                F.aggregate(
+                    F.transform(toks, F.length),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x,
+                ).alias("nonws"),
+                F.regexp_count(
+                    t, F.lit(r"[^\p{L}\p{N}\s]")
+                ).alias("symc"),
+                F.size(F.array_distinct(toks)).alias("udist"),
+                X.bind_once(
+                    X.lines(t),
+                    lambda lns: F.when(
+                        F.size(lns) > 0,
+                        (
+                            F.size(lns) - F.size(F.array_distinct(lns))
+                        ).cast("double")
+                        / F.size(lns),
+                    ),
+                ).alias("dlf"),
+                wsc.alias("wsc"),
+            )
+
+        return X.bind_once(
+            X.tokens(lo, lowercase=False),
+            lambda toks: X.bind_once(_stats(toks), _flags_from),
+        )
+
+    return cheap | F.coalesce(
+        X.bind_once(F.lower(t), _expensive), F.lit(False)
+    )
 
 
 def rule_exprs(cfg: RuleConfig, text_col: str = "text") -> dict[str, Column]:

@@ -72,13 +72,29 @@ _KEEP_EVAL_ORDER = (
 )
 
 
-def with_verdict(df: DataFrame, cfg: RuleConfig | None = None) -> DataFrame:
+def with_verdict(
+    df: DataFrame,
+    cfg: RuleConfig | None = None,
+    text_col: str = "text",
+    self_contained_keep: bool = False,
+) -> DataFrame:
     """Adds fired_rules (array<string>, rule order) and keep (bool).
 
     keep is a short-circuiting OR-chain over the flags rather than
     size(fired_rules) == 0 (same value: flags are coalesced non-null):
     a consumer that filters on keep without reading fired_rules gets
-    the array construction pruned AND early-out evaluation."""
+    the array construction pruned AND early-out evaluation.
+
+    ``self_contained_keep`` (round-7) builds keep from
+    rules.keep_fired_expr instead of the flag columns: one expression
+    whose stats are HOF let-bindings, so a filter(keep)-only consumer
+    — where the optimizer substitutes the whole battery into a Filter
+    condition that has no common-subexpression elimination — pays each
+    stat scan once per row instead of once per referencing flag
+    (measured 6.1 s -> 0.1 s battery per 800k docs). Same value as the
+    flag OR (pinned by test + the F1 golden gate). ONLY valid when no
+    rule_* column has been overridden after with_rule_flags (e.g. the
+    langid-UDF pipeline branch must keep the column form)."""
     cfg = cfg or RuleConfig()
     names = list(RULE_NAMES)
     assert set(_KEEP_EVAL_ORDER) == set(names)
@@ -90,9 +106,16 @@ def with_verdict(df: DataFrame, cfg: RuleConfig | None = None) -> DataFrame:
             ]
         )
     )
-    any_fired = F.lit(False)
-    for n in _KEEP_EVAL_ORDER:
-        any_fired = any_fired | F.col(f"{RULE_PREFIX}{n}")
+    if self_contained_keep:
+        from data_quality_checker_spark.plans.rules import (
+            keep_fired_expr,
+        )
+
+        any_fired = keep_fired_expr(cfg, text_col)
+    else:
+        any_fired = F.lit(False)
+        for n in _KEEP_EVAL_ORDER:
+            any_fired = any_fired | F.col(f"{RULE_PREFIX}{n}")
     return df.withColumn("fired_rules", fired).withColumn(
         "keep", ~any_fired
     )

@@ -177,3 +177,60 @@ def test_duplicate_clusters_prev_label_convergence(spark):
     assert len(rows) == n + 1
     assert {r["cluster_id"] for r in rows} == {0}
     release_cache(out)
+
+
+def test_keep_fired_expr_matches_flag_or(spark):
+    """The self-contained bound keep (rules.keep_fired_expr, used by
+    score_pages' filter path) must equal the flag-column OR for every
+    edge shape: NULL/empty/whitespace text, length gates, multi-lang,
+    unicode lowercasing that changes length, dup lines, toxicity."""
+    from pyspark.sql import functions as F
+
+    from data_quality_checker_spark.plans.rules import (
+        RuleConfig,
+        keep_fired_expr,
+    )
+    from data_quality_checker_spark.plans.verdict import (
+        with_rule_flags,
+        with_verdict,
+    )
+
+    rows = [
+        (None,), ("",), ("   ",), ("\t\n",), ("ab",), ("x" * 90000,),
+        ("İstanbul BİR İKİ word here today maybe",),
+        ("the cat and the dog sat on the mat with the hat",),
+        ("el gato y el perro es bueno para la casa y la vida",),
+        ("le chat et le chien est dans la maison aujourd'hui",),
+        ("zzz qqq ppp mmm nnn",), ("a a a a a a a a a a a a",),
+        ("line one\nline one\nline one\nline two",),
+        ("!!!! @@@@ #### $$$$ %%%%",),
+        ("  leading ws then the words of the doc here  ",),
+        ("the quick brown fox damn jumps over the lazy dog today",),
+        ("word " * 30000,), ("short words only here now then",),
+    ]
+    df = spark.createDataFrame(rows, "text string").withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    )
+    cfg = RuleConfig()
+    a = with_verdict(with_rule_flags(df), cfg).select("doc_id", "keep")
+    b = df.select(
+        "doc_id", (~keep_fired_expr(cfg)).alias("keep")
+    )
+    mism = (
+        a.alias("a")
+        .join(b.alias("b"), "doc_id")
+        .filter("a.keep <> b.keep")
+        .count()
+    )
+    assert mism == 0
+    # and the self_contained_keep=True verdict path agrees too
+    c = with_verdict(
+        with_rule_flags(df), cfg, self_contained_keep=True
+    ).select("doc_id", F.col("keep").alias("keep_sc"))
+    mism2 = (
+        a.alias("a")
+        .join(c.alias("c"), "doc_id")
+        .filter("a.keep <> c.keep_sc")
+        .count()
+    )
+    assert mism2 == 0
