@@ -234,3 +234,61 @@ def test_keep_fired_expr_matches_flag_or(spark):
         .count()
     )
     assert mism2 == 0
+
+
+# ---------------------------------------------------------------------------
+# Plan-regression guard (round-7): pin shuffle/join/window counts for the
+# most expensive queries so a plan regression (new SortMergeJoin, extra
+# Exchange, lost partitioning) fails CI instead of landing silently until
+# the next manual PLANS.md regeneration.
+# ---------------------------------------------------------------------------
+
+_PLAN_PINS = {
+    "pricing_summary": dict(exchanges=1, smj=0, window=0),
+    "shipping_priority": dict(exchanges=1, smj=0, window=0),
+    "quality_verdict": dict(exchanges=0, smj=0, window=0),
+    "tfidf_top1": dict(exchanges=8, smj=0, window=1),
+    "minhash_neardups": dict(exchanges=10, smj=1, window=0),
+    "simhash_neardups": dict(exchanges=12, smj=1, window=0),
+    "ks_drift": dict(exchanges=10, smj=0, window=0),
+    "redundancy_structure": dict(exchanges=5, smj=0, window=0),
+    "top_bigrams": dict(exchanges=1, smj=0, window=0),
+    "sessionization": dict(exchanges=1, smj=0, window=1),
+    "decontamination": dict(exchanges=3, smj=0, window=0),
+    "ann_topk": dict(exchanges=1, smj=0, window=1),
+    "line_dedup": dict(exchanges=2, smj=0, window=0),
+}
+
+
+def test_plan_shape_pins(spark):
+    """Each pinned query's physical plan must not GROW new shuffles,
+    sort-merge joins or window operators (equal-or-fewer passes; a
+    decrease is an improvement, an increase is a regression)."""
+    import re
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    failures = []
+    for name, pins in _PLAN_PINS.items():
+        df = qs[name](spark, "/root/testdata/sf0.01")
+        p = df._jdf.queryExecution().executedPlan().toString()
+        got = dict(
+            exchanges=len(
+                re.findall(
+                    r"Exchange (?:hashpartitioning|rangepartitioning|"
+                    r"SinglePartition|RoundRobinPartitioning)",
+                    p,
+                )
+            ),
+            smj=p.count("SortMergeJoin"),
+            window=len(re.findall(r"\bWindow\b(?!GroupLimit)", p)),
+        )
+        for dep in getattr(df, "_cached_deps", ()):
+            dep.unpersist()
+        for k, bound in pins.items():
+            if got[k] > bound:
+                failures.append(f"{name}.{k}: {got[k]} > pinned {bound}")
+    assert not failures, failures
