@@ -257,10 +257,24 @@ def _rollback_batch(spark: SparkSession, path: str, batch_id: str) -> int:
     (the "2024" vs "2024-06" prefix trap). A second, legacy pattern
     covers ``batch-<id>-part-`` files published by pre-'~' builds;
     since every '~'-scheme filename contains a '~' and no legacy name
-    does, legacy matches whose tail carries a '~' are SKIPPED — a
-    committed batch id like "<torn>-part-1" can therefore never be
-    swallowed by its prefix either."""
+    does, legacy matches whose tail carries a '~' are SKIPPED. A
+    LEGACY file can still belong to a different COMMITTED batch whose
+    id extends the torn one (rolling back torn "2024" must not delete
+    committed legacy batch "2024-part-1"'s "batch-2024-part-1-part-0"),
+    so legacy matches are additionally checked against the ledger's
+    commit markers and skipped when any committed id's legacy prefix
+    covers the filename (round-7 advisory fix)."""
     jvm = spark.sparkContext._jvm
+    # committed ids whose LEGACY filenames a prefix glob could swallow
+    fs_l, ledger = _hadoop_fs(spark, f"{path}/_appends")
+    committed_prefixes: list[str] = []
+    if fs_l.exists(ledger):
+        for st in fs_l.listStatus(ledger):
+            name = st.getPath().getName()
+            if name.endswith(".commit"):
+                cid = name[: -len(".commit")]
+                if cid != batch_id and cid.startswith(batch_id):
+                    committed_prefixes.append(f"batch-{cid}-part-")
     removed = 0
     for table in _TABLES:
         fs, _ = _hadoop_fs(spark, f"{path}/{table}")
@@ -270,8 +284,13 @@ def _rollback_batch(spark: SparkSession, path: str, batch_id: str) -> int:
         ):
             glob = jvm.org.apache.hadoop.fs.Path(pat)
             for st in fs.globStatus(glob) or []:
-                if legacy and "~" in st.getPath().getName():
+                fname = st.getPath().getName()
+                if legacy and "~" in fname:
                     continue  # a '~'-scheme file of ANOTHER batch
+                if legacy and any(
+                    fname.startswith(p) for p in committed_prefixes
+                ):
+                    continue  # a committed legacy batch extending this id
                 fs.delete(st.getPath(), False)
                 removed += 1
     _delete(spark, f"{path}/_staging/{batch_id}")

@@ -350,7 +350,15 @@ def with_semantic_dup_verdict(
       groups embed to the zero vector which never pairs, so every
       member keeps. The IDF table is computed over representatives
       (dedup-before-stats, deliberate: duplicated boilerplate no
-      longer inflates bucket document frequencies)."""
+      longer inflates bucket document frequencies).
+
+    CACHE RELEASE OBLIGATION: the returned frame's ``_cached_deps``
+    carries TWO persisted frames (the kept-set and group-member
+    tables) whose rows the lazy loser expansion still reads — any
+    direct or streaming caller that consumes the verdict without going
+    through run_pipeline must call ``dedup.release_cache(out)`` (or
+    unpersist the deps) after consumption, or two cached RDDs
+    accumulate per invocation (round-6 advisory)."""
     from data_quality_checker_spark.functions.text import tokens
     from data_quality_checker_spark.operators.dedup import (
         duplicate_clusters,

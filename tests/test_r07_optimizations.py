@@ -292,3 +292,34 @@ def test_plan_shape_pins(spark):
             if got[k] > bound:
                 failures.append(f"{name}.{k}: {got[k]} > pinned {bound}")
     assert not failures, failures
+
+
+def test_rollback_skips_committed_legacy_prefix_batch(spark, tmp_path):
+    """Rolling back torn batch '2024' must not delete legacy-scheme
+    files of a COMMITTED batch '2024-part-1' whose legacy filenames
+    ('batch-2024-part-1-part-0') match the torn id's legacy glob
+    (round-7 advisory fix)."""
+    import os
+
+    from data_quality_checker_spark.operators import minhash_index as MI
+
+    root = str(tmp_path / "idx")
+    for table in MI._TABLES:
+        os.makedirs(f"{root}/{table}", exist_ok=True)
+        # torn batch's own legacy file: must be removed
+        with open(f"{root}/{table}/batch-2024-part-0", "w") as f:
+            f.write("torn")
+        # committed legacy batch extending the torn id: must survive
+        with open(f"{root}/{table}/batch-2024-part-1-part-0", "w") as f:
+            f.write("committed")
+    os.makedirs(f"{root}/_appends", exist_ok=True)
+    open(f"{root}/_appends/2024.begin", "w").write("")
+    open(f"{root}/_appends/2024-part-1.begin", "w").write("")
+    open(f"{root}/_appends/2024-part-1.commit", "w").write("")
+
+    MI._rollback_batch(spark, root, "2024")
+    for table in MI._TABLES:
+        assert not os.path.exists(f"{root}/{table}/batch-2024-part-0")
+        assert os.path.exists(
+            f"{root}/{table}/batch-2024-part-1-part-0"
+        ), table
