@@ -130,8 +130,8 @@ def main() -> None:
             "node brings its own memory bandwidth) — and meets the "
             ">=0.8 bar. The 8->32 pair saturates this single box's "
             "memory-bandwidth ceiling (~"
-            f"{tput_hi / 1000:.0f}-125k docs/s for this string-heavy "
-            "work after the round-2 short-circuit optimization); "
+            f"{tput_hi / 1000:.0f}k docs/s for this string-heavy "
+            "work on this box with the current battery); "
             "running the same job as 4 separate executor JVMs "
             "(local-cluster[4,8,4096], re-measured round 3: 92k "
             "docs/s — the same ceiling order as single-JVM "
