@@ -323,3 +323,47 @@ def test_rollback_skips_committed_legacy_prefix_batch(spark, tmp_path):
         assert os.path.exists(
             f"{root}/{table}/batch-2024-part-1-part-0"
         ), table
+
+
+def test_keep_fired_expr_custom_config(spark):
+    """The fused-extraction membership map is cached per
+    (stopwords, toxic_words) — a CUSTOM RuleConfig must produce its
+    own map and still match the flag-column OR exactly."""
+    from pyspark.sql import functions as F
+
+    from data_quality_checker_spark.plans.rules import (
+        RuleConfig,
+        keep_fired_expr,
+    )
+    from data_quality_checker_spark.plans.verdict import (
+        with_rule_flags,
+        with_verdict,
+    )
+
+    cfg = RuleConfig(
+        stopwords=("lorem", "ipsum", "dolor"),
+        toxic_words=("badword", "awful"),
+        min_stopword_ratio=0.05,
+        allowed_langs=("en", "es"),
+    )
+    rows = [
+        ("lorem ipsum dolor sit amet lorem ipsum here we go now",),
+        ("badword in the middle of the otherwise fine text here",),
+        ("no stop words at all in this particular document text",),
+        ("el gato y el perro es bueno para la casa y la vida",),
+        (None,), ("",),
+    ]
+    df = spark.createDataFrame(rows, "text string").withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    )
+    a = with_verdict(with_rule_flags(df, cfg), cfg).select(
+        "doc_id", "keep"
+    )
+    b = df.select("doc_id", (~keep_fired_expr(cfg)).alias("keep"))
+    mism = (
+        a.alias("a")
+        .join(b.alias("b"), "doc_id")
+        .filter("a.keep <> b.keep")
+        .count()
+    )
+    assert mism == 0
