@@ -259,16 +259,16 @@ def _minhash_signature_plan(
         # instead of re-hashing the string k times — ~1.5x on
         # the sketch phase, measured)
         .select("id", _bh.alias("_bh"))
-        .select(
+        # selectExpr ships the whole k-column projection in ONE py4j
+        # call (round-7: the per-Column form cost ~3 driver round
+        # trips per component per query construction)
+        .selectExpr(
             "id",
-            *[
-                F.xxhash64("_bh", F.lit(j)).alias(f"h{j}")
-                for j in range(num_hashes)
-            ],
+            *[f"xxhash64(_bh, {j}) as h{j}" for j in range(num_hashes)],
         )
     )
     return hashed.groupBy("id").agg(
-        *[F.min(f"h{j}").alias(f"h{j}") for j in range(num_hashes)]
+        *[F.expr(f"min(h{j}) as h{j}") for j in range(num_hashes)]
     )
 
 
@@ -276,26 +276,17 @@ def _minhash_band_key_array(num_bands: int, rows_per_band: int) -> Column:
     """array<string> of LSH band keys over h{j} signature COLUMNS —
     format byte-identical with functions/hashing.band_keys
     ('b{i}:' + md5(concat_ws(','))) for the portable oracle family;
-    works for both hash families (cast of a string is the identity)."""
-    return F.array(
-        *[
-            F.concat(
-                F.lit(f"b{b}:"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"h{b * rows_per_band + r}").cast(
-                                "string"
-                            )
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ),
-            )
-            for b in range(num_bands)
-        ]
-    )
+    works for both hash families (cast of a string is the identity).
+    One parsed expression (round-7) — the per-Column form cost
+    ~6 py4j round-trips per band per query construction."""
+    bands = []
+    for b in range(num_bands):
+        cols = ",".join(
+            f"cast(h{b * rows_per_band + r} as string)"
+            for r in range(rows_per_band)
+        )
+        bands.append(f"concat('b{b}:', md5(concat_ws(',', {cols})))")
+    return F.expr("array(" + ",".join(bands) + ")")
 
 
 def near_duplicates_minhash(
@@ -523,23 +514,26 @@ def simhash64_agg(
     # ~20% of the aggregate stage (0.83 s -> 0.68 s on the sf0.1
     # sketch), and the shuffle row shrinks by nothing (65 vs 64
     # longs) — same map-side combine shape.
+    # batched expression construction (round-7): the per-Column form
+    # of the 64 vote aggregates + 64-term packing chain cost ~700 py4j
+    # round-trips per query construction; F.expr strings parse each in
+    # one call with the identical expression tree
     votes = hashed.groupBy("id").agg(
         *[
-            F.sum(F.getbit(F.col("h"), F.lit(i)).cast("long")).alias(
-                f"b{i}"
-            )
+            F.expr(f"sum(cast(getbit(h, {i}) as bigint)) as b{i}")
             for i in range(64)
         ],
         F.count(F.lit(1)).alias("_n"),
     )
     pow2 = [1 << i for i in range(63)] + [-(1 << 63)]
-    packed = None
-    for i in range(64):
-        term = F.when(
-            F.col(f"b{i}") * 2 > F.col("_n"), F.lit(pow2[i]).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        packed = term if packed is None else packed + term
-    return votes.select("id", packed.alias("sh"))
+    # bigint('<min long>') — a bare negative literal would parse as
+    # unary minus over an out-of-range positive literal
+    terms = " + ".join(
+        f"(case when b{i}*2 > _n then bigint('{pow2[i]}') "
+        f"else 0L end)"
+        for i in range(64)
+    )
+    return votes.select(F.col("id"), F.expr(terms).alias("sh"))
 
 
 def near_duplicates_simhash(
