@@ -108,8 +108,32 @@ def parallel_input(df: DataFrame) -> DataFrame:
     this small input once and unlocks every core for the expensive
     map work above it (sort-before-repartition keeps the row-to-
     partition assignment retry-deterministic; all consumers here are
-    row-order-independent aggregations/joins)."""
+    row-order-independent aggregations/joins).
+
+    The ``.rdd`` partition probe forces FULL physical planning of the
+    input subtree (analysis + optimizer + physical plan), which costs
+    ~2 s on a deep chain (measured on the embed subtree, round-7). A
+    cheap pre-check on the ANALYZED logical plan skips the probe when
+    the input contains an exchange-bearing operator (aggregate, join,
+    window, repartition, a pandas map stage): such inputs are already
+    at shuffle width, so the probe could only ever return 'untouched'
+    — the single-row-group parquet problem this function exists for
+    can only occur on (near-)bare scans."""
     try:
+        lp = df._jdf.queryExecution().analyzed().toString()
+        if any(
+            m in lp
+            for m in (
+                "Aggregate",
+                "Join",
+                "Repartition",
+                "Window",
+                "MapInPandas",
+                "FlatMapGroupsInPandas",
+                "MapInArrow",
+            )
+        ):
+            return df
         nparts = df.rdd.getNumPartitions()
     except Exception:  # pragma: no cover - defensive
         return df
