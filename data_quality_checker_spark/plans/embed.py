@@ -457,10 +457,21 @@ def semantic_dedup_text(
     from data_quality_checker_spark.operators.semdedup import (
         semantic_dedup,
     )
+    from data_quality_checker_spark.tuning import (
+        adaptive_coalesce,
+        parallel_input,
+    )
 
     if exact_group:
-        member, rep_of = exact_text_groups(df, id_col, text_col)
-        base = df.join(
+        # one shared scan-parallelism floor for BOTH consumers of the
+        # raw text (the md5 group pass and the embed tokenize): the
+        # identical repartition subtree is deduplicated by Spark's
+        # ReuseExchange, so a single-row-group parquet corpus pays ONE
+        # small shuffle and every map stage above it runs on all cores
+        # (round-7; identity on already-split production scans)
+        src = parallel_input(df.select(F.col(id_col), F.col(text_col)))
+        member, rep_of = exact_text_groups(src, id_col, text_col)
+        base = src.join(
             rep_of.select(F.col("_rid").alias(id_col)), id_col,
             "left_semi",
         )
@@ -478,8 +489,20 @@ def semantic_dedup_text(
         # the caller's impl choice ('arrow' = scale path) applies to
         # the embed assembly too — the two paths are bit-identical
         ekw.setdefault("impl", impl)
-    vecs = doc_vectors(
-        base, id_col, text_col, embedder, dim, **ekw
+    # adaptive_coalesce BEFORE the persist: the embed plan ends in a
+    # join whose materialized exchange leaves the cache at the
+    # session's full shuffle width (256 tiny partitions at bench
+    # scale) — every cache consumer that crosses the Python boundary
+    # (the arrow assignment, the centroid draw) then launches one
+    # Arrow task per partition and the per-task worker round-trip
+    # dwarfs the actual math (measured ~50 s of executor time across
+    # 256 tasks for a 5k-doc corpus, round-7). The shuffle-free merge
+    # is identity at cluster scale (tuning module contract).
+    # width derived from the RAW input's size (``df``): ``base`` holds
+    # a join, and Catalyst's default join stats are multiplicative in
+    # bytes, so sizing from it would always saturate at the cap
+    vecs = adaptive_coalesce(
+        doc_vectors(base, id_col, text_col, embedder, dim, **ekw), df
     ).persist()
     kept = semantic_dedup(
         vecs,
@@ -499,17 +522,32 @@ def semantic_dedup_text(
         # word2vec embedder DROPS token-less rows instead of zeroing
         # them, so there vecs has no zero rows and whole token-less
         # groups fall out — again identical to its ungrouped shape.)
-        zero_reps = vecs.filter(
-            F.aggregate(
-                "embedding", F.lit(0.0), lambda a, x: a + x * x
+        if embedder == "hashing" and ekw.get("idf") is None:
+            # hashing embedder with its OWN corpus IDF: every token
+            # contributes weight >= 1 (tf >= 1, smoothed idf >= 1), so
+            # a rep's vector is zero IFF its text has no tokens — and
+            # members share their rep's exact text, so the zero-group
+            # member set is simply "rows whose own text tokenizes
+            # empty" (NULL text included). One map-side filter over
+            # the shared src scan replaces the member x rep_of x
+            # zero_reps join chain and its re-executed group subtrees
+            # (round-7; a CALLER-provided idf table could carry zero
+            # weights, so that path keeps the general join form).
+            zero_members = src.filter(
+                F.coalesce(F.size(tokens(text_col)), F.lit(0)) == 0
+            ).select(F.col(id_col))
+        else:
+            zero_reps = vecs.filter(
+                F.aggregate(
+                    "embedding", F.lit(0.0), lambda a, x: a + x * x
+                )
+                == 0.0
+            ).select(F.col(id_col).alias("_rid"))
+            zero_members = (
+                member.join(rep_of, "_tk")
+                .join(zero_reps, "_rid", "left_semi")
+                .select(F.col("_mid").alias(id_col))
             )
-            == 0.0
-        ).select(F.col(id_col).alias("_rid"))
-        zero_members = (
-            member.join(rep_of, "_tk")
-            .join(zero_reps, "_rid", "left_semi")
-            .select(F.col("_mid").alias(id_col))
-        )
         keep_ids = kept.select(id_col).unionByName(zero_members)
     else:
         keep_ids = kept.select(id_col)
