@@ -797,6 +797,9 @@ from lineitem
 
 def q_psi(spark, sf):
     ev = _t(spark, sf, "events")
+    # the count() stays: it is a parquet-metadata job, and replacing
+    # it with a broadcast scalar cross join would poison the size
+    # estimate psi's adaptive bucket-stage width derives from
     n = ev.count()
     cur = ev.filter(F.col("event_id") >= n // 2)
     base = ev.filter(F.col("event_id") < n // 2)

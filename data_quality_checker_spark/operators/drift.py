@@ -99,11 +99,19 @@ def prefix_sums(
     )
     if persist:
         d = d.persist()  # materialized by the totals collect below
+    from data_quality_checker_spark.tuning import adaptive_coalesce
+
+    # adaptive width on the totals aggregate: a fixed-task-count
+    # session with AQE coalescing off would otherwise run this
+    # O(partitions)-row collect at the full shuffle width (round-7)
     totals = {
         int(r["_pid"]): [r[f"_t_{c}"] or 0 for c in sum_cols]
-        for r in d.groupBy("_pid")
-        .agg(*[F.sum(c).alias(f"_t_{c}") for c in sum_cols])
-        .collect()
+        for r in adaptive_coalesce(
+            d.groupBy("_pid").agg(
+                *[F.sum(c).alias(f"_t_{c}") for c in sum_cols]
+            ),
+            df,
+        ).collect()
     }
     offsets: dict[int, list[float]] = {}
     running = [0.0] * len(sum_cols)

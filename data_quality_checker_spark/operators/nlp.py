@@ -205,10 +205,18 @@ def tfidf_top_terms(
     # the corpus-size aggregate rides the SAME job as the scoring plan
     # (one blocking driver round-trip fewer, round-7); the value and
     # the resulting idf doubles are identical to the literal form
+    # the distinct (and docfreq below) get adaptive_coalesce so their
+    # post-shuffle stages run at the size-derived width instead of the
+    # session's full shuffle-partition constant (sessions that pin a
+    # fixed task count with AQE coalescing off would otherwise run
+    # 256 near-empty tasks per stage — round-7, same rule as tf)
     nd = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(id_col)
-        .distinct()
+        adaptive_coalesce(
+            df.filter(F.col(text_col).isNotNull())
+            .select(id_col)
+            .distinct(),
+            df,
+        )
         .agg(F.count(F.lit(1)).alias("_n"))  # NULL id counts, as before
     )
     from data_quality_checker_spark.tuning import parallel_input
@@ -224,8 +232,8 @@ def tfidf_top_terms(
     tf = adaptive_coalesce(
         tok.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf")), df
     ).persist()
-    docfreq = tf.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
+    docfreq = adaptive_coalesce(
+        tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")), df
     )
     scored = (
         tf.join(docfreq, "term")

@@ -234,33 +234,55 @@ def psi(
     u = cur.select(F.col(column).alias("x")).unionByName(
         base.select(F.col(column).alias("x"))
     )
-    lo, hi = u.agg(F.min("x"), F.max("x")).collect()[0]
-    if lo is None or hi is None or hi == lo:
-        return 0.0
-    width = (hi - lo) / bins
+    # global [lo, hi] as a broadcast one-row aggregate instead of a
+    # separate blocking collect: the edges ride the SAME job as the
+    # bucket counts (ONE driver round-trip for the whole test,
+    # round-7). Cast to double in the aggregate so the in-plan
+    # (x - lo) / ((hi - lo) / bins) arithmetic is the identical IEEE
+    # sequence the scalar form computed; nullif keeps a constant
+    # column (hi == lo) at NULL buckets instead of a NaN floor.
+    edges = u.agg(
+        F.min("x").cast("double").alias("_lo"),
+        F.max("x").cast("double").alias("_hi"),
+    )
 
     from data_quality_checker_spark.tuning import adaptive_coalesce
 
     def _b(df: DataFrame, side: int) -> DataFrame:
-        return df.select(
+        w = F.nullif(F.col("_hi") - F.col("_lo"), F.lit(0.0)) / F.lit(
+            float(bins)
+        )
+        return df.crossJoin(F.broadcast(edges)).select(
             F.lit(side).alias("side"),
             F.least(
                 F.lit(bins - 1),
-                F.floor((F.col(column) - F.lit(lo)) / F.lit(width)),
+                F.floor((F.col(column) - F.col("_lo")) / w),
             ).alias("b"),
+            "_lo",
+            "_hi",
         )
 
     # both sides bucket-counted in ONE job (side tag + single grouped
-    # aggregate) instead of two sequential collects — halves the
-    # driver round-trips of the tail (round-7); per-side counts are
-    # identical to the separate aggregations
+    # aggregate); per-side counts identical to separate aggregations
     rows = (
         adaptive_coalesce(
-            _b(cur, 0).unionByName(_b(base, 1)).groupBy("side", "b").count(),
+            _b(cur, 0)
+            .unionByName(_b(base, 1))
+            .groupBy("side", "b")
+            .agg(
+                F.count(F.lit(1)).alias("count"),
+                F.first("_lo").alias("_lo"),
+                F.first("_hi").alias("_hi"),
+            ),
             cur,
         )
         .collect()
     )
+    if not rows:
+        return 0.0
+    lo, hi = rows[0]["_lo"], rows[0]["_hi"]
+    if lo is None or hi is None or hi == lo:
+        return 0.0
     cb = {r["b"]: r["count"] for r in rows if r["side"] == 0}
     bb = {r["b"]: r["count"] for r in rows if r["side"] == 1}
     n_c, n_b = sum(cb.values()), sum(bb.values())

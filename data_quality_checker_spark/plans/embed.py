@@ -106,19 +106,27 @@ def hashing_idf(
     broadcast dimension every embed call joins against. Compute ONCE
     per corpus and pass to both corpus and query embeds so their
     weights agree (search_text does this)."""
+    from data_quality_checker_spark.tuning import adaptive_coalesce
+
     tb = _token_buckets(df, id_col, text_col, dim)
-    per_doc = tb.distinct()  # (id, bucket): presence, not counts
+    # adaptive_coalesce on every distinct/agg below: their post-shuffle
+    # stages otherwise run at the session's full shuffle width (256
+    # near-empty tasks per stage under the fixed-task-count bench
+    # session — round-7; identity at cluster scale, values untouched)
+    per_doc = adaptive_coalesce(tb.distinct(), df)
     # doc count as a broadcast scalar subquery, not a blocking driver
     # .count() round-trip (round-7; (n+1) cast double is exact below
     # 2^53 so the smoothing math matches the scalar form; the presence
     # subtree was scanned twice before — count + groupBy — and still
     # is, now inside ONE job)
-    n_row = (
-        per_doc.select("id").distinct().agg(F.count("*").alias("_n"))
-    )
+    n_row = adaptive_coalesce(
+        per_doc.select("id").distinct(), df
+    ).agg(F.count("*").alias("_n"))
     return (
-        per_doc.groupBy("bucket")
-        .agg(F.count("*").alias("_dfb"))
+        adaptive_coalesce(
+            per_doc.groupBy("bucket").agg(F.count("*").alias("_dfb")),
+            df,
+        )
         .crossJoin(F.broadcast(n_row))
         .select(
             "bucket",
@@ -243,14 +251,19 @@ def hashed_doc_vectors(
             # scalar form the oracle pins).
             tf = tf.persist()
             cached = (tf,)
-            n_row = (
-                tf.select("id")
-                .distinct()
-                .agg(F.count("*").alias("_n"))
-            )
+            # adaptive widths on the distinct/agg (same rationale as
+            # hashing_idf: fixed-task-count sessions otherwise pay a
+            # full-width near-empty stage per aggregate, round-7)
+            n_row = adaptive_coalesce(
+                tf.select("id").distinct(), df
+            ).agg(F.count("*").alias("_n"))
             idf_tab = (
-                tf.groupBy("bucket")
-                .agg(F.count("*").alias("_dfb"))
+                adaptive_coalesce(
+                    tf.groupBy("bucket").agg(
+                        F.count("*").alias("_dfb")
+                    ),
+                    df,
+                )
                 .crossJoin(F.broadcast(n_row))
                 .select(
                     "bucket",
@@ -397,15 +410,23 @@ def exact_text_groups(
     _rid = the group's min id and each flag min-aggregated (flags are
     constant within a group — same text — so min is just transport).
     Only (id, 16-byte md5, flag) tuples shuffle; texts never travel."""
+    from data_quality_checker_spark.tuning import adaptive_coalesce
+
     flags = flags or {}
     member = df.select(
         F.col(id_col).alias("_mid"),
         F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_tk"),
         *[v.alias(k) for k, v in flags.items()],
     )
-    rep_of = member.groupBy("_tk").agg(
-        F.min("_mid").alias("_rid"),
-        *[F.min(k).alias(f"{k}g") for k in flags],
+    # adaptive width on the group aggregate's post-shuffle stage
+    # (fixed-task-count sessions with AQE coalescing off otherwise run
+    # it at the full shuffle-partition constant — round-7)
+    rep_of = adaptive_coalesce(
+        member.groupBy("_tk").agg(
+            F.min("_mid").alias("_rid"),
+            *[F.min(k).alias(f"{k}g") for k in flags],
+        ),
+        df,
     )
     return member, rep_of
 
