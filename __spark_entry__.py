@@ -149,9 +149,11 @@ def q_order_line_histogram(spark, sf):
     from data_quality_checker_spark.tuning import adaptive_coalesce
 
     li = _t(spark, sf, "lineitem")
-    # per-order aggregate coalesced to the scale-derived width before
-    # the tiny histogram re-aggregation (round-7; identity at scale)
-    return (
+    # per-order aggregate AND the histogram re-aggregation coalesced
+    # to the scale-derived width (round-7; identity at scale). A scan
+    # floor was probed here and reverted: repartitioning 600k rows
+    # costs more than the map-side-combined single-split agg saves.
+    return adaptive_coalesce(
         adaptive_coalesce(
             li.groupBy("l_orderkey").agg(
                 F.count(F.lit(1)).alias("n_lines")
@@ -159,7 +161,8 @@ def q_order_line_histogram(spark, sf):
             li,
         )
         .groupBy("n_lines")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .agg(F.count(F.lit(1)).alias("n_orders")),
+        li,
     )
 
 

@@ -61,8 +61,13 @@ def top_ngrams(
     Tokens are materialized in their own projection: word_ngrams slices
     the token array once per n-gram index, and inlining the tokenize
     expression there re-tokenizes per index (O(words^2))."""
+    from data_quality_checker_spark.tuning import parallel_input
+
     return (
-        df.filter(F.col(text_col).isNotNull())
+        # scan-parallelism floor (tuning module): the tokenize+ngram
+        # explode — the heaviest map in this operator — otherwise runs
+        # in one task on a single-row-group parquet input (round-7)
+        parallel_input(df.filter(F.col(text_col).isNotNull()))
         .select(tokens(text_col).alias("_tk"))
         .select(F.explode(word_ngrams(F.col("_tk"), n)).alias("ngram"))
         .groupBy("ngram")

@@ -44,12 +44,20 @@ def topk_bruteforce(
 ) -> DataFrame:
     """Exact cosine top-k per query. `queries` must be small enough to
     broadcast (the planner is told so explicitly)."""
+    from data_quality_checker_spark.tuning import parallel_input
+
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
         )
     )
-    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("cv"))
+    # scan-parallelism floor (tuning module): the per-row cosine fold
+    # against every broadcast query otherwise runs in ONE task when
+    # the corpus is a single-row-group parquet file (round-7;
+    # untouched for already-split production scans)
+    c = parallel_input(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("cv"))
+    )
     scored = (
         c.crossJoin(q)
         .filter(F.col("id") != F.col("query_id"))

@@ -251,11 +251,15 @@ _PLAN_PINS = {
     "minhash_neardups": dict(exchanges=10, smj=1, window=0),
     "simhash_neardups": dict(exchanges=12, smj=1, window=0),
     "ks_drift": dict(exchanges=10, smj=0, window=0),
-    "redundancy_structure": dict(exchanges=5, smj=0, window=0),
-    "top_bigrams": dict(exchanges=1, smj=0, window=0),
+    # redundancy_structure/top_bigrams/ann_topk: +1 exchange each is
+    # the DELIBERATE parallel_input scan floor (single-row-group
+    # fixture inputs otherwise run their heaviest map in one task —
+    # measured faster with the small repartition; identity at scale)
+    "redundancy_structure": dict(exchanges=6, smj=0, window=0),
+    "top_bigrams": dict(exchanges=2, smj=0, window=0),
     "sessionization": dict(exchanges=1, smj=0, window=1),
     "decontamination": dict(exchanges=3, smj=0, window=0),
-    "ann_topk": dict(exchanges=1, smj=0, window=1),
+    "ann_topk": dict(exchanges=2, smj=0, window=1),
     "line_dedup": dict(exchanges=2, smj=0, window=0),
 }
 
