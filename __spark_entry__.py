@@ -1133,9 +1133,14 @@ def q_langid_counts(spark, sf):
     # regex-count scoring (value-identical to X.langid_best, verified
     # row-for-row; ~10x faster — no token-array allocation)
     from data_quality_checker_spark.plans.rules import word_alt_pattern
+    from data_quality_checker_spark.tuning import parallel_input
 
     docs = _t(spark, sf, "documents")
-    scored = docs.withColumn("_lower", F.lower("text")).withColumns(
+    # scan floor: the regex-count scoring map otherwise runs in one
+    # task on the single-row-group fixture (round-7)
+    scored = parallel_input(docs).withColumn(
+        "_lower", F.lower("text")
+    ).withColumns(
         {
             f"_s_{lang}": F.regexp_count(
                 "_lower", F.lit(word_alt_pattern(STOPWORDS[lang]))
@@ -1176,9 +1181,14 @@ def q_lang_agreement(spark, sf):
     claimed labels are sometimes wrong; the langid rule must disagree).
     Returns (claimed, detected, n)."""
     from data_quality_checker_spark.plans.rules import word_alt_pattern
+    from data_quality_checker_spark.tuning import parallel_input
 
     docs = _t(spark, sf, "documents")
-    scored = docs.withColumn("_lower", F.lower("text")).withColumns(
+    # scan floor: the regex-count scoring map otherwise runs in one
+    # task on the single-row-group fixture (round-7)
+    scored = parallel_input(docs).withColumn(
+        "_lower", F.lower("text")
+    ).withColumns(
         {
             f"_s_{lang}": F.regexp_count(
                 "_lower", F.lit(word_alt_pattern(STOPWORDS[lang]))

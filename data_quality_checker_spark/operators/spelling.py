@@ -42,9 +42,13 @@ __all__ = [
 
 def token_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(token, freq) over the corpus — one explode + groupBy
-    (map-side combined)."""
+    (map-side combined). The scan floor keeps the tokenize map
+    parallel on single-row-group inputs (round-7; identity on
+    already-split production scans)."""
+    from data_quality_checker_spark.tuning import parallel_input
+
     return (
-        df.filter(F.col(text_col).isNotNull())
+        parallel_input(df.filter(F.col(text_col).isNotNull()))
         .select(F.explode(tokens(text_col)).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
