@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -85,46 +85,76 @@ def prefix_sums(
         from data_quality_checker_spark.tuning import scaled_partitions
 
         partitions = scaled_partitions(df)
-    # deterministic bucket boundaries: Greenwald-Khanna is a
-    # deterministic streaming algorithm, so both downstream jobs see
-    # identical bucket ids for every row
+    # deterministic bucket boundaries as an IN-PLAN percentile_approx
+    # aggregate riding a broadcast cross join (round-7): the same
+    # Greenwald-Khanna sketch df.approxQuantile ran as a separate
+    # blocking job at construction time. ANY deterministic
+    # non-decreasing boundary set yields identical cumulative sums
+    # (buckets only decide placement; offsets adapt), and GK is
+    # deterministic, so both consumers of the bucketing below see the
+    # same ids even without the persist.
     probs = [i / partitions for i in range(1, partitions)]
-    bounds = df.approxQuantile(order_col, probs, 0.001)
-    barr = F.array(*[F.lit(float(b)) for b in bounds])
-    pid_expr = F.size(F.filter(barr, lambda b: b <= F.col(order_col)))
+    if probs:
+        bounds_row = df.agg(
+            F.percentile_approx(
+                order_col,
+                F.array(*[F.lit(p) for p in probs]),
+                F.lit(1000),  # = 1 / approxQuantile's 0.001 error
+            ).alias("_bounds")
+        )
+        keyed = df.crossJoin(F.broadcast(bounds_row))
+        pid_expr = F.size(
+            F.filter(
+                F.col("_bounds"),
+                lambda b: b.cast("double") <= F.col(order_col),
+            )
+        )
+    else:
+        keyed = df
+        pid_expr = F.lit(0)
     d = (
-        df.withColumn("_pid", pid_expr)
+        keyed.withColumn("_pid", pid_expr)
+        .drop("_bounds")
         .repartition(partitions, "_pid")
         .sortWithinPartitions("_pid", order_col)
     )
     if persist:
-        d = d.persist()  # materialized by the totals collect below
+        d = d.persist()  # materialized once for both branches below
     from data_quality_checker_spark.tuning import adaptive_coalesce
 
-    # adaptive width on the totals aggregate: a fixed-task-count
-    # session with AQE coalescing off would otherwise run this
-    # O(partitions)-row collect at the full shuffle width (round-7)
-    totals = {
-        int(r["_pid"]): [r[f"_t_{c}"] or 0 for c in sum_cols]
-        for r in adaptive_coalesce(
-            d.groupBy("_pid").agg(
-                *[F.sum(c).alias(f"_t_{c}") for c in sum_cols]
-            ),
-            df,
-        ).collect()
-    }
-    offsets: dict[int, list[float]] = {}
-    running = [0.0] * len(sum_cols)
-    for pid in range(partitions):
-        offsets[pid] = list(running)
-        if pid in totals:
-            running = [a + float(b) for a, b in zip(running, totals[pid])]
+    # per-bucket start offsets computed LAZILY in the same query
+    # (round-7): bucket totals -> exclusive prefix sum over the
+    # O(partitions)-row aggregate (a bounded single-partition window,
+    # same shape as the repo's other post-aggregation k-row windows)
+    # -> broadcast back on _pid. Replaces the construction-time
+    # collect + driver loop; the long-integer window sums cast to
+    # double are exact below 2^53, so the offsets are bit-identical
+    # to the collected form.
+    woff = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets_df = adaptive_coalesce(
+        d.groupBy("_pid").agg(
+            *[F.sum(c).alias(f"_t_{c}") for c in sum_cols]
+        ),
+        df,
+    ).select(
+        "_pid",
+        *[
+            F.coalesce(F.sum(f"_t_{c}").over(woff), F.lit(0))
+            .cast("double")
+            .alias(f"_off_{c}")
+            for c in sum_cols
+        ],
+    )
+    dj = d.join(F.broadcast(offsets_df), "_pid")
 
     # copy the fields: StructType.add would mutate df's cached schema
     out_schema = StructType(
         list(d.schema.fields)
         + [StructField(f"cum_{c}", DoubleType()) for c in sum_cols]
     )
+    off_cols = [f"_off_{c}" for c in sum_cols]
 
     def cumulate(batches):
         import pandas as pd
@@ -137,8 +167,11 @@ def prefix_sums(
             # rows arrive sorted by (_pid, order): iterating groups in
             # ascending pid order preserves the original row order
             for pid, grp in pdf.groupby("_pid", sort=True):
-                st = state.setdefault(int(pid), list(offsets[int(pid)]))
-                grp = grp.copy()
+                st = state.setdefault(
+                    int(pid),
+                    [float(grp[oc].iloc[0]) for oc in off_cols],
+                )
+                grp = grp.drop(columns=off_cols)
                 for i, c in enumerate(sum_cols):
                     vals = grp[c].fillna(0).astype("float64")
                     grp[f"cum_{c}"] = vals.cumsum() + st[i]
@@ -146,7 +179,7 @@ def prefix_sums(
                 pieces.append(grp)
             yield pd.concat(pieces)
 
-    out = d.mapInPandas(cumulate, schema=out_schema).drop("_pid")
+    out = dj.mapInPandas(cumulate, schema=out_schema).drop("_pid")
     out._cached_deps = (d,) if persist else ()
     return out
 

@@ -250,7 +250,13 @@ _PLAN_PINS = {
     "tfidf_top1": dict(exchanges=8, smj=0, window=1),
     "minhash_neardups": dict(exchanges=10, smj=1, window=0),
     "simhash_neardups": dict(exchanges=12, smj=1, window=0),
-    "ks_drift": dict(exchanges=10, smj=0, window=0),
+    # ks_drift: 10 -> 13 exchanges + 1 window when prefix_sums folded
+    # its construction-time approxQuantile job and offsets collect
+    # INTO the plan (round-7): the new nodes are the in-plan
+    # percentile aggregate, the offsets branch, and its bounded
+    # O(partitions)-row window — work that previously ran as separate
+    # uncounted driver jobs, now visible to (and guarded by) this pin
+    "ks_drift": dict(exchanges=13, smj=0, window=1),
     # redundancy_structure/top_bigrams/ann_topk: +1 exchange each is
     # the DELIBERATE parallel_input scan floor (single-row-group
     # fixture inputs otherwise run their heaviest map in one task —
