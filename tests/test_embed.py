@@ -166,6 +166,25 @@ def test_semantic_dedup_text_exact_group_semantics(spark, docs):
         .collect()
     }
     assert kept == ungrouped
+    # round-7: the default path derives zero-group members with a
+    # tokens-empty filter (valid because the internal IDF keeps every
+    # token weight >= 1); a CALLER-provided idf table must take the
+    # general zero_reps join path — and agree on the zero groups
+    kept_custom = {
+        r["doc_id"]
+        for r in E.semantic_dedup_text(
+            corpus,
+            dim=64,
+            k=8,
+            tau=0.999,
+            keep="min_id",
+            embed_kw={"idf": E.hashing_idf(corpus, dim=64)},
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert {800001, 800002, 800003} <= kept_custom
+    assert not any(700000 <= i < 800000 for i in kept_custom)
 
 
 def test_ivf_text_search_finds_source_doc(spark, docs):
