@@ -165,9 +165,12 @@ def _assemble_arrow(kv: DataFrame, id_type: str, dim: int, normalize: bool):
             V = np.zeros((n, dim), dtype=np.float64)
             bs, ws = pdf["bs"].values, pdf["ws"].values
             for i in range(n):
-                V[i, np.asarray(bs[i], dtype=np.int64)] = np.asarray(
-                    ws[i], dtype=np.float64
-                )
+                b = np.asarray(bs[i], dtype=np.int64)
+                w = np.asarray(ws[i], dtype=np.float64)
+                # mask the unique_ids sentinel (bucket -1): numpy
+                # would otherwise scatter it into the LAST column
+                m = b >= 0
+                V[i, b[m]] = w[m]
             if normalize:
                 acc = np.zeros(n, dtype=np.float64)
                 for j in range(dim):  # sequential: matches the fold
@@ -192,6 +195,7 @@ def hashed_doc_vectors(
     normalize: bool = True,
     vec_col: str = "embedding",
     impl: str = "sql",
+    unique_ids: bool = False,
 ) -> DataFrame:
     """Hashed TF(-IDF) document vectors: one row per input row
     (``(id, embedding array<double>)``), token-less or NULL texts get
@@ -220,7 +224,19 @@ def hashed_doc_vectors(
     formula). The cache rides the returned frame's ``_cached_deps`` —
     call dedup.release_cache (or unpersist the dep) once consumed;
     composing wrappers (semantic_dedup_text, the pipeline semantic
-    stage) already do."""
+    stage) already do.
+
+    ``unique_ids`` — caller asserts ``id_col`` values are unique (one
+    row per id). The all-ids output is then produced by unioning one
+    weightless sentinel entry per id into the per-id aggregation
+    instead of a trailing left-outer join back to the id list: vector
+    values are identical (the sentinel's bucket -1 is never scattered
+    or probed), but the join — whose both-sides exchanges a
+    fixed-plan session materializes even when the join itself runs
+    broadcast — disappears (round-7). With duplicate or multiple-NULL
+    ids this form returns ONE row per distinct id instead of one per
+    input row, hence opt-in; id-keyed consumers (semantic_dedup_text,
+    whose keep set is an id semi-join) qualify."""
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
     if impl not in ("sql", "arrow"):
@@ -282,6 +298,18 @@ def hashed_doc_vectors(
             "bucket",
             (F.col("w") * F.coalesce(F.col("idf"), F.lit(1.0))).alias("w"),
         )
+    if unique_ids:
+        # one sentinel (bucket -1, weight 0) per id: every id then
+        # reaches the per-id aggregation, so the dense assembly emits
+        # the zero vector for token-less/NULL texts directly and the
+        # trailing left-outer join below is skipped. -1 is outside the
+        # [0, dim) probe range of both assembly paths.
+        sentinel = df.select(
+            F.col(id_col).alias("id"),
+            F.lit(-1).cast("int").alias("bucket"),
+            F.lit(0.0).alias("w"),
+        )
+        tf = tf.unionByName(sentinel)
     entries = adaptive_coalesce(
         tf.groupBy("id").agg(
             F.collect_list(F.struct(F.col("bucket"), F.col("w"))).alias(
@@ -323,15 +351,20 @@ def hashed_doc_vectors(
                 .otherwise(F.col("v"))
                 .alias("v"),
             )
-    zero = F.array_repeat(F.lit(0.0), dim)
-    out = (
-        df.select(F.col(id_col).alias("id"))
-        .join(vecs, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce(F.col("v"), zero).alias(vec_col),
+    if unique_ids:
+        out = vecs.select(
+            F.col("id").alias(id_col), F.col("v").alias(vec_col)
         )
-    )
+    else:
+        zero = F.array_repeat(F.lit(0.0), dim)
+        out = (
+            df.select(F.col(id_col).alias("id"))
+            .join(vecs, "id", "left")
+            .select(
+                F.col("id").alias(id_col),
+                F.coalesce(F.col("v"), zero).alias(vec_col),
+            )
+        )
     out._cached_deps = cached
     return out
 
@@ -510,6 +543,11 @@ def semantic_dedup_text(
         # the caller's impl choice ('arrow' = scale path) applies to
         # the embed assembly too — the two paths are bit-identical
         ekw.setdefault("impl", impl)
+        # SemDeDup's keep set is an id semi-join, so this operator
+        # already requires ids to be unique row identities; the
+        # sentinel-union embed form (identical vectors, no trailing
+        # join) is therefore safe here (round-7)
+        ekw.setdefault("unique_ids", True)
     # adaptive_coalesce BEFORE the persist: the embed plan ends in a
     # join whose materialized exchange leaves the cache at the
     # session's full shuffle width (256 tiny partitions at bench
