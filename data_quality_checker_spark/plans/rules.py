@@ -345,11 +345,18 @@ def rule_exprs_from_stats(
     }
 
 
+@lru_cache(maxsize=32)
 def keep_fired_expr(cfg: RuleConfig, text_col: str = "text") -> Column:
     """'Any rule fired' as ONE self-contained boolean whose per-doc
     stats are HOF let-bindings (functions/text.bind_once) — each stat
     evaluates EXACTLY ONCE per row no matter how the optimizer inlines
     the expression.
+
+    lru_cached (round-7): the expression is a pure function of the
+    frozen (cfg, text_col) pair, but BUILDING it costs ~0.3 s of py4j
+    round-trips — billed to every score_pages/with_verdict call, i.e.
+    every timed pipeline run. Column trees are plan-independent and
+    reusable across DataFrames/sessions within one JVM gateway.
 
     Why this exists (round-7): a ``filter(keep)``-only consumer (the
     pipeline's bench/run shape) prunes fired_rules, CollapseProject

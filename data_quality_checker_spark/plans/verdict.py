@@ -7,6 +7,8 @@ re-evaluating rules (generalizes generate_report, dq_checker.py:33-45).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -19,6 +21,38 @@ from data_quality_checker_spark.plans.rules import (
 RULE_PREFIX = "rule_"
 
 
+@lru_cache(maxsize=32)
+def _battery_exprs(cfg: RuleConfig, text_col: str):
+    """Cached construction of the battery's Column dicts (round-7):
+    the expressions are a pure function of the frozen (cfg, text_col)
+    pair, but building them costs ~0.4 s of py4j round-trips per call
+    — billed to every with_rule_flags invocation (each timed pipeline
+    run, every verdict query). Column trees are plan-independent and
+    reusable across DataFrames/sessions within one JVM gateway.
+    Returns item tuples (hashable, immutable cache value); callers
+    rebuild dicts."""
+    from data_quality_checker_spark.functions import text as X
+    from data_quality_checker_spark.plans.rules import (
+        rule_exprs_from_stats,
+        stat_exprs_counts,
+        stat_exprs_ratios,
+    )
+
+    helpers = (
+        ("_lower", F.lower(F.col(text_col))),
+        ("_lines", X.lines(text_col)),
+    )
+    counts = stat_exprs_counts(
+        cfg, text_col, F.col("_lower"), F.col("_lines")
+    )
+    ratios = stat_exprs_ratios(cfg, text_col)
+    flags = tuple(
+        (f"{RULE_PREFIX}{name}", F.coalesce(expr, F.lit(False)))
+        for name, expr in rule_exprs_from_stats(cfg, text_col).items()
+    )
+    return helpers, tuple(counts.items()), tuple(ratios.items()), flags
+
+
 def with_rule_flags(
     df: DataFrame, cfg: RuleConfig | None = None, text_col: str = "text"
 ) -> DataFrame:
@@ -28,36 +62,21 @@ def with_rule_flags(
     (4) flag comparisons. The whole battery reads each document a
     bounded number of times with no per-rule token-array allocation
     (~6x over the naive per-rule form; see rules.stat_exprs_counts)."""
-    from data_quality_checker_spark.functions import text as X
-    from data_quality_checker_spark.plans.rules import (
-        LANGS,
-        rule_exprs_from_stats,
-        stat_exprs_counts,
-        stat_exprs_ratios,
-    )
-
     cfg = cfg or RuleConfig()
-    d = df.withColumns(
-        {
-            "_lower": F.lower(F.col(text_col)),
-            "_lines": X.lines(text_col),
-        }
-    )
-    counts = stat_exprs_counts(
-        cfg, text_col, F.col("_lower"), F.col("_lines")
-    )
-    d = d.withColumns(counts)
-    ratios = stat_exprs_ratios(cfg, text_col)
-    d = d.withColumns(ratios)
-    flags = {
-        f"{RULE_PREFIX}{name}": F.coalesce(expr, F.lit(False))
-        for name, expr in rule_exprs_from_stats(cfg, text_col).items()
-    }
+    helpers, counts, ratios, flags = _battery_exprs(cfg, text_col)
+    d = df.withColumns(dict(helpers))
+    d = d.withColumns(dict(counts))
+    d = d.withColumns(dict(ratios))
     # derive the drop list from the stat dicts (rules.py owns the
     # names): a new stat added there must not silently leak an
     # underscore helper column into every scored output / sink schema
-    helper_cols = ["_lower", "_lines", *counts, *ratios]
-    return d.withColumns(flags).drop(*helper_cols)
+    helper_cols = [
+        "_lower",
+        "_lines",
+        *(k for k, _ in counts),
+        *(k for k, _ in ratios),
+    ]
+    return d.withColumns(dict(flags)).drop(*helper_cols)
 
 
 # keep's OR-chain evaluation order: cheapest rules first so codegen's
@@ -70,6 +89,27 @@ _KEEP_EVAL_ORDER = (
     "mean_word_len", "high_symbol", "high_repetition", "dup_lines",
     "low_stopword", "toxicity", "lang",
 )
+
+
+@lru_cache(maxsize=1)
+def _fired_and_or():
+    """Cached (fired_rules array, flag OR-chain) Columns — pure
+    functions of the fixed RULE_NAMES/_KEEP_EVAL_ORDER constants
+    (round-7 construction-cost rule, see _battery_exprs)."""
+    names = list(RULE_NAMES)
+    assert set(_KEEP_EVAL_ORDER) == set(names)
+    fired = F.array_compact(
+        F.array(
+            *[
+                F.when(F.col(f"{RULE_PREFIX}{n}"), F.lit(n))
+                for n in names
+            ]
+        )
+    )
+    flag_or = F.lit(False)
+    for n in _KEEP_EVAL_ORDER:
+        flag_or = flag_or | F.col(f"{RULE_PREFIX}{n}")
+    return fired, flag_or
 
 
 def with_verdict(
@@ -96,16 +136,7 @@ def with_verdict(
     rule_* column has been overridden after with_rule_flags (e.g. the
     langid-UDF pipeline branch must keep the column form)."""
     cfg = cfg or RuleConfig()
-    names = list(RULE_NAMES)
-    assert set(_KEEP_EVAL_ORDER) == set(names)
-    fired = F.array_compact(
-        F.array(
-            *[
-                F.when(F.col(f"{RULE_PREFIX}{n}"), F.lit(n))
-                for n in names
-            ]
-        )
-    )
+    fired, flag_or = _fired_and_or()
     if self_contained_keep:
         from data_quality_checker_spark.plans.rules import (
             keep_fired_expr,
@@ -113,9 +144,7 @@ def with_verdict(
 
         any_fired = keep_fired_expr(cfg, text_col)
     else:
-        any_fired = F.lit(False)
-        for n in _KEEP_EVAL_ORDER:
-            any_fired = any_fired | F.col(f"{RULE_PREFIX}{n}")
+        any_fired = flag_or
     return df.withColumn("fired_rules", fired).withColumn(
         "keep", ~any_fired
     )
