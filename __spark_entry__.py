@@ -64,12 +64,18 @@ def q_pricing_summary(spark, sf):
     order and DuckDB's, which flipped the 6-dp rounding at sf0.1.
     Averages divide the exact decimal sum (as double) by the count, one
     IEEE op on identical operands."""
+    from data_quality_checker_spark.tuning import adaptive_coalesce
+
     li = _t(spark, sf, "lineitem")
     qty = F.col("l_quantity").cast("decimal(18,2)")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,2)")
     n = F.count(F.lit(1))
-    return (
+    # adaptive width on the final-aggregate stage (round-7: a
+    # fixed-task-count session with AQE coalescing off otherwise runs
+    # it at the full shuffle width); the decimal sums are exact, so
+    # partition merge order cannot move a value
+    return adaptive_coalesce(
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -83,7 +89,8 @@ def q_pricing_summary(spark, sf):
             _r6(F.sum(qty).cast("double") / n).alias("avg_qty"),
             _r6(F.sum(disc).cast("double") / n).alias("avg_disc"),
             n.alias("count_order"),
-        )
+        ),
+        li,
     )
 
 
@@ -105,10 +112,18 @@ group by l_returnflag, l_linestatus
 
 
 def q_top_parts(spark, sf):
+    from data_quality_checker_spark.tuning import adaptive_coalesce
+
     li = _t(spark, sf, "lineitem")
+    # adaptive width on the per-part aggregate before the top-k (the
+    # TakeOrderedAndProject is partition-count-independent; round-7)
     return (
-        li.groupBy("l_partkey")
-        .agg(_r6(F.sum("l_quantity")).alias("total_qty"))
+        adaptive_coalesce(
+            li.groupBy("l_partkey").agg(
+                _r6(F.sum("l_quantity")).alias("total_qty")
+            ),
+            li,
+        )
         .orderBy(F.desc("total_qty"), "l_partkey")
         .limit(10)
     )
