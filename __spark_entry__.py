@@ -822,7 +822,12 @@ def q_psi(spark, sf):
     cur = ev.filter(F.col("event_id") >= n // 2)
     base = ev.filter(F.col("event_id") < n // 2)
     val = S.psi(cur, base, "value", bins=10)
-    return spark.createDataFrame([(round(val, 6),)], "psi double")
+    # JVM-local one-row relation: createDataFrame would round-trip
+    # the row through 32 Python serializer tasks just to be counted
+    # (round-7; same double literal, same schema)
+    return spark.range(1).select(
+        F.lit(round(val, 6)).cast("double").alias("psi")
+    )
 
 
 SQL_PSI = """
