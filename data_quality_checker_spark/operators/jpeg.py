@@ -666,7 +666,13 @@ class _BitReader:
                 return False  # real marker: stop
         else:
             self.pos = p + 1
-        self._acc = (self._acc << 8) | b
+        # keep only the UNCONSUMED low bits before appending: the
+        # consumed high bits can never be read again (read_bit only
+        # indexes below _nbits), but without the mask the accumulator
+        # grows into a stream-length bigint and every shift walks it —
+        # measured as quadratic decode time on single-scan (baseline)
+        # streams: 16.1 s for one 256x256 image, linear after the fix
+        self._acc = ((self._acc & ((1 << self._nbits) - 1)) << 8) | b
         self._nbits += 8
         return True
 

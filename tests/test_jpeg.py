@@ -307,3 +307,18 @@ def test_rgb_textured_content_stats_match_decoded_truth():
     assert abs(
         out["clip_frac"] - ((px == 0) | (px == 255)).mean()
     ) < 1e-9
+
+
+def test_bitreader_accumulator_stays_bounded():
+    """round-7 perf regression pin: the entropy bit-reader must DISCARD
+    consumed bits as it refills — without the mask its accumulator
+    grows into a stream-length bigint and every read walks it, which
+    measured as QUADRATIC decode time on single-scan baseline streams
+    (16.1 s for one 256x256 image; linear after the fix). Reading a
+    ~10 KB stream to exhaustion must never hold more than two live
+    bytes in the accumulator."""
+    br = J._BitReader(bytes(range(1, 200)) * 50)
+    max_bits = 0
+    while br.read_bit() is not None:
+        max_bits = max(max_bits, br._acc.bit_length())
+    assert max_bits <= 16
