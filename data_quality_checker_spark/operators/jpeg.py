@@ -35,9 +35,13 @@ quantized coefficients — both pinned in pytest.
 
 Scale note: decoding runs per payload inside mapInPandas (Arrow
 batches), exactly like the PNG/BMP/WAV paths — no new Spark shape.
-The Huffman bit-walk is pure Python per payload; swap
-``decoder=content_decode`` for a PIL-backed callable on clusters
-where PIL exists — the plumbing is unchanged by construction.
+The Huffman bit-walk is pure Python per payload at a measured
+~0.17 MPix/s/core, linear in pixels (BENCH.md round-7 decode table:
+~2.7 imgs/s/core at 256x256 for both baseline and progressive) —
+fine for sampled audits, ~3 orders slower than libjpeg-turbo for
+full-corpus decode: swap ``decoder=content_decode`` for a PIL-backed
+callable on clusters where PIL exists — the plumbing is unchanged by
+construction.
 """
 
 from __future__ import annotations
